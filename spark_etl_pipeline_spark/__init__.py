@@ -1,0 +1,27 @@
+"""spark_etl_pipeline_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of the
+reference ETL pipeline (hyjae/spark-etl-pipeline, surveyed in SURVEY.md),
+generalized into a reusable engine:
+
+- ``session``     — SparkSession factory (modernizes reference
+                    dependencies/spark.py:18-114).
+- ``sources``     — parquet / JDBC / CSV / in-memory readers and the
+                    parquet / JDBC / CSV sinks (reference jobs/etl_job.py
+                    extract_data / extract_data_from_db / insert_data /
+                    save_hdfs / write_data).
+- ``functions``   — scalar-function layer: JSON, timestamp, string and
+                    array helpers (reference §2.8 X1-X12).
+- ``plans``       — query registry + the relational query suite + the
+                    clickstream ETL pipeline re-expressed single-pass.
+- ``operators``   — engine extensions: dedup (exact / MinHash-LSH /
+                    SimHash / shingle-Jaccard / embedding), similarity
+                    search, text analysis, multimodal column plumbing.
+- ``streaming``   — Structured Streaming windows (tumbling / sliding /
+                    session) with batch-equivalent implementations.
+
+Everything is plain ``DataFrame -> DataFrame`` plan building; Catalyst is
+the optimizer and executor. No RDD-level code.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,65 @@
+"""As-of join: match each left row to the latest right row at-or-before it.
+
+Spark has no built-in as-of join (the reference has none either — this is
+part of the engine's extension surface). Semantics follow the standard
+definition (DuckDB ASOF JOIN, pandas merge_asof, kdb aj): for every left
+row, pick the right row with the greatest ``right_ts <= left_ts`` among
+rows sharing the join key.
+
+Implementation: equi-join on the key with the inequality as a join
+predicate, then windowed argmax per left row. The equi-join shuffles both
+sides on the key, so it scales horizontally; the window re-uses the same
+hash partitioning (no second shuffle of the big side beyond the rank).
+Right-side ties on (key, ts) are broken by a caller-supplied tiebreak so
+the surviving row is deterministic.
+
+For a genuinely huge right side with many versions per key, prefer
+compacting the right side first (e.g. latest-per-interval) — the join
+multiplies each left row by all earlier right versions before the rank
+prunes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    how: str = "inner",
+    tolerance: Column | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """As-of join ``left`` to ``right``.
+
+    :param how: 'inner' (drop unmatched left rows) or 'left' (keep them
+        with null right columns).
+    :param tolerance: optional max age, e.g. ``F.expr("INTERVAL 7 DAYS")``
+        — right rows older than ``left_ts - tolerance`` don't match.
+    :param tiebreak: right-side columns ordered DESC after right_ts to make
+        the survivor deterministic when several right rows share the ts.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
+
+    # Tag each left row with a unique id so the argmax window has a key
+    # even when left rows are duplicated.
+    lid = "__asof_left_id"
+    tagged = left.withColumn(lid, F.monotonically_increasing_id())
+
+    cond = (tagged[left_on] == right[right_on]) & (right[right_ts] <= tagged[left_ts])
+    if tolerance is not None:
+        cond = cond & (right[right_ts] >= tagged[left_ts].cast("timestamp") - tolerance)
+
+    joined = tagged.join(right, cond, "left" if how == "left" else "inner")
+
+    order = [F.col(right_ts).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(lid).orderBy(*order)
+    ranked = joined.withColumn("__asof_rn", F.row_number().over(w))
+    return ranked.filter(F.col("__asof_rn") == 1).drop("__asof_rn", lid)

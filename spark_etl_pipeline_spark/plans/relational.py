@@ -1,0 +1,869 @@
+"""Relational core query suite.
+
+Covers the reference's entire relational operator surface (SURVEY.md §2:
+filters F1-F5, projections P1-P5, join J1 + the full Spark join surface,
+unions U1, dedup D1, aggregates D2 generalized) plus sort/limit, window
+functions, rollup/cube/pivot, range and as-of joins — each registered with
+a DuckDB oracle.
+
+All Spark implementations are declarative DataFrame plans: filters and
+projections push into the parquet scan, small dimensions are broadcast,
+and aggregates use integer-cents arithmetic for cross-engine determinism
+(see plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.functions import cents
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Flagship aggregation queries (scan → filter → groupBy → agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+           CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the engine's flagship query.
+
+    Single scan, filter pushed to parquet, one hash aggregate with
+    map-side partial aggregation — the plan Catalyst should pick with no
+    hints at any scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-31 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(price_c).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(price_c * (100 - disc_c)).cast("double") / 10000.0).alias("sum_disc_price"),
+            (F.sum(price_c * (100 - disc_c) * (100 + tax_c)).cast("double") / 1000000.0).alias("sum_charge"),
+            (F.sum(qty_c).cast("double") / 100.0 / n).alias("avg_qty"),
+            (F.sum(price_c).cast("double") / 100.0 / n).alias("avg_price"),
+            (F.sum(disc_c).cast("double") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND round(l_discount*100) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: conjunctive range filters → global sum (no shuffle
+    beyond the final single-partition agg)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_c = cents("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & disc_c.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(cents("l_extendedprice") * disc_c).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC,
+             o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: 3-way join → agg → deterministic top-10.
+
+    customer is the small side → broadcast into orders; the orders⋈lineitem
+    join shuffles on orderkey (both huge at 100 TB — the right plan). Top-k
+    uses exact integer revenue with an orderkey tiebreak, so LIMIT is
+    deterministic.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_c.alias("_rev_c"))
+        .orderBy(F.col("_rev_c").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            (F.col("_rev_c").cast("double") / 10000.0).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 6-way join with broadcast dims.
+
+    nation/region/supplier are broadcast (tiny even at 100 TB); the
+    customer⋈orders⋈lineitem chain shuffles on its keys and AQE can
+    re-plan at runtime.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double")
+                / 10000.0
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (SURVEY.md §2.3 F1-F5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_filter_isin",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag IN ('A','R') AND l_linestatus = 'F'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def rel_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F5: IN-list + equality + conjunction, pushed to the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_linestatus") == "F")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "rel_filter_nested_struct",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus IN ('O','P') AND o_orderpriority IN ('1-URGENT','2-HIGH')
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def rel_filter_nested_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: IN-list on a nested struct field via dot-path access.
+
+    Mirrors the reference's ``df.info.siteseq.isin(...)`` pattern
+    (reference jobs/etl_job.py:173): build a struct column, filter on its
+    fields by dot path. Catalyst collapses the struct creation, so the plan
+    is identical to filtering the flat columns.
+    """
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "info", F.struct(F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority"))
+    )
+    return (
+        orders.filter(
+            F.col("info.status").isin("O", "P")
+            & F.col("info.priority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy(F.col("info.status").alias("status"), F.col("info.priority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rel_filter_null",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN NULLIF(c_mktsegment,'BUILDING') IS NULL THEN 1 END) AS n_null,
+           COUNT(CASE WHEN NULLIF(c_mktsegment,'BUILDING') IS NOT NULL THEN 1 END) AS n_not_null
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def rel_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: isNull / isNotNull predicates (null synthesized via NULLIF)."""
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "seg", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("seg").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("seg").isNotNull(), 1)).alias("n_not_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections (SURVEY.md §2.4 P1-P5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_project_ops",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 8) AS name8,
+           CAST(NULL AS VARCHAR) AS pad,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+    FROM part
+    WHERE p_retailprice > 500
+    """,
+)
+def rel_project_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P4/P5: select + withColumn + null padding + SQL-expression col.
+
+    The null pad mirrors the reference's ``lit(None).cast(StringType())``
+    union-schema-alignment trick (reference jobs/etl_job.py:400-410);
+    substring mirrors its ``expr('substring(USER_ID, 1, 100)')``
+    (jobs/etl_job.py:423).
+    """
+    part = table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 500)
+    return (
+        part.withColumn("size_class", F.when(F.col("p_size") > 25, "big").otherwise("small"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.substring("p_name", 1, 8).alias("name8"),
+            F.lit(None).cast("string").alias("pad"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            "size_class",
+        )
+    )
+
+
+@register(
+    "rel_rename_upper",
+    oracle="""
+    SELECT n.n_nationkey AS N_NATIONKEY, n.n_name AS N_NAME, r.r_name AS R_NAME
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def rel_rename_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: bulk rename-to-upper via toDF (replaces the reference's
+    per-column withColumnRenamed loop, jobs/etl_job.py:388-389)."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    return joined.toDF(*[c.upper() for c in joined.columns])
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.5 J1 + full Spark join surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_join_inner_2key",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    SELECT l.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(round(l.l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+    FROM lineitem l
+    JOIN dim d ON l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
+    WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def rel_join_inner_2key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner equi-join on a 2-key conjunctive condition (the reference's
+    SITESEQ+PRODUCTCODE join shape, jobs/etl_job.py:392)."""
+    li = table(spark, sf_dir, "lineitem")
+    dim = (
+        li.filter(F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("l_partkey").alias("d_partkey"), F.col("l_suppkey").alias("d_suppkey"))
+        .distinct()
+    )
+    fact = li.filter(F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    return (
+        fact.join(
+            dim,
+            on=(fact.l_partkey == dim.d_partkey) & (fact.l_suppkey == dim.d_suppkey),
+            how="inner",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "rel_join_left",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(o.o_orderkey) AS n_matched,
+           CAST(SUM(COALESCE(CAST(round(o.o_totalprice*100) AS BIGINT), 0)) AS DOUBLE)/100.0 AS sum_price
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def rel_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: unmatched left rows survive with nulls."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            (F.sum(F.coalesce(cents("o_totalprice"), F.lit(0))).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+        )
+    )
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join ≡ EXISTS."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join ≡ NOT EXISTS."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "rel_join_full",
+    oracle="""
+    WITH neg AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0),
+         big AS (SELECT o_custkey,
+                        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS big_total
+                 FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
+    SELECT COALESCE(n.c_custkey, b.o_custkey) AS custkey,
+           n.c_acctbal AS acctbal, b.big_total AS big_total
+    FROM neg n FULL OUTER JOIN big b ON n.c_custkey = b.o_custkey
+    """,
+)
+def rel_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on both sides."""
+    cust = table(spark, sf_dir, "customer")
+    neg = cust.filter(F.col("c_acctbal") < 0).select("c_custkey", "c_acctbal")
+    big = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg((F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("big_total"))
+    )
+    return neg.join(big, neg.c_custkey == big.o_custkey, "full").select(
+        F.coalesce(neg.c_custkey, big.o_custkey).alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        "big_total",
+    )
+
+
+@register(
+    "rel_join_cross",
+    oracle="""
+    SELECT r.r_name, s.status
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    """,
+)
+def rel_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (small × small only — a cartesian product is never the
+    right plan for two large inputs)."""
+    region = table(spark, sf_dir, "region")
+    status = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return region.crossJoin(F.broadcast(status)).select("r_name", "status")
+
+
+# ---------------------------------------------------------------------------
+# Set ops / dedup (SURVEY.md §2.6 U1, §2.7 D1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_union_dedup",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def rel_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+D1: union by name + distinct (reference's unionAll cascade,
+    jobs/etl_job.py:260-270, with unionByName killing positional bugs)."""
+    cust = table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "rel_dedup_keyed",
+    oracle="""
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def rel_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: latest row per key via row_number with explicit tiebreak.
+
+    The scale-correct form of the reference's full-row ``dropDuplicates()``
+    (jobs/etl_job.py:369-377): one shuffle on the key, deterministic
+    survivor (SURVEY.md §4 hazard 4).
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (SURVEY.md §2.7 D2 generalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_agg_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / countDistinct / min / max / sum / avg in one hash aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return orders.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0).alias("sum_price"),
+        (F.sum(cents("o_totalprice")).cast("double") / 100.0 / n).alias("avg_price"),
+    )
+
+
+@register(
+    "rel_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (hierarchical subtotals + grand total)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("l_quantity")).cast("double") / 100.0).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "rel_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all subtotal combinations)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "rel_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never pivot on unbounded
+    cardinality at scale — the value list bounds the output width)."""
+    li = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(cents("l_quantity")))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        (F.coalesce(F.col("O"), F.lit(0)).cast("double") / 100.0).alias("qty_O"),
+        (F.coalesce(F.col("F"), F.lit(0)).cast("double") / 100.0).alias("qty_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    no full sort, each partition keeps k rows."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_window_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+    FROM customer
+    """,
+)
+def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (row_number with unique tiebreak)."""
+    cust = table(spark, sf_dir, "customer")
+    w_total = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w_rank = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_rank).alias("rnk"),
+        F.dense_rank().over(w_rank).alias("drnk"),
+    )
+
+
+@register(
+    "rel_window_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+               AS running_qty,
+           lag(l_quantity)  OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+           lead(l_quantity) OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
+    FROM lineitem WHERE l_suppkey <= 10
+    """,
+)
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead over a deterministic total order."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(cents("l_quantity")).over(w_run).cast("double") / 100.0).alias("running_qty"),
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.lead("l_quantity").over(w).alias("next_qty"),
+    )
+
+
+@register(
+    "rel_window_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                OVER w AS DOUBLE)/100.0 / COUNT(*) OVER w AS moving_avg_price
+    FROM lineitem WHERE l_suppkey <= 5
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 3-row moving average (exact-integer sum / count)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"))
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.sum(cents("l_extendedprice")).over(w).cast("double")
+            / 100.0
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join + as-of join (beyond the reference's join surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+    WITH buckets(bucket, lo, hi) AS (VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 51))
+    SELECT b.bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+    FROM lineitem l JOIN buckets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket
+    """,
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: fact rows against a tiny bucket table.
+
+    The bucket side is broadcast, so the inequality join is a broadcast
+    nested-loop over 3 rows — the only sane physical plan for band joins
+    with a small band table.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [("low", 0, 10), ("mid", 10, 25), ("high", 25, 51)], "bucket string, lo int, hi int"
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "rel_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM (SELECT * FROM events WHERE user_id <= 60) e
+    ASOF JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest order at-or-before it.
+
+    Implemented via the operators.asof module (join + windowed argmax).
+    Only the matched *date* is projected — the as-of key — because ties on
+    (custkey, orderdate) make the full matched row engine-dependent.
+    """
+    from spark_etl_pipeline_spark.operators.asof import asof_join
+
+    events = table(spark, sf_dir, "events").filter(F.col("user_id") <= 60)
+    orders = table(spark, sf_dir, "orders")
+    matched = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )

@@ -1,0 +1,63 @@
+"""Correctness gate rehearsal: every oracle-backed query must match DuckDB.
+
+Mimics the driver's t2 check: run the Spark builder and the DuckDB oracle
+at sf0.01, sort columns by name, sort rows, compare values exactly
+(strings/ints) and bit-exactly (floats — the engine's determinism rules
+in plans/registry.py are designed to make that possible).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from spark_etl_pipeline_spark.plans import registry
+from tests.conftest import SF_CORRECTNESS
+
+registry.load_all()
+ORACLE_SPECS = [s for s in registry.REGISTRY.values() if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in registry.REGISTRY.values() if s.oracle is None]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    s, d = canon(spark_pdf), canon(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col].tolist(), d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            if isinstance(a, float) or isinstance(b, float):
+                assert float(a) == float(b), f"{name}.{col}[{i}]: {a!r} != {b!r} (float)"
+            else:
+                assert a == b, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=lambda s: s.name)
+def test_oracle_parity(spark, duck, spec):
+    spark_pdf = spec.builder(spark, SF_CORRECTNESS).toPandas()
+    duck_pdf = duck.sql(spec.oracle).df()
+    compare(spark_pdf, duck_pdf, spec.name)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
+def test_rows_only_queries_run(spark, spec):
+    df = spec.builder(spark, SF_CORRECTNESS)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
