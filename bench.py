@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the `noop` sink (full execution, no
+write cost, no column-pruning shortcut the way `count()` allows).
+Everything else (Spark logs, errors) goes to stderr so the driver's JSON
+parse never breaks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rel_window_running",
+    "rel_dedup_keyed",
+    "etl_events_pipeline",
+    "rel_asof_join",
+    # extension operators (present from round 2 on; missing names are skipped)
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "sim_topk_cosine",
+    "stream_tumbling_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from spark_etl_pipeline_spark.plans import registry
+    from spark_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        builder = qs.get(name)
+        if builder is None:
+            continue
+        try:
+            # build once untimed so plan analysis / file listing warms up
+            builder(spark, sf_dir).schema
+            t0 = time.monotonic()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            timings[name] = dt
+            total += dt
+            print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+        except Exception as exc:  # keep the JSON line intact on any failure
+            print(f"[bench] {name}: ERROR {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,7 @@ def asof_join(
     how: str = "inner",
     tolerance: Column | None = None,
     tiebreak: list[str] | None = None,
+    left_keys: list[str] | None = None,
 ) -> DataFrame:
     """As-of join ``left`` to ``right``.
 
@@ -44,22 +45,27 @@ def asof_join(
         — right rows older than ``left_ts - tolerance`` don't match.
     :param tiebreak: right-side columns ordered DESC after right_ts to make
         the survivor deterministic when several right rows share the ts.
+    :param left_keys: columns that uniquely identify a left row — the
+        argmax window partitions on them. Defaults to *all* left columns;
+        with that default, exact-duplicate left rows collapse to one
+        output row each (callers with duplicate rows must pass a real
+        unique key). A nondeterministic id (monotonically_increasing_id)
+        is deliberately NOT used: it is assigned before the join shuffle,
+        so a stage retry could re-tag rows differently between attempts
+        (SPARK-23207 class) and silently corrupt the argmax grouping.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
 
-    # Tag each left row with a unique id so the argmax window has a key
-    # even when left rows are duplicated.
-    lid = "__asof_left_id"
-    tagged = left.withColumn(lid, F.monotonically_increasing_id())
+    keys = list(left_keys) if left_keys else list(left.columns)
 
-    cond = (tagged[left_on] == right[right_on]) & (right[right_ts] <= tagged[left_ts])
+    cond = (left[left_on] == right[right_on]) & (right[right_ts] <= left[left_ts])
     if tolerance is not None:
-        cond = cond & (right[right_ts] >= tagged[left_ts].cast("timestamp") - tolerance)
+        cond = cond & (right[right_ts] >= left[left_ts].cast("timestamp") - tolerance)
 
-    joined = tagged.join(right, cond, "left" if how == "left" else "inner")
+    joined = left.join(right, cond, "left" if how == "left" else "inner")
 
     order = [F.col(right_ts).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
-    w = Window.partitionBy(lid).orderBy(*order)
+    w = Window.partitionBy(*[left[k] for k in keys]).orderBy(*order)
     ranked = joined.withColumn("__asof_rn", F.row_number().over(w))
-    return ranked.filter(F.col("__asof_rn") == 1).drop("__asof_rn", lid)
+    return ranked.filter(F.col("__asof_rn") == 1).drop("__asof_rn")

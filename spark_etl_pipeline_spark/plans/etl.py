@@ -275,7 +275,8 @@ def etl_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same stages as :func:`clickstream_pipeline`: single-pass CASE WHEN
     family normalization (families keyed on event_type), JSON extraction,
-    UTC→KST date/time split, id fallback, broadcast dim join with a
+    UTC→KST date/time split, id fallback, dim join (no broadcast hint —
+    customer scales with the data; AQE decides at runtime) with a
     null-padded 'signup' branch (the reference's 'login' branch), dedup.
     """
     events = table(spark, sf_dir, "events")
@@ -300,7 +301,7 @@ def etl_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         normalized.filter(F.col("code").isNotNull())
-        .join(F.broadcast(cust), normalized.user_id == cust.c_custkey)
+        .join(cust, normalized.user_id == cust.c_custkey)
         .select(
             "user_key",
             "transaction_date",

@@ -29,6 +29,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -69,9 +70,54 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
     return deco
 
 
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), from the file footer.
+
+    Spark's vectorized reader rejects nanosecond timestamps outright
+    (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is set — and then it surfaces them as raw nano longs. We sniff the
+    footer driver-side (metadata-only read, no data IO) so ``table()`` can
+    convert those columns back to real timestamps transparently.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    candidate = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        candidate = files[0]
+    try:
+        schema = pq.read_schema(candidate)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table (TESTDATA.md layout) as a DataFrame."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one synthetic table (TESTDATA.md layout) as a DataFrame.
+
+    Nanosecond-timestamp parquet (the driver's ``events`` table) is read
+    via the legacy nanos-as-long path and converted to microsecond
+    timestamps with integer division (``ts div 1000`` — a double division
+    would lose precision above 2^53 nanos ≈ 1970+104 days).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in nanos:
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
 
 
 def load_all() -> None:

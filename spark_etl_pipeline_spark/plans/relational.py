@@ -126,10 +126,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: 3-way join → agg → deterministic top-10.
 
-    customer is the small side → broadcast into orders; the orders⋈lineitem
-    join shuffles on orderkey (both huge at 100 TB — the right plan). Top-k
-    uses exact integer revenue with an orderkey tiebreak, so LIMIT is
-    deterministic.
+    customer scales with the fact data, so it gets NO broadcast hint —
+    AQE converts the customer⋈orders join to broadcast at runtime when
+    the filtered side genuinely fits, and shuffles otherwise. The
+    orders⋈lineitem join shuffles on orderkey (both huge at 100 TB — the
+    right plan). Top-k uses exact integer revenue with an orderkey
+    tiebreak, so LIMIT is deterministic.
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
@@ -141,7 +143,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_c = F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
     return (
         li.join(
-            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -178,9 +180,10 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5-shaped: 6-way join with broadcast dims.
 
-    nation/region/supplier are broadcast (tiny even at 100 TB); the
-    customer⋈orders⋈lineitem chain shuffles on its keys and AQE can
-    re-plan at runtime.
+    nation/region are broadcast — genuinely bounded tables (25/5 rows at
+    any scale). supplier and customer scale with the data, so they get no
+    hint; AQE broadcasts them at runtime only if they actually fit. The
+    customer⋈orders⋈lineitem chain shuffles on its keys.
     """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").filter(
@@ -195,7 +198,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -861,6 +864,7 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_on="o_custkey",
         left_ts="ts",
         right_ts="o_orderdate",
+        left_keys=["event_id"],
     )
     return matched.select(
         "event_id",

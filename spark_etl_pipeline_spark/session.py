@@ -24,6 +24,24 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _cluster_master_configured() -> bool:
+    """True when a master was supplied through the standard channels.
+
+    ``spark-submit --master`` sets the ``spark.master`` Java system
+    property (surfaced via SparkConf), and standalone/YARN setups export
+    ``MASTER`` / ``SPARK_MASTER`` env vars — not a bespoke flag. Only when
+    none of these are present do we default to ``local[N]``.
+    """
+    if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER"):
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().contains("spark.master")
+    except Exception:
+        return False
+
+
 def get_spark(
     app_name: str = "spark_etl_pipeline_spark",
     master: str | None = None,
@@ -48,11 +66,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER_SET"):
+    elif not _cluster_master_configured():
         builder = builder.master(f"local[{cpus}]")
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
