@@ -1,1 +1,375 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators over the ``documents`` table.
+
+LLM-data-pipeline dedup surface (the reference repo only has full-row
+``dropDuplicates`` — jobs/etl_job.py:369-377; this module adds the
+content-level family a training-data pipeline needs):
+
+- **exact**: hash-keyed exact dedup (one hash aggregate).
+- **MinHash + LSH**: shingle → K minhash values → banded bucket join →
+  candidate pairs → exact-Jaccard verify. Candidates only ever form
+  *inside a band bucket* — there is no all-pairs comparison anywhere,
+  which is what makes this run at 100 TB (bucket join ≈ one shuffle on
+  band hash; skewed buckets are handled by AQE skew-join).
+- **SimHash**: frequency-weighted 32-bit fingerprint per document;
+  near-dups differ in few bits.
+- **n-gram Jaccard with prefix blocking**: exact Jaccard, but only for
+  pairs sharing their first shingle (near-identical docs share
+  prefixes) — again a bucketed join, never a cross join.
+
+Cross-engine determinism: token/shingle hashes are md5-derived bigints
+(identical in Spark and DuckDB), minhash permutations are fixed affine
+maps mod 2^31-1 (max intermediate a*h < 2^52 — no bigint overflow), and
+Jaccard is one double division of identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Shared constants (MUST stay in sync between Spark builders and oracles)
+# ---------------------------------------------------------------------------
+
+P = 2_147_483_647  # 2^31 - 1
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+#: Fixed affine minhash permutations h_k(x) = (A[k]*x + B[k]) mod P.
+A = [(2 * k + 3) * 1009 % 999_983 for k in range(NUM_HASHES)]
+B = [(k * k + 7) * 2003 % 999_979 for k in range(NUM_HASHES)]
+
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+
+# Spark SQL arrays index 0-based (t[0]); DuckDB 1-based (t[1]).
+_SH_SPARK = (
+    "CASE WHEN size(t) >= {n} THEN array_distinct(transform("
+    "sequence(0, size(t) - {n}), i -> concat_ws(' ', {elems_s}))) "
+    "ELSE array() END"
+).format(n=SHINGLE_N, elems_s=", ".join(f"t[i+{j}]" for j in range(SHINGLE_N)))
+_SH_DUCK = (
+    "CASE WHEN len(t) >= {n} THEN list_distinct(list_transform("
+    "generate_series(0, len(t) - {n}), i -> {elems_d})) "
+    "ELSE [] END"
+).format(
+    n=SHINGLE_N,
+    elems_d=" || ' ' || ".join(f"t[i+{j+1}]" for j in range(SHINGLE_N)),
+)
+
+_H_SPARK = "cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)"
+_H_DUCK = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+
+#: Shared oracle CTEs: tokenized docs -> distinct shingles -> hashes.
+_DUCK_SHINGLES = f"""
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_SH_DUCK}) AS s FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id, {_H_DUCK} AS h FROM sh
+    )
+"""
+
+
+def shingle_set(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, s): each document's distinct word n-gram shingles."""
+    return (
+        docs.withColumn("t", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .select("doc_id", F.explode(F.expr(_SH_SPARK)).alias("s"))
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}): K min-hash values, one hash aggregate.
+
+    One shuffle on doc_id with map-side partial mins — signature size is
+    constant per doc regardless of document length.
+    """
+    hashed = shingles.select("doc_id", F.expr(_H_SPARK).alias("h"))
+    mins = [
+        F.min((F.lit(A[k]) * F.col("h") + F.lit(B[k])) % F.lit(P)).alias(f"mh{k}")
+        for k in range(NUM_HASHES)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): one md5 bucket key per band of the signature."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("x")).select(
+        "doc_id", "x.band", "x.bh"
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in at least one band.
+
+    The self-join key is (band, bucket-hash): only same-bucket rows ever
+    meet, so the work is Σ bucket_size², not n² — the LSH contract.
+    """
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact shingle-set Jaccard per pair."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x = shingles.alias("x")
+    y = shingles.alias("y")
+    inter = (
+        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by normalized-text hash, keep the
+    smallest doc_id. One hash aggregate — the 100 TB plan is identical
+    (shuffle on a 128-bit hash, never on the text itself)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_MH_MINS_DUCK = ",\n           ".join(
+    f"min(({A[k]}*h + {B[k]}) % {P}) AS mh{k}" for k in range(NUM_HASHES)
+)
+_BANDS_DUCK = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS bh FROM sig".format(
+        b=b,
+        expr="||','||".join(
+            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+        SELECT doc_id, {_MH_MINS_DUCK}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_DUCK}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.i, 0)) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle → 16 minhashes → 4 bands × 4 rows → bucket self-join →
+    Jaccard ≥ 0.5. Detects the ~98%-overlap duplicates the corpus
+    actually contains without ever comparing all pairs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shingles = shingle_set(docs)
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(shingles)))
+    return jaccard_verified(pairs, shingles).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+
+
+_SIMHASH_BITS = 32
+_TH_SPARK = "cast(conv(substr(md5(x), 1, 8), 16, 10) as bigint)"
+_TH_DUCK = "CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)"
+# Portable bit test: (h div 2^b) % 2 — works identically in both engines.
+_VSUM_SPARK = ",\n        ".join(
+    f"sum(CASE WHEN (h div {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_VSUM_DUCK = ",\n        ".join(
+    f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_FP_EXPR = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS x
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_TH_DUCK} AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+        {_VSUM_DUCK}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash FROM votes
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted 32-bit SimHash per document.
+
+    Each token votes ±1 on every bit of its hash; the fingerprint keeps
+    the majority sign. Near-identical docs land within a few bits of
+    Hamming distance. Plan: explode tokens → one hash aggregate on
+    doc_id (map-side partial sums make the shuffle rows = docs, not
+    tokens).
+    """
+    docs = table(spark, sf_dir, "documents")
+    hashed = (
+        docs.withColumn("t", F.split(F.trim(F.col("text")), r"\s+"))
+        .select("doc_id", F.explode("t").alias("x"))
+        .select("doc_id", F.expr(_TH_SPARK).alias("h"))
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.expr(f"h div {1 << b}") % 2) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    return votes.select("doc_id", F.expr(_FP_EXPR).cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    keyed AS (
+        SELECT doc_id, md5(t[1] || ' ' || t[2] || ' ' || t[3]) AS block
+        FROM toks WHERE len(t) >= 3
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keyed a JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard with *prefix blocking*: only pairs sharing
+    their first shingle are compared (near-identical docs share
+    prefixes). The block key join replaces the cross join — same
+    bucketed-join scale contract as LSH, with exact similarity."""
+    docs = table(spark, sf_dir, "documents")
+    shingles = shingle_set(docs)
+    keyed = (
+        docs.withColumn("t", F.split(F.trim(F.col("text")), r"\s+"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.md5(F.expr("concat_ws(' ', t[0], t[1], t[2])")).alias("block"),
+        )
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    return jaccard_verified(pairs, shingles)

@@ -1,1 +1,229 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over the ``documents`` table.
+
+Part of the engine's LLM-data-pipeline surface (the reference repo has no
+text operators — this extends it per the project baseline): token
+statistics, quality scoring, stopword-vote language ID, and rolling-hash
+document fingerprinting.
+
+Everything is JVM-side (``pyspark.sql.functions`` / SQL expressions —
+no Python UDFs), so the hot path stays inside whole-stage codegen and
+scales linearly with partitions. Cross-engine determinism rules:
+
+- Token hashes come from ``md5`` (identical in Spark and DuckDB):
+  first 8 hex chars → bigint via base conversion.
+- Ratios are a single IEEE-754 double division of identical integer
+  operands → bit-identical across engines.
+- The rolling fingerprint folds left over the token list with integer
+  arithmetic mod 2^31-1 (max intermediate ≈ 2^39, no bigint overflow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+# Tokenization shared by every operator: whitespace split of trimmed text.
+TOKENS_SPARK = r"split(trim(text), '\\s+')"
+TOKENS_DUCK = r"string_split_regex(trim(text), '\s+')"
+
+#: Marker-word profiles for the stopword-vote language heuristic.
+#: (Real pipelines use char-n-gram profiles; the voting/argmax plumbing —
+#: the part Spark executes — is identical.)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in", "it")
+
+
+def token_hash_spark(var: str) -> str:
+    """Deterministic 32-bit token hash, Spark SQL flavor."""
+    return f"cast(conv(substr(md5({var}), 1, 8), 16, 10) as bigint)"
+
+
+def token_hash_duck(var: str) -> str:
+    """The same hash, DuckDB flavor (identical values)."""
+    return f"CAST(('0x' || substr(md5({var}), 1, 8)) AS BIGINT)"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a ``tokens`` array column (whitespace tokenization)."""
+    return df.withColumn("tokens", F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def quality_columns() -> list[Column]:
+    """Per-document quality metrics over a ``tokens`` array column."""
+    n_tokens = F.size("tokens")
+    n_types = F.size(F.array_distinct("tokens"))
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    stop_cnt = F.expr(f"size(filter(tokens, x -> x IN ({stop_list})))")
+    avg_len = F.expr(
+        "aggregate(tokens, cast(0 as bigint), (a, x) -> a + length(x))"
+    ).cast("double") / n_tokens
+    return [
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        stop_cnt.alias("stop_cnt"),
+        (n_types.cast("double") / n_tokens).alias("type_token_ratio"),
+        (stop_cnt.cast("double") / n_tokens).alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len({TOKENS_DUCK})) AS total_tokens,
+           SUM(length(text)) AS total_chars,
+           CAST(SUM(len({TOKENS_DUCK})) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language: one scan, one hash aggregate
+    with map-side partials — the same shape at 500 docs or 100 TB."""
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    n = F.count(F.lit(1))
+    return docs.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum(F.size("tokens")).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        (F.sum(F.size("tokens")).cast("double") / n).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               len(list_distinct(t)) AS n_types,
+               len(list_filter(t, x -> x IN {EN_STOPWORDS!r})) AS stop_cnt,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(t, x -> CAST(length(x) AS BIGINT))),
+                           (a, x) -> a + x) AS char_sum
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, n_types, stop_cnt,
+           CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(stop_cnt AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(char_sum AS DOUBLE) / n_tokens AS avg_token_len,
+           CASE WHEN n_tokens BETWEEN 5 AND 2000
+                 AND CAST(n_types AS DOUBLE) / n_tokens >= 0.1
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + keep/drop flag (the filter an LLM
+    data pipeline applies before training). All metrics are integer
+    counts; each ratio is one double division → engine-exact."""
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    scored = docs.select("doc_id", *quality_columns())
+    return scored.withColumn(
+        "keep",
+        (
+            F.col("n_tokens").between(5, 2000) & (F.col("type_token_ratio") >= 0.1)
+        ).cast("int"),
+    )
+
+
+def _vote_expr_spark() -> Column:
+    """Argmax over language marker-word hit counts, ties → lexicographic."""
+    hits = {
+        lang: F.expr(
+            "size(filter(tokens, x -> x IN ({})))".format(
+                ", ".join(f"'{w}'" for w in words)
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.lit(None).cast("string")
+    # reversed lexicographic fold so that earlier (smaller) names win ties
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS h_en,
+               len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+               len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS h_fr,
+               len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS h_es
+        FROM toks
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                    WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM hits
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID, reported as a (actual, predicted)
+    confusion table. The vote is a constant-time expression per row — no
+    shuffle until the tiny final aggregate."""
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("predicted", _vote_expr_spark())
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                            list_transform(t, x -> {token_hash_duck('x')})),
+               (acc, h) -> (acc * 131 + h) % 2147483647) AS fingerprint
+    FROM toks
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    Left fold over token hashes, ``fp = (fp*131 + h) mod (2^31-1)`` —
+    two docs with the same token sequence collide with ~2^-31 false-
+    positive rate, giving O(1)-state exact-order dedup keys. Pure
+    expression per row: embarrassingly parallel at any scale.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    fold = (
+        "aggregate(transform(tokens, x -> {h}), cast(0 as bigint), "
+        "(acc, h) -> (acc * 131 + h) % 2147483647)"
+    ).format(h=token_hash_spark("x"))
+    return docs.select("doc_id", F.expr(fold).alias("fingerprint"))
