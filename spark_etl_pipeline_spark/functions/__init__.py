@@ -112,9 +112,24 @@ def last_url_segment(col: str | Column) -> Column:
 
 
 def strip_stray_commas(col: str | Column) -> Column:
-    """Reference X6 (jobs/etl_job.py:318-319): drop commas not inside quotes."""
+    """Reference X6 (jobs/etl_job.py:318-319) — byte-for-byte the
+    reference's regex, kept for behavioral parity. **LOSSY**: the
+    pattern consumes the non-quote character adjacent to the comma run,
+    so it deletes that neighbor too (``'a,b'`` → ``'b'`` — the ``a,``
+    match includes the ``a``). Commas *between* quoted array elements
+    (``"a","b"``) are quote-adjacent on both sides and survive. New code
+    should use :func:`strip_stray_commas_exact` instead.
+    """
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c, r"[^\"](\,+)|(\,+)[^\"]", "")
+
+
+def strip_stray_commas_exact(col: str | Column) -> Column:
+    """Lookaround variant of :func:`strip_stray_commas` that removes ONLY
+    the comma run (no adjacent-character loss): commas survive iff both
+    neighbors are quotes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"(?<!\")(,+)|(,+)(?!\")", "")
 
 
 def json_array_literal_to_array(col: str | Column) -> Column:

@@ -1,1 +1,198 @@
-"""Placeholder — filled in this round."""
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+LLM-data-pipeline surface for image/audio/video columns (absent from the
+reference repo). The *Spark-side* contract is fully real — binary
+columns, explicit schemas, Arrow-batched ``mapInPandas`` with 1→1 and
+1→N row shapes, partition-preserving plans. The *decoder* is the only
+stub: this container has no image/audio libraries, so ``_decode_real``
+raises ``NotImplementedError`` and the pipeline uses a clearly-marked
+deterministic fake (md5-derived dimensions) instead. Swapping in PIL /
+torchaudio later changes one function, not the plumbing.
+
+Design for 100 TB: decode is the expensive step, so it runs inside
+``mapInPandas`` (Arrow batch transfer, one Python worker per core, no
+driver involvement); everything before/after stays JVM-side. Payload
+rows are wide → keep ``spark.sql.files.maxPartitionBytes`` modest so a
+batch of decoded frames fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FRAME_BYTES = 64  # fixed "frame" size for the sampler
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("content_md5", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload: binary, mime): the multimodal shape.
+
+    Stands in for reading real image/audio bytes; the binary column and
+    typed metadata are exactly what a production table would carry.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def _decode_real(payload: bytes) -> tuple[int, int]:
+    """Real decoder hook — image libs are not in this container."""
+    raise NotImplementedError(
+        "real image/audio decode requires PIL/ffmpeg; use the deterministic "
+        "fake (md5-derived dimensions) in this environment"
+    )
+
+
+def _decode_fake(payload: bytes) -> tuple[int, int]:
+    """Deterministic FAKE decode: dimensions derived from content md5.
+
+    Marked fake on purpose — it keeps the full Arrow/mapInPandas path
+    executable and oracle-checkable without native decoders.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    return int(h[:2], 16) % 512 + 16, int(h[2:4], 16) % 512 + 16
+
+
+def decode_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched 1→1 decode: one feature row per payload row."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h = _decode_fake(data)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(data),
+                        data[0] if data else None,
+                        hashlib.md5(data).hexdigest(),
+                        w,
+                        h,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA])
+
+    return payloads.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def frame_sample(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched 1→N frame sampler: fixed-size chunks per payload.
+
+    The video-pipeline shape: each input row fans out to ceil(n/64)
+    frame rows inside the worker — no explode shuffle, no driver data.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i in range(0, len(data), FRAME_BYTES):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i // FRAME_BYTES,
+                            hashlib.md5(data[i : i + FRAME_BYTES]).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return payloads.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (text is pure ASCII, so byte offsets == char offsets
+# and the DuckDB oracle can mirror the byte math with string functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           md5(text) AS content_md5,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 512 + 16 AS width,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 512 + 16 AS height
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → decoded feature row via mapInPandas (fake
+    decoder; real plumbing — schema, Arrow batches, partition-local)."""
+    docs = table(spark, sf_dir, "documents")
+    return decode_features(attach_payload(docs))
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER) - 1)) AS frame_idx,
+               text
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, frame_idx,
+           md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+    FROM f
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → fixed-size frame rows (1→N mapInPandas fan-out)."""
+    docs = table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(docs))

@@ -1,1 +1,269 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+LLM-data-pipeline ANN surface (absent from the reference repo — part of
+the engine's extension baseline). Three tiers:
+
+- **brute-force top-k** (`sim_topk_cosine`): the exact baseline — a
+  small query set against every vector. Correct at any scale only
+  because |Q| is small (queries broadcast, one pass over the corpus);
+  the scored-row count is |Q|·N, so this is the *oracle*, not the
+  production path.
+- **random-hyperplane LSH** (`sim_ann_hyperplane`): 8 sign bits from
+  fixed integer hyperplanes → 256 buckets. Per-row expression, no
+  shuffle until the bucket-size aggregate; candidates at scale only
+  ever form inside a bucket.
+- **IVF with nprobe=1** (`sim_ivf_search`): assign every vector to its
+  nearest centroid, search only the query's cell. This is the 100 TB
+  plan: cells are data partitions, so a query prunes (cells-1)/cells of
+  the corpus before any distance math.
+
+All vector math runs JVM-side (`zip_with` + `aggregate` left folds over
+double arrays — no Python in the hot path) and is bit-identical to the
+DuckDB oracles (same element order, same IEEE-754 ops; verified).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+DIM = 64
+N_QUERIES = 10  # query set: vec_id < N_QUERIES
+TOP_K = 5
+NBITS = 8  # hyperplane signature bits
+CENTROID_STRIDE = 50  # vec_id % STRIDE == 0 → stand-in centroid set
+
+
+def _vec(col: str = "embedding") -> Column:
+    """float array → double array (both engines compute in double)."""
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Left-fold dot product — deterministic summation order."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0.0 as double), (s, x) -> s + x)"
+    )
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return (
+        f"{dot_expr(a, b)} / "
+        f"(sqrt({dot_expr(a, a)}) * sqrt({dot_expr(b, b)}))"
+    )
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {DIM}), i -> {a}[i] * {b}[i])), "
+        "(s, x) -> s + x)"
+    )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"{_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+    )
+
+
+def topk_cosine(
+    queries: DataFrame, corpus: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` must be small (it is broadcast); the corpus streams
+    through one scored pass. Deterministic: ties broken on neighbor id.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), "v")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(cosine_expr("qv", "v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_duck_cos('q.v', 'c.v')} AS cos
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the 10-vector query set (ANN baseline)."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    return topk_cosine(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+
+def _plane_weights() -> list[list[int]]:
+    """Fixed integer hyperplanes in [-1000, 1000].
+
+    Derived from md5 so they are reproducible anywhere, then inlined as
+    literals into BOTH engines' plans (scaling a plane never changes the
+    sign of a dot product, so integer weights lose nothing).
+    """
+    planes = []
+    for j in range(NBITS):
+        row = []
+        for d in range(DIM):
+            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h % 2001 - 1000)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _plane_weights()
+_SIG_SPARK = " + ".join(
+    "(CASE WHEN {dot} > 0.0 THEN {bit} ELSE 0 END)".format(
+        dot=dot_expr(
+            "v", "array({})".format(",".join(f"{w}.0D" for w in _PLANES[j]))
+        ),
+        bit=1 << j,
+    )
+    for j in range(NBITS)
+)
+_SIG_DUCK = " + ".join(
+    "(CASE WHEN {dot} > 0.0 THEN {bit} ELSE 0 END)".format(
+        dot=_duck_dot("v", "([{}]::DOUBLE[])".format(",".join(map(str, _PLANES[j])))),
+        bit=1 << j,
+    )
+    for j in range(NBITS)
+)
+
+
+@register(
+    "sim_ann_hyperplane",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (SELECT vec_id, CAST({_SIG_DUCK} AS BIGINT) AS sig FROM e)
+    SELECT vec_id, sig,
+           COUNT(*) OVER (PARTITION BY sig) AS bucket_size
+    FROM sigs
+    """,
+)
+def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH signatures: 8 sign bits → 256 buckets.
+
+    Pure per-row expression (planes are plan literals — no join, no
+    Python); the only shuffle is the bucket-size window. At scale,
+    near-neighbor candidates are generated per bucket, Σ bucket² work.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    sigs = emb.select("vec_id", F.expr(_SIG_SPARK).cast("bigint").alias("sig"))
+    return sigs.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("sig"))
+    )
+
+
+@register(
+    "sim_ivf_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+            FROM e CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_duck_cos('qe.v', 'ne.v')} AS cos
+        FROM assign q
+        JOIN assign n ON n.cell = q.cell AND n.vec_id != q.vec_id
+        JOIN e qe ON qe.vec_id = q.vec_id
+        JOIN e ne ON ne.vec_id = n.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate search, nprobe=1.
+
+    Every vector is assigned to its nearest 'centroid' (a deterministic
+    sample stands in for a k-means result — the assignment/search
+    plumbing is identical); a query then scores only its own cell. At
+    100 TB the cells are physical partitions, so the scan itself is
+    pruned — the part brute force can never do.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rn_w = Window.partitionBy("vec_id").orderBy(
+        F.expr(cosine_expr("v", "cv")).desc(), F.col("cid")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(rn_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    n = assign.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(n, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qe), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", F.expr(cosine_expr("qv", "nv")).alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -1,1 +1,203 @@
-"""Placeholder — filled in this round."""
+"""Event-time windowing: tumbling / sliding / session windows.
+
+The reference repo is batch-only (SURVEY.md §2.11 — zero streaming
+code); this module supplies the Structured-Streaming surface the engine
+baseline requires. Every window helper works on BOTH a static and a
+streaming DataFrame — ``F.window`` / ``F.session_window`` are engine
+built-ins with identical semantics in either mode — so correctness is
+proved in batch against a DuckDB oracle, and `stream_events_tumbling`
+wires the same aggregation into a real ``readStream`` with a watermark
+(exercised by the test suite with an availableNow trigger).
+
+Scale notes: windowed aggregation shuffles on (window, keys) with
+map-side partial aggregation; session windows shuffle on the session
+key. Watermarks bound state: late rows beyond the watermark are
+dropped instead of growing state forever — the only viable contract at
+100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.functions import cents
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+
+def tumbling(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str]
+) -> DataFrame:
+    """Fixed, non-overlapping event-time windows."""
+    return df.groupBy(F.window(ts_col, duration), *keys)
+
+
+def sliding(
+    df: DataFrame, ts_col: str, duration: str, slide: str, keys: list[str]
+) -> DataFrame:
+    """Overlapping windows: each row lands in duration/slide windows."""
+    return df.groupBy(F.window(ts_col, duration, slide), *keys)
+
+
+def session(df: DataFrame, ts_col: str, gap: str, keys: list[str]) -> DataFrame:
+    """Dynamic windows closing after ``gap`` of inactivity per key."""
+    return df.groupBy(F.session_window(ts_col, gap), *keys)
+
+
+def stream_events_tumbling(
+    spark: SparkSession, sf_dir: str, duration: str = "1 hour"
+) -> DataFrame:
+    """The same tumbling aggregation as ``stream_tumbling_counts`` but on
+    a real streaming source with a watermark (1 hour of allowed
+    lateness). Run with ``trigger(availableNow=True)`` to drain the
+    directory as a bounded stream — the plan is the production
+    streaming plan either way.
+    """
+    from spark_etl_pipeline_spark.plans.registry import _nanos_columns
+
+    path = f"{sf_dir}/events.parquet"
+    nanos = _nanos_columns(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a directory base path; a glob keeps this
+    # working when the dataset is a single file (the test layout) as
+    # well as a real directory of parts.
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")
+    )
+    for col in nanos:
+        stream = stream.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered batch-mode queries (same plans a stream would run)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact-cents sum.
+    One shuffle on (window, event_type) with map-side partials."""
+    events = table(spark, sf_dir, "events")
+    return (
+        tumbling(events, "ts", "1 hour", ["event_type"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                   - k.k * INTERVAL 30 MINUTE AS window_start,
+               event_type
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+        WHERE ts >= time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
+          AND ts <  time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
+                    + INTERVAL 1 HOUR
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event counts in 2
+    windows. Spark expands window membership before the aggregate —
+    the oracle mirrors that expansion with generate_series."""
+    events = table(spark, sf_dir, "events")
+    return (
+        sliding(events, "ts", "1 hour", "30 minutes", ["event_type"])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user via ``F.session_window``.
+
+    The oracle reconstructs identical sessions with the classic
+    lag + cumulative-sum sessionization — same boundaries, proving the
+    built-in's gap semantics (a new session starts when the quiet
+    period reaches the gap).
+    """
+    events = table(spark, sf_dir, "events")
+    return (
+        session(events, "ts", "30 minutes", ["user_id"])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )

@@ -58,6 +58,8 @@ def test_oracle_parity(spark, duck, spec):
 
 @pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
 def test_rows_only_queries_run(spark, spec):
+    # rows-only queries are exempt from the oracle, not from scrutiny:
+    # they must execute AND produce data with a materializable schema.
     df = spec.builder(spark, SF_CORRECTNESS)
-    assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    assert df.count() > 0, f"{spec.name}: rows-only query returned no rows"

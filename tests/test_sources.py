@@ -1,0 +1,104 @@
+"""Sinks/sources: parquet + CSV round-trips, JDBC option building.
+
+JDBC has no live database in this environment, so the option builders
+(pure functions) are verified directly; the reader/writer wrappers are
+one `.format('jdbc').options(...)` away and share that logic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.sources import (
+    jdbc_read_options,
+    jdbc_write_options,
+    read_parquet,
+    write_csv_single_file,
+    write_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def nation(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+
+
+def canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_parquet_roundtrip_partitioned(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_parquet")
+    write_parquet(nation, path, mode="overwrite", partition_by=["n_regionkey"])
+    back = read_parquet(spark, path).select(*nation.columns)
+    # partition column type survives via the directory layout
+    assert canon(back.withColumn("n_regionkey", F.col("n_regionkey").cast("int"))) == canon(nation)
+
+
+def test_parquet_append_doubles_rows(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_append")
+    write_parquet(nation, path, mode="overwrite")
+    write_parquet(nation, path, mode="append")
+    assert read_parquet(spark, path).count() == 2 * nation.count()
+
+
+def test_parquet_read_pushdown(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_pd")
+    write_parquet(nation, path, mode="overwrite")
+    df = read_parquet(
+        spark, path, columns=["n_name"], predicate=F.col("n_nationkey") < 5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(n_nationkey)" in plan
+    assert df.count() == 5
+
+
+def test_csv_single_file_roundtrip(spark, nation, tmp_path):
+    path = str(tmp_path / "nation_csv")
+    write_csv_single_file(nation, path)
+    files = [f for f in __import__("os").listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1  # coalesce(1) → exactly one data file
+    back = (
+        spark.read.option("header", True).csv(path)
+        .select(
+            F.col("n_nationkey").cast("int"),
+            "n_name",
+            F.col("n_regionkey").cast("int"),
+        )
+    )
+    assert canon(back) == canon(nation)
+
+
+def test_jdbc_read_options_partitioned():
+    opts = jdbc_read_options(
+        url="jdbc:mysql://db:3306/shop",
+        table="EP_INFO_VIEW",
+        user="u",
+        password="p",
+        driver="com.mysql.cj.jdbc.Driver",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["driver"] == "com.mysql.cj.jdbc.Driver"
+
+
+def test_jdbc_read_options_rejects_partial_partitioning():
+    with pytest.raises(ValueError, match="ALL of"):
+        jdbc_read_options(
+            url="jdbc:mysql://db/shop", table="t", user="u", password="p",
+            partition_column="id",
+        )
+
+
+def test_jdbc_write_options():
+    opts = jdbc_write_options(
+        url="jdbc:mysql://db/shop", table="OUT", user="u", password="p"
+    )
+    assert opts["isolationLevel"] == "READ_UNCOMMITTED"
+    assert opts["batchsize"] == "10000"

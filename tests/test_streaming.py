@@ -1,0 +1,39 @@
+"""Real Structured-Streaming execution: readStream → watermark →
+windowed agg → memory sink, drained with an availableNow trigger.
+
+The registered `stream_*` queries prove windowing SEMANTICS against the
+DuckDB oracle in batch mode; this test proves the same plan actually
+runs as a stream (stateful aggregation + watermark + trigger), and that
+the bounded-drain result matches the batch result exactly.
+"""
+
+from __future__ import annotations
+
+from spark_etl_pipeline_spark.streaming.windows import (
+    stream_events_tumbling,
+    stream_tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_streaming_matches_batch(spark):
+    stream_df = stream_events_tumbling(spark, SF_SMOKE)
+    assert stream_df.isStreaming
+
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(120)
+    finally:
+        query.stop()
+
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    )
+    want = sorted(tuple(r) for r in stream_tumbling_counts(spark, SF_SMOKE).collect())
+    assert got == want and len(got) > 0
