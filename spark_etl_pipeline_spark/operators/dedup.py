@@ -257,6 +257,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually contains without ever comparing all pairs.
     """
     docs = table(spark, sf_dir, "documents")
+    # The shingle set feeds 4 plan branches (signatures, sizes, both
+    # intersection sides) and Catalyst does not dedupe common subplans,
+    # so the corpus is scanned and re-shingled per branch. Measured at
+    # bench scale, recomputing beats persisting (the exploded shingle
+    # cache is ~10x the text volume; columnar re-scans + md5 are cheap):
+    # 1.0-1.5s vs 1.4-2.3s at sf0.1. For corpora where scan dominates,
+    # add .persist(StorageLevel.MEMORY_AND_DISK) here.
     shingles = shingle_set(docs)
     pairs = candidate_pairs(lsh_bands(minhash_signatures(shingles)))
     return jaccard_verified(pairs, shingles).filter(
@@ -358,7 +365,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes). The block key join replaces the cross join — same
     bucketed-join scale contract as LSH, with exact similarity."""
     docs = table(spark, sf_dir, "documents")
-    shingles = shingle_set(docs)
+    shingles = shingle_set(docs)  # recompute per branch — see minhash note
     keyed = (
         docs.withColumn("t", F.split(F.trim(F.col("text")), r"\s+"))
         .filter(F.size("t") >= 3)

@@ -239,6 +239,10 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn_w = Window.partitionBy("vec_id").orderBy(
         F.expr(cosine_expr("v", "cv")).desc(), F.col("cid")
     )
+    # assign is consumed twice (query side + candidate side) and is
+    # recomputed per branch. A/B at sf0.1 shows persist is neutral-to-
+    # slower here; at corpus scales where the corpus x centroids pass
+    # dominates, persist this 2-int-column projection instead.
     assign = (
         emb.crossJoin(F.broadcast(cents))
         .withColumn("rn", F.row_number().over(rn_w))
@@ -266,4 +270,102 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (dedup-family operator)
+# ---------------------------------------------------------------------------
+
+N_TABLES = 2  # hash tables of BITS_PER_TABLE hyperplane bits each
+BITS_PER_TABLE = NBITS // N_TABLES
+COS_DUP_THRESHOLD = 0.4
+
+
+def _table_sig(engine: str, t: int) -> str:
+    """4-bit signature of hash table ``t`` (planes 4t..4t+3)."""
+    terms = []
+    for r in range(BITS_PER_TABLE):
+        j = t * BITS_PER_TABLE + r
+        if engine == "spark":
+            dot = dot_expr(
+                "v", "array({})".format(",".join(f"{w}.0D" for w in _PLANES[j]))
+            )
+        else:
+            dot = _duck_dot(
+                "v", "([{}]::DOUBLE[])".format(",".join(map(str, _PLANES[j])))
+            )
+        terms.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << r} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_DUCK_TABLE_SIGS = "\n        UNION ALL ".join(
+    f"SELECT vec_id, {t} AS t, CAST({_table_sig('duck', t)} AS BIGINT) AS sig FROM e"
+    for t in range(N_TABLES)
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        {_DUCK_TABLE_SIGS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a
+        JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_duck_cos('ea.v', 'eb.v')} AS cos
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE {_duck_cos('ea.v', 'eb.v')} >= {COS_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH.
+
+    Two independent 4-bit hyperplane tables bucket the corpus; candidate
+    pairs form only inside a bucket (multiple shorter tables trade
+    precision for recall vs one 8-bit table), then exact cosine confirms
+    pairs above the threshold. The scale contract matches MinHash-LSH:
+    Σ bucket² candidate work, never n² — this is the dedup-family twin
+    of the text-shingle pipeline for modalities that live in embedding
+    space (image/audio near-dups in an LLM data pipeline).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    sigs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(_table_sig("spark", t)).cast("bigint").alias("sig"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.t", "x.sig")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.expr(cosine_expr("va", "vb")).alias("cos"))
+        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
     )
