@@ -31,9 +31,15 @@ HEADLINE = [
     "rel_asof_join",
     # extension operators (present from round 2 on; missing names are skipped)
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_quality_score",
+    "text_fingerprint",
     "sim_topk_cosine",
+    "sim_ivf_search",
     "stream_tumbling_counts",
+    "stream_session_windows",
+    "mm_decode_features",
 ]
 
 

@@ -15,10 +15,16 @@ generalized into a reusable engine:
 - ``plans``       — query registry + the relational query suite + the
                     clickstream ETL pipeline re-expressed single-pass.
 - ``operators``   — engine extensions: dedup (exact / MinHash-LSH /
-                    SimHash / shingle-Jaccard / embedding), similarity
-                    search, text analysis, multimodal column plumbing.
-- ``streaming``   — Structured Streaming windows (tumbling / sliding /
-                    session) with batch-equivalent implementations.
+                    SimHash / n-gram-Jaccard / embedding-cosine),
+                    similarity search (brute-force / hyperplane-LSH /
+                    IVF), text analysis, multimodal column plumbing,
+                    as-of join, skew salting.
+- ``streaming``   — Structured Streaming: tumbling / sliding / session
+                    windows (batch-equivalent, oracle-checked), plus
+                    applyInPandasWithState custom state and
+                    dropDuplicatesWithinWatermark streaming dedup.
+- ``config``      — reference-shaped JSON job config → FamilySpec model.
+- ``logging``     — Log4j wrapper (reference dependencies/logging.py).
 
 Everything is plain ``DataFrame -> DataFrame`` plan building; Catalyst is
 the optimizer and executor. No RDD-level code.

@@ -1,0 +1,89 @@
+"""Skew-handling primitives: salted aggregation and salted joins.
+
+AQE's skew-join handling (enabled in the session factory) covers most
+runtime skew, but two cases still need explicit salting at 100 TB:
+
+- **hot-key aggregation**: one key holding 10% of all rows serializes
+  its entire partial-aggregate merge into one task. Two-phase salted
+  aggregation splits the hot key across ``salt`` tasks, then merges the
+  per-salt partials — both phases stay map-side-combinable.
+- **hot-key join against a small-but-not-broadcastable side**: salt the
+  big side's key, replicate each small-side row ``salt`` times (one per
+  salt value), join on (key, salt). Replication multiplies the small
+  side by the salt factor — use the smallest salt that flattens the
+  skew.
+
+Both helpers are pure plan builders; correctness does not depend on the
+salt value (tests verify salted result == unsalted result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, salt: int) -> DataFrame:
+    """Uniform random salt in [0, salt). Nondeterministic by design —
+    and safe: every salt value yields the same final result, so a task
+    retry re-salting rows cannot change the output (unlike using
+    rand() as a join or dedup key)."""
+    return df.withColumn(SALT_COL, (F.rand() * salt).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys.
+
+    Phase 1 groups by (keys + salt) — the hot key fans out over
+    ``salt`` reducers; phase 2 merges the per-salt partials **with
+    SUM**, so ``aggs`` must hold sum-remergeable phase-1 aggregates
+    only (count → sum, sum → sum; build avg as sum/sum upstream).
+    Use :func:`salted_count` / :func:`salted_sum` for the common cases.
+    """
+    phase1 = with_salt(df, salt).groupBy(*keys, SALT_COL).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(name).alias(name) for name in aggs]
+    )
+
+
+def salted_count(df: DataFrame, keys: list[str], salt: int = 16) -> DataFrame:
+    """Skew-safe ``groupBy(keys).count()`` (count re-merges as sum)."""
+    return salted_agg(df, keys, {"n": F.count(F.lit(1))}, salt)
+
+
+def salted_sum(
+    df: DataFrame, keys: list[str], value: Column, name: str, salt: int = 16
+) -> DataFrame:
+    """Skew-safe ``groupBy(keys).agg(sum(value))``."""
+    return salted_agg(df, keys, {name: F.sum(value)}, salt)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    The small side is cross-joined with the salt range (×``salt`` rows)
+    so every (key, salt) bucket of the big side finds its match; the
+    join key becomes (key, salt), splitting each hot key over ``salt``
+    tasks. Use when the small side is too big to broadcast but small
+    enough to replicate.
+    """
+    salted_big = with_salt(big, salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(SALT_COL)
+    replicated = small.select("*", salts)
+    out = salted_big.join(replicated, [on, SALT_COL], how)
+    return out.drop(SALT_COL)
