@@ -54,6 +54,15 @@ def main() -> None:
     spark = get_spark("bench")
     qs = registry.queries()
 
+    # One untimed end-to-end run to absorb JVM/codegen/shuffle-service
+    # warm-up, so the first timed query isn't charged ~2s of JIT.
+    try:
+        qs["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as exc:
+        print(f"[bench] warmup: ERROR {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

@@ -36,6 +36,10 @@ N_QUERIES = 10  # query set: vec_id < N_QUERIES
 TOP_K = 5
 NBITS = 8  # hyperplane signature bits
 CENTROID_STRIDE = 50  # vec_id % STRIDE == 0 → stand-in centroid set
+# Embedding near-dup LSH (dedup_embedding_cosine):
+N_TABLES = 2  # independent hash tables (recall ~ 1-(1-p^bits)^tables)
+BITS_PER_TABLE = 6  # 64 buckets/table: Σ bucket² stays ~n²/64 per table
+COS_DUP_THRESHOLD = 0.4
 
 
 def _vec(col: str = "embedding") -> Column:
@@ -141,7 +145,7 @@ def _plane_weights() -> list[list[int]]:
     sign of a dot product, so integer weights lose nothing).
     """
     planes = []
-    for j in range(NBITS):
+    for j in range(max(NBITS, N_TABLES * BITS_PER_TABLE)):
         row = []
         for d in range(DIM):
             h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
@@ -277,13 +281,8 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate detection (dedup-family operator)
 # ---------------------------------------------------------------------------
 
-N_TABLES = 2  # hash tables of BITS_PER_TABLE hyperplane bits each
-BITS_PER_TABLE = NBITS // N_TABLES
-COS_DUP_THRESHOLD = 0.4
-
-
 def _table_sig(engine: str, t: int) -> str:
-    """4-bit signature of hash table ``t`` (planes 4t..4t+3)."""
+    """BITS_PER_TABLE-bit signature of hash table ``t``."""
     terms = []
     for r in range(BITS_PER_TABLE):
         j = t * BITS_PER_TABLE + r
@@ -327,7 +326,7 @@ _DUCK_TABLE_SIGS = "\n        UNION ALL ".join(
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH.
 
-    Two independent 4-bit hyperplane tables bucket the corpus; candidate
+    Independent 6-bit hyperplane tables bucket the corpus; candidate
     pairs form only inside a bucket (multiple shorter tables trade
     precision for recall vs one 8-bit table), then exact cosine confirms
     pairs above the threshold. The scale contract matches MinHash-LSH:

@@ -201,3 +201,55 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_time_rollup",
+    oracle="""
+    WITH g AS (
+        SELECT e.event_type, e.value, x.grain,
+               CASE x.grain WHEN 'hour' THEN date_trunc('hour', e.ts)
+                            ELSE date_trunc('day', e.ts) END AS bucket
+        FROM events e
+        CROSS JOIN (SELECT unnest(['hour', 'day']) AS grain) x
+    )
+    SELECT grain,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM g GROUP BY grain, bucket, event_type
+    """,
+)
+def stream_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (hour + day) in ONE pass.
+
+    Each event fans out to its (grain, bucket) memberships via an
+    exploded literal array — one scan, one shuffle on (grain, bucket,
+    event_type) — instead of scanning per granularity. The same plan
+    shape maintains continuous aggregates under streaming (grain rows
+    are independent groups for incremental state).
+    """
+    events = table(spark, sf_dir, "events")
+    grains = F.explode(
+        F.array(
+            F.struct(F.lit("hour").alias("grain"), F.date_trunc("hour", "ts").alias("bucket")),
+            F.struct(F.lit("day").alias("grain"), F.date_trunc("day", "ts").alias("bucket")),
+        )
+    ).alias("g")
+    return (
+        events.select("event_type", "value", grains)
+        .select("event_type", "value", "g.grain", "g.bucket")
+        .groupBy("grain", "bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            "grain",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
