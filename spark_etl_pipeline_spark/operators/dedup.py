@@ -380,3 +380,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     return jaccard_verified(pairs, shingles)
+
+
+LEV_THRESHOLD = 40  # max edit distance for a fuzzy-dup pair
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, text, md5(t[1] || ' ' || t[2] || ' ' || t[3]) AS block
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM keyed a
+    JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= {LEV_THRESHOLD}
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy duplicates with prefix blocking.
+
+    Levenshtein is O(len²) per pair — viable only because the block join
+    (shared first shingle) reduces candidates from n² to Σ block².
+    Same definition in both engines → integer-exact oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = (
+        docs.withColumn("t", F.split(F.trim(F.col("text")), r"\s+"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "text",
+            F.md5(F.expr("concat_ws(' ', t[0], t[1], t[2])")).alias("block"),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_THRESHOLD)
+    )

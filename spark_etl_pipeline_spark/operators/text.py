@@ -227,3 +227,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(acc, h) -> (acc * 131 + h) % 2147483647)"
     ).format(h=token_hash_spark("x"))
     return docs.select("doc_id", F.expr(fold).alias("fingerprint"))
+
+
+@register(
+    "text_lang_stats_pandas",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stats via ``applyInPandas`` (grouped-map surface).
+
+    The grouped-map API ships each language's rows to one Python worker
+    as a pandas DataFrame — the pattern for per-group logic pandas can
+    express but SQL can't (model scoring, curve fitting). The stats here
+    are deliberately SQL-expressible so the DuckDB oracle verifies the
+    Arrow round-trip exactly: integer sums in pandas, one double
+    division — same bits as the SQL twin.
+    """
+    from collections.abc import Iterator  # noqa: F401  (doc parity)
+
+    def per_lang(pdf):
+        import pandas as pd
+
+        total = int(pdf["n_chars"].sum())
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [n],
+                "total_chars": [total],
+                "avg_chars": [total / n],
+            }
+        )
+
+    docs = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return docs.groupBy("lang").applyInPandas(
+        per_lang, "lang string, n_docs bigint, total_chars bigint, avg_chars double"
+    )

@@ -871,3 +871,93 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles + SQL-API subqueries (engine surface beyond reference)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.
+
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    sort-and-interpolate definition — verified bit-identical on doubles.
+    Exact percentiles sort each group (one shuffle); at 100 TB prefer
+    ``approx_percentile`` (t-digest, map-side combinable) when a bounded
+    error is acceptable — kept exact here so the oracle can check it.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+    )
+
+
+@register(
+    "rel_sql_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via the SQL API (TPC-H-Q4-shaped).
+
+    Catalyst rewrites the correlated EXISTS into a left-semi hash join
+    on l_orderkey — the same physical plan the DataFrame
+    ``join(how='left_semi')`` builds, proving both front doors reach one
+    engine.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_exists_orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_exists_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n
+        FROM v_exists_orders o
+        WHERE EXISTS (SELECT 1 FROM v_exists_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@register(
+    "rel_sql_scalar_subquery",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_above
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def rel_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's mean
+    balance. Catalyst decorrelates into an aggregate + join — no
+    per-row re-execution (the naive reading would be O(n²))."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_scalar_customer")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey, COUNT(*) AS n_above
+        FROM v_scalar_customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM v_scalar_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c.c_nationkey
+        """
+    )

@@ -1,0 +1,83 @@
+"""Property-based check: asof_join == pandas merge_asof on random data.
+
+Hypothesis generates (left, right) event/version tables; the Spark
+as-of join (join + windowed argmax) must agree with pandas' reference
+implementation for every draw — including empty sides, duplicate
+timestamps (broken deterministically by the tiebreak), and keys with no
+match.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_etl_pipeline_spark.operators.asof import asof_join
+
+KEYS = ["k0", "k1", "k2"]
+
+
+left_rows = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.integers(min_value=0, max_value=100)),
+    min_size=0,
+    max_size=20,
+)
+right_rows = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.integers(min_value=0, max_value=100),
+        st.integers(min_value=0, max_value=10**6),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=left_rows, right=right_rows)
+def test_asof_matches_pandas(spark, left, right):
+    # unique left ids; dedupe right on (key, ts) keeping max payload so
+    # both engines resolve ties to the same survivor
+    lpdf = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        columns=["lid", "key", "ts"],
+    )
+    rpdf = (
+        pd.DataFrame(right, columns=["rkey", "rts", "payload"])
+        .groupby(["rkey", "rts"], as_index=False)["payload"]
+        .max()
+    )
+    if len(lpdf) == 0 or len(rpdf) == 0:
+        return
+
+    ldf = spark.createDataFrame(lpdf.astype({"lid": "int64", "ts": "int64"}))
+    rdf = spark.createDataFrame(rpdf.astype({"rts": "int64", "payload": "int64"}))
+    got = {
+        (r["lid"]): (r["rts"], r["payload"])
+        for r in asof_join(
+            ldf, rdf,
+            left_on="key", right_on="rkey",
+            left_ts="ts", right_ts="rts",
+            left_keys=["lid"],
+        ).collect()
+    }
+
+    want_df = pd.merge_asof(
+        lpdf.sort_values("ts", kind="mergesort"),
+        rpdf.sort_values("rts", kind="mergesort"),
+        left_on="ts", right_on="rts",
+        left_by="key", right_by="rkey",
+        direction="backward",
+    )
+    want = {
+        int(r.lid): (int(r.rts), int(r.payload))
+        for r in want_df.itertuples()
+        if pd.notna(r.rts)
+    }
+    assert got == want
