@@ -434,3 +434,103 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= LEV_THRESHOLD)
     )
+
+
+HAMMING_THRESHOLD = 6  # max differing bits for a simhash near-dup pair
+_SIMHASH_BYTES = 4  # band the 32-bit fingerprint into 4 bytes
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS x
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_TH_DUCK} AS h FROM toks),
+    votes AS (
+        SELECT doc_id,
+        {_VSUM_DUCK}
+        FROM hashed GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS simhash FROM votes),
+    bands AS (
+        SELECT doc_id, simhash, b.b AS band,
+               (simhash // power(2, b.b * 8)::BIGINT) % 256 AS byte
+        FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {_SIMHASH_BYTES - 1})) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.byte = b.byte
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {HAMMING_THRESHOLD}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band blocking + Hamming verify.
+
+    By pigeonhole, two 32-bit fingerprints within Hamming distance 6
+    share at least one of their 4 bytes unchanged... not guaranteed —
+    6 flips CAN touch all 4 bytes — but byte-banding recalls the
+    overwhelmingly common case (near-dups differ in 0-3 bits) while
+    keeping candidates bucketed: the join key is (band, byte), work is
+    Σ bucket², never n². The exact guarantee needs ceil(bits/(d+1))
+    bands; 4 bands guarantee d <= 3.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hashed = (
+        docs.withColumn("t", F.split(F.trim(F.col("text")), r"\s+"))
+        .select("doc_id", F.explode("t").alias("x"))
+        .select("doc_id", F.expr(_TH_SPARK).alias("h"))
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.expr(f"h div {1 << b}") % 2) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = votes.select("doc_id", F.expr(_FP_EXPR).cast("bigint").alias("simhash"))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.expr(f"simhash div {1 << (b * 8)}") % 256).alias("byte"),
+                    )
+                    for b in range(_SIMHASH_BYTES)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "simhash", "x.band", "x.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= HAMMING_THRESHOLD)

@@ -161,3 +161,26 @@ def write_csv_single_file(df: DataFrame, path: str, mode: str = "overwrite") -> 
     df.coalesce(1).write.mode(mode).option("header", True).option(
         "encoding", "utf-8"
     ).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffled storage for co-located joins.
+
+    Writing both sides of a hot join bucketed (and optionally sorted) by
+    the join key lets Spark plan the join with ZERO exchanges — the
+    shuffle is paid once at write time instead of on every query. This
+    is the storage-layout half of the 100 TB join strategy (the other
+    half, AQE + broadcast, handles the dims). Requires saveAsTable (the
+    bucket metadata lives in the catalog, not the parquet files).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)

@@ -1,0 +1,80 @@
+"""Physical-plan regression gates.
+
+Correctness tests prove WHAT each query computes; these prove HOW —
+the physical properties that make the plans viable at 100 TB. A
+refactor that silently turns a bucketed join into a cartesian product
+or a top-k into a full sort still passes the oracle at sf0.01; it fails
+here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_etl_pipeline_spark.plans import registry
+from tests.conftest import SF_CORRECTNESS
+
+registry.load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.REGISTRY[name].builder(spark, SF_CORRECTNESS)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+ALL_QUERIES = sorted(registry.REGISTRY)
+
+# The one deliberate nested-loop: rel_range_join / sim_ivf_search join a
+# broadcast micro-table (3 buckets / 10 centroids) on an inequality —
+# broadcast-nested-loop over <=10 rows IS the right plan.
+NESTED_LOOP_OK = {"rel_range_join", "sim_ivf_search", "sim_topk_cosine", "rel_asof_join"}
+# rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
+CARTESIAN_OK = {"rel_join_cross"}
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_cartesian_product(spark, name):
+    if name in CARTESIAN_OK:
+        return
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoop" not in plan, (
+            f"{name}: unexpected nested-loop join"
+        )
+
+
+def test_q3_topk_avoids_full_sort(spark):
+    # orderBy+limit must compile to TakeOrderedAndProject, not Sort+Limit
+    assert "TakeOrderedAndProject" in plan_of(spark, "q3_top_orders")
+
+
+def test_q1_single_aggregate_exchange(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # partial agg before the exchange, final after — exactly one shuffle
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    plan = plan_of(spark, "rel_sql_exists")
+    assert "LeftSemi" in plan, "correlated EXISTS must become a semi-join"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q6_projection_pruned(spark):
+    # q6 touches 4 columns; the scan must not read all 11
+    plan = plan_of(spark, "q6_forecast_revenue")
+    start = plan.index("ReadSchema")
+    read = plan[start : start + 400]
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+
+
+def test_broadcast_only_bounded_dims(spark):
+    # q5: nation/region broadcast; supplier/customer/orders/lineitem not
+    plan = plan_of(spark, "q5_region_revenue")
+    assert "BroadcastExchange" in plan  # dims are broadcast (possibly by AQE)

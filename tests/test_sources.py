@@ -102,3 +102,29 @@ def test_jdbc_write_options():
     )
     assert opts["isolationLevel"] == "READ_UNCOMMITTED"
     assert opts["batchsize"] == "10000"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from spark_etl_pipeline_spark.sources import write_bucketed
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], num_buckets=8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        num_buckets=8,
+    )
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # both sides pre-bucketed on the key -> sort-merge join with NO
+        # shuffle exchange on either side
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert joined.count() == lineitem.count()  # FK join keeps all lineitems
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
