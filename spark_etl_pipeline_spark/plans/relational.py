@@ -961,3 +961,94 @@ def rel_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_nationkey
         """
     )
+
+
+@register(
+    "rel_sql_not_in",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_idle
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT o.o_custkey FROM orders o)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def rel_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery → customers with no orders, per segment.
+
+    o_custkey is non-nullable here, so Catalyst plans a null-aware
+    anti-join as a plain left-anti hash join — the DataFrame twin of
+    ``join(how='left_anti')``. (With a nullable subquery column, NOT IN
+    needs the null-aware variant — a real semantic difference from NOT
+    EXISTS worth keeping behind a SQL test.)
+    """
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_notin_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_notin_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_idle
+        FROM v_notin_customer c
+        WHERE c.c_custkey NOT IN (SELECT o.o_custkey FROM v_notin_orders o)
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: orders-per-customer histogram.
+
+    Left outer join keeps order-less customers (COUNT of the null key
+    gives 0), then a second aggregate builds the distribution — the
+    two-level agg is two small shuffles, both map-side combinable.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "rel_window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_orderdate,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_orderdate,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr
+    FROM orders
+    WHERE o_custkey <= 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window breadth: lag / lead / ntile / percent_rank over
+    one window spec — one shuffle on the partition key, every function
+    evaluated in the same sorted pass. Deterministic via the
+    (o_orderdate, o_orderkey) tiebreak; percent_rank is (rank-1)/(n-1)
+    in both engines — identical integers, one double division."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd").alias("prev_orderdate"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("next_orderdate"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
