@@ -40,6 +40,7 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_session_windows",
     "mm_decode_features",
+    "sim_kmeans",
 ]
 
 

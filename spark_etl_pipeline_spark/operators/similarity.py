@@ -368,3 +368,146 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.expr(cosine_expr("va", "vb")).alias("cos"))
         .filter(F.col("cos") >= COS_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative algorithm: k-means (driver-looped plan construction)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1_000_000  # integer-cents scale for associative mean sums
+
+
+def _sqdist_expr(a: str, b: str) -> str:
+    """Sequential-fold squared L2 distance (deterministic sum order)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (s, x) -> s + x)"
+    )
+
+
+def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataFrame]:
+    """K-means on (vec_id, v): ``iters`` rounds of assign + update.
+
+    The loop runs on the DRIVER and builds one lazy plan — each
+    iteration appends an assign (broadcast centroids, argmin window)
+    and an update (per-dimension mean) to the DAG; nothing executes
+    until the caller acts. Determinism: centroid means use integer
+    'cents' numerators (associative — partition order can't change the
+    sum) divided back to double, and arrays are rebuilt in dimension
+    order, so every engine computes bit-identical centroids.
+
+    Returns (assignment, centroids) after the final iteration.
+    """
+    cents_df = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assign = None
+    for _ in range(iters):
+        rn_w = Window.partitionBy("vec_id").orderBy(
+            F.expr(_sqdist_expr("v", "cv")).asc(), F.col("cid")
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cents_df))
+            .withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("cell"))
+        )
+        per_dim = (
+            assign.join(emb, "vec_id")
+            .select("cell", F.posexplode("v").alias("d0", "x"))
+            .groupBy("cell", "d0")
+            .agg(
+                (
+                    F.sum(F.round(F.col("x") * KMEANS_SCALE).cast("long")).cast("double")
+                    / F.lit(float(KMEANS_SCALE))
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
+        )
+        cents_df = (
+            per_dim.groupBy(F.col("cell").alias("cid"))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(d0, val))), s -> s.val)"
+                ).alias("cv")
+            )
+        )
+    return assign, cents_df
+
+
+@register(
+    "sim_kmeans",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
+    a1 AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, {DIM}),
+                               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+                           (s, x) -> s + x) ASC, c.cid) AS rn
+            FROM e CROSS JOIN c0 c) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT cid, list(val ORDER BY d) AS cv FROM (
+            SELECT x.cell AS cid, g.d,
+                   CAST(SUM(CAST(round(e.v[g.d] * {KMEANS_SCALE}) AS BIGINT)) AS DOUBLE)
+                       / {KMEANS_SCALE}.0 / COUNT(*) AS val
+            FROM a1 x JOIN e ON e.vec_id = x.vec_id
+            CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS d) g
+            GROUP BY x.cell, g.d)
+        GROUP BY cid
+    ),
+    a2 AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, {DIM}),
+                               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))),
+                           (s, x) -> s + x) ASC, c.cid) AS rn
+            FROM e CROSS JOIN c1 c) WHERE rn = 1
+    ),
+    c2 AS (
+        SELECT cid, list(val ORDER BY d) AS cv FROM (
+            SELECT x.cell AS cid, g.d,
+                   CAST(SUM(CAST(round(e.v[g.d] * {KMEANS_SCALE}) AS BIGINT)) AS DOUBLE)
+                       / {KMEANS_SCALE}.0 / COUNT(*) AS val
+            FROM a2 x JOIN e ON e.vec_id = x.vec_id
+            CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS d) g
+            GROUP BY x.cell, g.d)
+        GROUP BY cid
+    )
+    SELECT c2.cid AS cluster, n.n AS n_members,
+           c2.cv[1] AS c_first, c2.cv[{DIM}] AS c_last
+    FROM c2
+    JOIN (SELECT cell, count(*) AS n FROM a2 GROUP BY cell) n ON n.cell = c2.cid
+    """,
+)
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=4, 2 iterations): the iterative-algorithm surface.
+
+    The reference (and SQL) cannot express iteration; here the driver
+    loop composes one lazy plan per round — the idiomatic Spark shape
+    for bounded iterative refinement (the unbounded version would
+    localCheckpoint per round to truncate lineage). The oracle unrolls
+    the same two rounds as CTEs, and the integer-numerator means make
+    both engines' centroids bit-identical.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    assign, cents_df = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
+    counts = assign.groupBy(F.col("cell").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return counts.join(
+        cents_df.select(
+            F.col("cid").alias("cluster"),
+            F.element_at("cv", 1).alias("c_first"),
+            F.element_at("cv", DIM).alias("c_last"),
+        ),
+        "cluster",
+    )

@@ -968,12 +968,14 @@ def rel_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_idle
     FROM customer c
-    WHERE c.c_custkey NOT IN (SELECT o.o_custkey FROM orders o)
+    WHERE c.c_custkey NOT IN
+        (SELECT o.o_custkey FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
     GROUP BY c.c_mktsegment
     """,
 )
 def rel_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT IN subquery → customers with no orders, per segment.
+    """NOT IN subquery → customers with no *recent* orders, per segment.
 
     o_custkey is non-nullable here, so Catalyst plans a null-aware
     anti-join as a plain left-anti hash join — the DataFrame twin of
@@ -987,7 +989,9 @@ def rel_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c.c_mktsegment, COUNT(*) AS n_idle
         FROM v_notin_customer c
-        WHERE c.c_custkey NOT IN (SELECT o.o_custkey FROM v_notin_orders o)
+        WHERE c.c_custkey NOT IN
+            (SELECT o.o_custkey FROM v_notin_orders o
+             WHERE o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
         GROUP BY c.c_mktsegment
         """
     )

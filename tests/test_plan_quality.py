@@ -27,7 +27,13 @@ ALL_QUERIES = sorted(registry.REGISTRY)
 # The one deliberate nested-loop: rel_range_join / sim_ivf_search join a
 # broadcast micro-table (3 buckets / 10 centroids) on an inequality —
 # broadcast-nested-loop over <=10 rows IS the right plan.
-NESTED_LOOP_OK = {"rel_range_join", "sim_ivf_search", "sim_topk_cosine", "rel_asof_join"}
+NESTED_LOOP_OK = {
+    "rel_range_join",
+    "sim_ivf_search",
+    "sim_topk_cosine",
+    "rel_asof_join",
+    "sim_kmeans",  # broadcast k-centroid assignment, like sim_ivf_search
+}
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
 
