@@ -37,3 +37,32 @@ def test_streaming_matches_batch(spark):
     )
     want = sorted(tuple(r) for r in stream_tumbling_counts(spark, SF_SMOKE).collect())
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_parquet_sink(spark, tmp_path):
+    """Streaming → foreachBatch → partitioned parquet: the streaming
+    half of the sink surface (append-only file sinks can't re-aggregate;
+    foreachBatch bridges a complete-mode agg into any batch writer)."""
+    from spark_etl_pipeline_spark.sources import write_parquet
+    from spark_etl_pipeline_spark.streaming.windows import stream_events_tumbling
+
+    out_dir = str(tmp_path / "windowed")
+
+    def sink(batch_df, batch_id):
+        write_parquet(batch_df, out_dir, mode="overwrite")
+
+    q = (
+        stream_events_tumbling(spark, SF_SMOKE)
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(out_dir)
+    want = sorted(tuple(r) for r in stream_tumbling_counts(spark, SF_SMOKE).collect())
+    assert sorted(tuple(r) for r in written.collect()) == want
