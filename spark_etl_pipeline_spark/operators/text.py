@@ -270,3 +270,107 @@ def text_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         per_lang, "lang string, n_docs bigint, total_chars bigint, avg_chars double"
     )
+
+
+#: GPT-2-style pretokenizer shape, restricted to a dialect-neutral core
+#: (letter runs / digit runs / punctuation runs, each with optional
+#: leading space) so Java regex and RE2 tokenize identically.
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe_tokens,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting next to plain whitespace counting.
+
+    The regex mirrors the shape of GPT-2's pretokenizer (space-prefixed
+    letter/digit/punctuation runs) — the usual first stage of real BPE —
+    so the count tracks subword-ish token budgets, which is what an LLM
+    data pipeline actually budgets by. Pure JVM expression per row.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"size(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\\\s]+', 0))"
+        ).alias("bpe_tokens"),
+        F.expr(r"size(split(trim(text), '\\s+'))").alias("ws_tokens"),
+    )
+
+
+#: Characteristic character-bigram profiles (tiny stand-ins for the
+#: usual top-300 n-gram frequency profiles; the scoring plumbing is
+#: identical at any profile size).
+NGRAM_PROFILES = {
+    "en": ("th", "he", "an", "ng"),
+    "de": ("ch", "ei", "un", "de"),
+    "fr": ("ou", "le", "es", "qu"),
+    "es": ("os", "la", "el", "ci"),
+}
+
+
+def _bigram_count(engine: str, bg: str) -> str:
+    body = f"(length(t) - length(replace(t, '{bg}', '')))"
+    return f"{body} div 2" if engine == "spark" else f"{body} // 2"
+
+
+@register(
+    "text_lang_id_ngram",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               {scores}
+        FROM (SELECT lang, lower(text) AS t FROM documents)
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                    ELSE 'fr' END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted
+    """.format(
+        scores=",\n               ".join(
+            "({}) AS s_{}".format(
+                " + ".join(_bigram_count("duck", bg) for bg in bgs), lang
+            )
+            for lang, bgs in NGRAM_PROFILES.items()
+        )
+    ),
+)
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID (the classic profile heuristic).
+
+    Each language's score is the total occurrence count of its
+    characteristic bigrams (substring-count by length difference — no
+    regex, no explode); argmax with a deterministic tiebreak. Per-row
+    constant work, one tiny aggregate shuffle.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.col("text")).alias("t")
+    )
+    scores = {
+        lang: F.expr(" + ".join(_bigram_count("spark", bg) for bg in bgs))
+        for lang, bgs in NGRAM_PROFILES.items()
+    }
+    scored = docs.select("lang", *[s.alias(f"s_{k}") for k, s in scores.items()])
+    best = F.greatest(*[F.col(f"s_{k}") for k in NGRAM_PROFILES])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(NGRAM_PROFILES, reverse=True):
+        pred = F.when(F.col(f"s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
