@@ -320,3 +320,74 @@ def etl_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("segment"),
     )
     return joined.unionByName(signup).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Upsert / merge (SCD-style) — the load pattern appends can't express
+# ---------------------------------------------------------------------------
+
+
+def upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Merge ``updates`` into ``current`` by key: update matches, insert
+    new keys, keep untouched rows.
+
+    Full-outer join + per-column coalesce(updates, current) — the
+    engine-agnostic MERGE. At scale: one shuffle on the key for each
+    side (or zero if both are bucketed on the key — see
+    ``sources.write_bucketed``); with a table format that supports
+    MERGE INTO (Delta/Iceberg), swap this for the native command and
+    keep the same call site.
+    """
+    cols = current.columns
+    u = updates.alias("u")
+    c = current.alias("c")
+    return u.join(c, F.col(f"u.{key}") == F.col(f"c.{key}"), "full_outer").select(
+        *[
+            F.coalesce(F.col(f"u.{col}"), F.col(f"c.{col}")).alias(col)
+            for col in cols
+        ]
+    )
+
+
+@register(
+    "etl_upsert_merge",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, 'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT 900000 + c_custkey, 'new-' || c_name, c_nationkey,
+               0.0 AS c_acctbal, 'NEW' AS c_mktsegment
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(u.c_custkey, c.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, c.c_name) AS c_name,
+           COALESCE(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+           COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+    FROM updates u FULL OUTER JOIN customer c ON u.c_custkey = c.c_custkey
+    """,
+)
+def etl_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-style merge: a deterministic update/insert batch applied to
+    the customer table (updates bump acctbal by a constant — one
+    addition of identical doubles, engine-exact; inserts shift the key
+    range). Exercises the full-outer + coalesce MERGE shape."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 900000).alias("c_custkey"),
+            F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    return upsert(cust, updates, "c_custkey")

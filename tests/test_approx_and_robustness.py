@@ -1,0 +1,68 @@
+"""Approximate aggregates (scale path) + malformed-input robustness.
+
+Approximate sketches can't hash-match a DuckDB oracle (different
+algorithms), so they live here with tolerance bounds against their
+exact twins — documenting the exact↔approx trade the engine offers at
+100 TB (HLL and t-digest are map-side combinable; exact distinct and
+exact percentiles shuffle full data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.functions import (
+    json_array_str,
+    strip_stray_commas,
+    strip_stray_commas_exact,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_approx_percentile_within_tolerance(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
+
+
+def test_malformed_json_yields_null_not_error(spark):
+    df = spark.createDataFrame(
+        [("1", '{"k": ["a","b"]}'), ("2", "{not json"), ("3", None), ("4", '{"k": "notarray"}')],
+        "id string, custom string",
+    )
+    out = df.select("id", json_array_str("custom", "k").alias("arr")).collect()
+    got = {r["id"]: r["arr"] for r in out}
+    assert got["1"] == ["a", "b"]
+    assert got["2"] is None  # malformed → null, row survives
+    assert got["3"] is None
+    assert got["4"] is None  # wrong shape → null
+
+
+def test_strip_stray_commas_variants(spark):
+    df = spark.createDataFrame([("a,b",), ('"a","b"',)], "s string")
+    lossy, exact = [
+        {r["s"]: (r["lossy"], r["exact"]) for r in
+         df.select(
+             "s",
+             strip_stray_commas("s").alias("lossy"),
+             strip_stray_commas_exact("s").alias("exact"),
+         ).collect()}
+    ][0], None
+    # reference regex eats the adjacent character (documented lossy parity)
+    assert lossy["a,b"][0] == "b"
+    # lookaround variant removes only the comma
+    assert lossy["a,b"][1] == "ab"
+    # quoted-element commas survive in both
+    assert lossy['"a","b"'] == ('"a","b"', '"a","b"')
