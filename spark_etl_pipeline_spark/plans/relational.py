@@ -1056,3 +1056,74 @@ def rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity >= 30)
+    """,
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: OR-of-ANDs across both join sides.
+
+    Catalyst extracts the common join key as an equi-join and keeps the
+    disjunction as a post-join filter, while pushing each side's
+    derivable disjuncts (brand/size on part, quantity on lineitem) down
+    to the scans — the plan to check when a user writes 'messy' OR
+    predicates.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    cond = (
+        ((part.p_brand == "Brand#1") & part.p_size.between(1, 15) & (li.l_quantity >= 10))
+        | ((part.p_brand == "Brand#2") & part.p_size.between(10, 30) & (li.l_quantity >= 20))
+        | ((part.p_brand == "Brand#3") & part.p_size.between(20, 50) & (li.l_quantity >= 30))
+    )
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            (
+                F.sum(cents("l_extendedprice") * (100 - cents("l_discount"))).cast("double")
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "etl_json_struct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS n_null_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def etl_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-schema JSON parsing: ``from_json`` with a declared
+    struct (the blessed path per SURVEY §1 — no schema inference in
+    production), including a declared-but-absent field that must come
+    back null rather than error."""
+    events = table(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "p", F.from_json("props", "struct<k: bigint, missing: string>")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.sum(F.when(F.col("p.missing").isNull(), 1).otherwise(0)).alias(
+            "n_null_missing"
+        ),
+    )

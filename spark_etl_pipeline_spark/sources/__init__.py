@@ -184,3 +184,36 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV scan with a REQUIRED explicit schema.
+
+    Schema inference on CSV triggers an extra full pass over the data
+    and types by guesswork — both wrong at scale, so this reader does
+    not offer it. PERMISSIVE mode nulls malformed fields instead of
+    failing the job; pass mode='FAILFAST' for strict loads.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", mode)
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """JSON-lines scan with a REQUIRED explicit schema (same rationale
+    as :func:`read_csv`; declared-but-absent fields read as null)."""
+    return spark.read.schema(schema).option("mode", mode).json(path)

@@ -128,3 +128,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_csv_explicit_schema_roundtrip(spark, nation, tmp_path):
+    from spark_etl_pipeline_spark.sources import read_csv
+
+    path = str(tmp_path / "nation_csv2")
+    write_csv_single_file(nation, path)
+    back = read_csv(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert canon(back) == canon(nation)
+
+
+def test_json_lines_roundtrip(spark, nation, tmp_path):
+    from spark_etl_pipeline_spark.sources import read_json
+
+    path = str(tmp_path / "nation_json")
+    nation.write.json(path)
+    back = read_json(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    ).select(*nation.columns)
+    assert canon(back) == canon(nation)
