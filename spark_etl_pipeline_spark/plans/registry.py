@@ -125,6 +125,7 @@ def load_all() -> None:
     from spark_etl_pipeline_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        profile,
         similarity,
         text,
     )

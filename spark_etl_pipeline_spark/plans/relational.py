@@ -1152,3 +1152,43 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "rel_set_ops",
+    oracle="""
+    WITH recent AS (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+    old AS (SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'both' AS bucket, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM recent INTERSECT SELECT o_custkey FROM old)
+    UNION ALL
+    SELECT 'recent_only' AS bucket, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM recent EXCEPT SELECT o_custkey FROM old)
+    UNION ALL
+    SELECT 'old_only' AS bucket, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM old EXCEPT SELECT o_custkey FROM recent)
+    """,
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct semantics): customer-activity overlap
+    between eras. Each set op compiles to a semi/anti hash aggregate —
+    the full Spark set-operation surface beyond the reference's
+    positional unionAll."""
+    orders = table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    recent = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey")
+    old = orders.filter(F.col("o_orderdate") < cut).select("o_custkey")
+    n = F.count(F.lit(1)).alias("n")
+    return (
+        recent.intersect(old).agg(n).select(F.lit("both").alias("bucket"), "n")
+        .unionByName(
+            recent.subtract(old).agg(n)
+            .select(F.lit("recent_only").alias("bucket"), "n")
+        )
+        .unionByName(
+            old.subtract(recent).agg(n)
+            .select(F.lit("old_only").alias("bucket"), "n")
+        )
+    )

@@ -253,3 +253,72 @@ def stream_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.event_id) AS n_purchases_with_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <  p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (event-time range) join: each purchase matched to the
+    same user's clicks in the preceding hour — attribution's core
+    primitive. Equi-join on user_id carries the range predicate, so
+    both sides shuffle once on the key; the range prunes within
+    partitions. The streaming twin (:func:`stream_stream_join`) runs
+    the identical join between two watermarked streams."""
+    events = table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").alias("p")
+    c = events.filter(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") < F.col("p.ts")),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct(F.col("p.event_id")).alias("n_purchases_with_click"),
+    )
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same interval join as two WATERMARKED STREAMS.
+
+    Stream-stream inner joins buffer each side in the state store until
+    the watermark plus the join's time bound proves no more matches can
+    arrive — the range condition is what makes state finite, and the
+    watermark is what lets Spark evict it. Returns the matched-pair
+    stream (aggregate in the sink or a downstream stage).
+    """
+    from spark_etl_pipeline_spark.plans.registry import _nanos_columns
+
+    path = f"{sf_dir}/events.parquet"
+    nanos = _nanos_columns(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+
+    def side(name: str) -> DataFrame:
+        s = spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")
+        for col in nanos:
+            s = s.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+        return s.filter(F.col("event_type") == name).withWatermark("ts", "1 hour")
+
+    p = side("purchase").alias("p")
+    c = side("click").alias("c")
+    return p.join(
+        c,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") < F.col("p.ts")),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+    )

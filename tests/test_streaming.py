@@ -66,3 +66,33 @@ def test_foreachbatch_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(out_dir)
     want = sorted(tuple(r) for r in stream_tumbling_counts(spark, SF_SMOKE).collect())
     assert sorted(tuple(r) for r in written.collect()) == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from spark_etl_pipeline_spark.streaming.windows import (
+        stream_interval_join,
+        stream_stream_join,
+    )
+
+    stream = stream_stream_join(spark, SF_SMOKE)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        "SELECT count(*) AS n_pairs, count(DISTINCT purchase_id) AS n_p FROM ssj_test"
+    ).collect()[0]
+    want = stream_interval_join(spark, SF_SMOKE).collect()[0]
+    assert (got["n_pairs"], got["n_p"]) == (
+        want["n_pairs"],
+        want["n_purchases_with_click"],
+    ) and got["n_pairs"] > 0
