@@ -15,9 +15,10 @@ generalized into a reusable engine:
 - ``plans``       — query registry + the relational query suite + the
                     clickstream ETL pipeline re-expressed single-pass.
 - ``operators``   — engine extensions: dedup (exact / MinHash-LSH /
-                    SimHash / n-gram-Jaccard / embedding-cosine),
-                    similarity search (brute-force / hyperplane-LSH /
-                    IVF), text analysis, multimodal column plumbing,
+                    SimHash / n-gram-Jaccard / fuzzy-levenshtein /
+                    embedding-cosine), similarity search (brute-force /
+                    hyperplane-LSH / IVF / k-means), text analysis,
+                    multimodal column plumbing, data-quality profiling,
                     as-of join, skew salting.
 - ``streaming``   — Structured Streaming: tumbling / sliding / session
                     windows (batch-equivalent, oracle-checked), plus
