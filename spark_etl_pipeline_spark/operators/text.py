@@ -19,7 +19,7 @@ scales linearly with partitions. Cross-engine determinism rules:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_etl_pipeline_spark.plans.registry import register, table
@@ -373,4 +373,97 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("predicted", pred)
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   greatest(CAST(ceil((len(t) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INTEGER), 0)
+               )) AS chunk_idx,
+               t
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(t[chunk_idx * {CHUNK_STRIDE} + 1 :
+                             chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+           least(len(t) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS n_tokens
+    FROM chunks
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50 tokens, stride 40): the
+    train-example prep step of an LLM data pipeline. Chunk starts are a
+    generated sequence per doc (no joins); slicing and re-joining stay
+    JVM-side. The final partial chunk is kept (a real pipeline pads it).
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    n_chunks = F.expr(
+        f"greatest(CAST(ceil((size(tokens) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT), 0)"
+    )
+    chunked = (
+        docs.filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            "tokens",
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            f"concat_ws(' ', slice(tokens, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))"
+        ).alias("chunk_text"),
+        F.expr(
+            f"least(size(tokens) - chunk_idx * {CHUNK_STRIDE}, {CHUNK_TOKENS})"
+        ).alias("n_tokens"),
+    )
+
+
+VOCAB_TOP_K = 30
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({TOKENS_DUCK}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+    )
+    SELECT token, freq,
+           row_number() OVER (ORDER BY freq DESC, token) AS vocab_id
+    FROM counts
+    ORDER BY freq DESC, token
+    LIMIT {VOCAB_TOP_K}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: token frequencies → deterministic
+    top-K with dense ids. Explode + hash aggregate (map-side combinable
+    — shuffle rows = distinct tokens, not corpus tokens), then a
+    single-partition top-K, fine because K is small."""
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(VOCAB_TOP_K)
     )
