@@ -36,8 +36,11 @@ def profile(df: DataFrame, columns: list[str] | None = None, approx: bool = Fals
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
             distinct(c).alias(f"__dist_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            # Aggregate on the NATIVE type, render after: casting to string
+            # before min/max would compare lexicographically ("10.2" < "9.5")
+            # and report wrong numeric ranges.
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
         ]
     one = df.agg(*aggs)
     per_col = F.explode(
@@ -63,22 +66,22 @@ def profile(df: DataFrame, columns: list[str] | None = None, approx: bool = Fals
     "profile_orders",
     oracle="""
     SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT o_custkey) AS n_distinct,
-           MIN(CAST(o_custkey AS VARCHAR)) AS min_str,
-           MAX(CAST(o_custkey AS VARCHAR)) AS max_str
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_str,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_str
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', COUNT(*),
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_orderstatus),
-           MIN(CAST(o_orderstatus AS VARCHAR)), MAX(CAST(o_orderstatus AS VARCHAR))
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', COUNT(*),
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_totalprice),
-           MIN(CAST(o_totalprice AS VARCHAR)), MAX(CAST(o_totalprice AS VARCHAR))
+           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
     FROM orders
     """,
 )

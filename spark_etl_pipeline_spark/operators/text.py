@@ -85,8 +85,8 @@ def quality_columns() -> list[Column]:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len({TOKENS_DUCK})) AS total_tokens,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(len({TOKENS_DUCK})) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(SUM(len({TOKENS_DUCK})) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents
     GROUP BY lang
@@ -234,7 +234,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY lang
@@ -452,18 +452,24 @@ VOCAB_TOP_K = 30
 )
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary building: token frequencies → deterministic
-    top-K with dense ids. Explode + hash aggregate (map-side combinable
-    — shuffle rows = distinct tokens, not corpus tokens), then a
-    single-partition top-K, fine because K is small."""
+    top-K with dense ids.
+
+    Explode + hash aggregate (map-side combinable — shuffle rows =
+    distinct tokens, not corpus tokens), then ``orderBy().limit(K)``
+    which compiles to ``TakeOrderedAndProject`` — each partition keeps
+    only its local top-K before the driver merge, so no task ever sees
+    the full distinct-token set. Only the K surviving rows pass through
+    the ``row_number`` window that assigns ``vocab_id`` (a billion-token
+    corpus still windows exactly K rows).
+    """
     docs = with_tokens(table(spark, sf_dir, "documents"))
     counts = (
         docs.select(F.explode("tokens").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    topk = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(VOCAB_TOP_K)
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    return (
-        counts.withColumn("vocab_id", F.row_number().over(w))
-        .orderBy(F.col("freq").desc(), F.col("token"))
-        .limit(VOCAB_TOP_K)
+    return topk.withColumn("vocab_id", F.row_number().over(w)).orderBy(
+        F.col("freq").desc(), F.col("token")
     )

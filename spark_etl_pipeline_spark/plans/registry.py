@@ -133,13 +133,82 @@ def load_all() -> None:
     from spark_etl_pipeline_spark.streaming import windows  # noqa: F401
 
 
+#: Driver-facing emission order for ``queries()`` / ``oracles()``.
+#:
+#: The round-2 correctness gate checked exactly the first 50 entries in
+#: emission order, so ordering is a verification-coverage decision, not
+#: cosmetics. Front of the list: queries with no driver-green row yet
+#: (round 2's tail) plus everything whose plan or oracle changed this
+#: round. Back of the list: queries that are already driver-green from
+#: round 2 AND untouched since — if the window clips anything, it clips
+#: re-verification of results that already have a green row on record.
+_EMIT_FIRST = (
+    # --- no driver correctness row as of round 2 ---
+    "rel_range_join",
+    "rel_asof_join",
+    "rel_percentiles",
+    "rel_sql_exists",
+    "rel_sql_scalar_subquery",
+    "rel_sql_not_in",
+    "q13_customer_distribution",
+    "rel_window_analytics",
+    "q19_disjunctive_filter",
+    "etl_json_struct",
+    "rel_grouping_sets",
+    "rel_set_ops",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_time_rollup",
+    "stream_interval_join",
+    # --- plan or oracle changed in round 3 ---
+    "profile_orders",
+    "text_token_stats",
+    "text_lang_stats_pandas",
+    "text_vocab_topk",
+    "sim_ivf_search",
+    "sim_kmeans",
+)
+
+_EMIT_LAST = (
+    # Driver-green in round 2, untouched since; safe to clip.
+    "rel_filter_isin",
+    "rel_filter_nested_struct",
+    "rel_filter_null",
+    "rel_project_ops",
+    "rel_rename_upper",
+    "rel_join_inner_2key",
+    "rel_join_left",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_full",
+    "rel_join_cross",
+    "rel_union_dedup",
+    "rel_dedup_keyed",
+    "rel_rollup",
+    "rel_cube",
+    "rel_pivot",
+    "rel_sort_limit",
+)
+
+
+def _ordered_names() -> list[str]:
+    first = [n for n in _EMIT_FIRST if n in REGISTRY]
+    last = [n for n in _EMIT_LAST if n in REGISTRY]
+    pinned = set(first) | set(last)
+    middle = [n for n in REGISTRY if n not in pinned]
+    return first + middle + last
+
+
 def queries() -> dict[str, Builder]:
     load_all()
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].builder for name in _ordered_names()}
 
 
 def oracles() -> dict[str, str]:
     load_all()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
     }

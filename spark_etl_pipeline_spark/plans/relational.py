@@ -1104,9 +1104,9 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-                    THEN 1 ELSE 0 END) AS n_null_missing
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_missing
     FROM events
     GROUP BY event_type
     """,
