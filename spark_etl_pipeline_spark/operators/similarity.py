@@ -77,6 +77,34 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
+def assign_nearest(
+    emb: DataFrame, cents: DataFrame, dist_order: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Zero-shuffle nearest-centroid assignment: (vec_id, cell).
+
+    The centroid set (small by construction — k ≪ N) is folded into a
+    single-row array via ``collect_list`` and broadcast; each vector then
+    computes its argmin with a per-row ``array_min(transform(...))`` over
+    struct ordering. The fact side keeps its scan partitioning — no
+    Exchange, no Window over N×k rows (the round-2 plan shuffled N×k rows
+    on vec_id for a row_number argmax; this one shuffles k centroid rows).
+
+    ``dist_order`` is a SQL expression over (``v``, ``ct.cv``) whose
+    MINIMUM wins; ties break on smaller cid via the struct's second field.
+    ``carry`` lists extra ``emb`` columns to keep (e.g. the vector itself,
+    so a downstream consumer needs no join back on vec_id).
+    """
+    cents_one = cents.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    return emb.crossJoin(F.broadcast(cents_one)).select(
+        "vec_id",
+        F.expr(
+            f"array_min(transform(cents, ct -> "
+            f"named_struct('d', {dist_order}, 'cid', ct.cid))).cid"
+        ).alias("cell"),
+        *carry,
+    )
+
+
 def topk_cosine(
     queries: DataFrame, corpus: DataFrame, k: int = TOP_K
 ) -> DataFrame:
@@ -240,19 +268,13 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    rn_w = Window.partitionBy("vec_id").orderBy(
-        F.expr(cosine_expr("v", "cv")).desc(), F.col("cid")
-    )
     # assign is consumed twice (query side + candidate side) and is
     # recomputed per branch. A/B at sf0.1 shows persist is neutral-to-
     # slower here; at corpus scales where the corpus x centroids pass
     # dominates, persist this 2-int-column projection instead.
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(rn_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
+    # Argmax on cosine == argmin on -cosine; ties break on smaller cid
+    # (matching the oracle's ORDER BY cos DESC, cid).
+    assign = assign_nearest(emb, cents, f"-({cosine_expr('v', 'ct.cv')})")
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "cell"
     )
@@ -391,9 +413,10 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
     """K-means on (vec_id, v): ``iters`` rounds of assign + update.
 
     The loop runs on the DRIVER and builds one lazy plan — each
-    iteration appends an assign (broadcast centroids, argmin window)
-    and an update (per-dimension mean) to the DAG; nothing executes
-    until the caller acts. Determinism: centroid means use integer
+    iteration appends an assign (broadcast centroid array, per-row
+    ``array_min`` argmin — zero shuffle on the fact side) and an update
+    (per-dimension mean) to the DAG; nothing executes until the caller
+    acts. Determinism: centroid means use integer
     'cents' numerators (associative — partition order can't change the
     sum) divided back to double, and arrays are rebuilt in dimension
     order, so every engine computes bit-identical centroids.
@@ -405,17 +428,11 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
     )
     assign = None
     for _ in range(iters):
-        rn_w = Window.partitionBy("vec_id").orderBy(
-            F.expr(_sqdist_expr("v", "cv")).asc(), F.col("cid")
-        )
-        assign = (
-            emb.crossJoin(F.broadcast(cents_df))
-            .withColumn("rn", F.row_number().over(rn_w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias("cell"))
-        )
+        # Carry v through the assignment: the mean update then needs no
+        # join back to emb on vec_id (one N-row shuffle saved per round).
+        assign = assign_nearest(emb, cents_df, _sqdist_expr("v", "ct.cv"), carry=("v",))
         per_dim = (
-            assign.join(emb, "vec_id")
+            assign
             .select("cell", F.posexplode("v").alias("d0", "x"))
             .groupBy("cell", "d0")
             .agg(

@@ -81,7 +81,17 @@ def salted_join(
     join key becomes (key, salt), splitting each hot key over ``salt``
     tasks. Use when the small side is too big to broadcast but small
     enough to replicate.
+
+    Only ``inner`` and ``left`` are supported: under ``right`` or
+    ``full_outer``, a small-side key absent from the big side would
+    survive once PER REPLICA — ``salt`` spurious unmatched rows each.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "outer-preserving the replicated side would emit each "
+            "unmatched small-side row once per salt value"
+        )
     salted_big = with_salt(big, salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(SALT_COL)
     replicated = small.select("*", salts)

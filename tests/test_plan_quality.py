@@ -84,3 +84,30 @@ def test_broadcast_only_bounded_dims(spark):
     # q5: nation/region broadcast; supplier/customer/orders/lineitem not
     plan = plan_of(spark, "q5_region_revenue")
     assert "BroadcastExchange" in plan  # dims are broadcast (possibly by AQE)
+
+
+def test_vocab_topk_never_windows_full_counts(spark):
+    # top-K must be TakeOrderedAndProject (per-partition top-K, driver
+    # merge); the vocab_id window may only ever see the K surviving rows.
+    plan = plan_of(spark, "text_vocab_topk")
+    assert "TakeOrderedAndProject" in plan, "top-K regressed to full sort"
+    # The Window must sit ABOVE the TakeOrderedAndProject in the plan
+    # tree (i.e. appear earlier in the printed top-down string): a window
+    # below the limit would pull every distinct token into one task.
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+        "Window executes before the limit — full token set in one task"
+    )
+
+
+@pytest.mark.parametrize("name", ["sim_ivf_search", "sim_kmeans"])
+def test_centroid_assignment_is_shuffle_free(spark, name):
+    # Nearest-centroid assignment folds per-row over a broadcast centroid
+    # array; a regression to crossJoin + row_number would re-introduce an
+    # N x k Exchange (hashpartitioning on vec_id) and a Window argmin.
+    plan = plan_of(spark, name)
+    assert "array_min" in plan, f"{name}: per-row argmin fold missing"
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(vec_id" in line:
+            raise AssertionError(
+                f"{name}: centroid assignment shuffles on vec_id:\n{line}"
+            )

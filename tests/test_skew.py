@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from spark_etl_pipeline_spark.functions import cents
@@ -41,3 +43,15 @@ def test_salted_join_matches_plain(spark):
     )
     want = orders.join(cust, "o_custkey").select("o_orderkey", "c_mktsegment")
     assert canon(got) == canon(want)
+
+
+def test_salted_join_rejects_outer_preserving_small_side(spark):
+    # right/full would emit each unmatched small-side row once per salt
+    # replica — the builder must refuse rather than silently multiply.
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("right", "full_outer", "full"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(orders, cust, on="o_custkey", salt=4, how=how)
