@@ -268,25 +268,24 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    # assign is consumed twice (query side + candidate side) and is
-    # recomputed per branch. A/B at sf0.1 shows persist is neutral-to-
-    # slower here; at corpus scales where the corpus x centroids pass
-    # dominates, persist this 2-int-column projection instead.
     # Argmax on cosine == argmin on -cosine; ties break on smaller cid
-    # (matching the oracle's ORDER BY cos DESC, cid).
-    assign = assign_nearest(emb, cents, f"-({cosine_expr('v', 'ct.cv')})")
-    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "cell"
+    # (matching the oracle's ORDER BY cos DESC, cid). Carrying v through
+    # the assignment means neither side joins back to the corpus to
+    # fetch its vector — the cell equi-join is the ONLY join. The query
+    # side filters BEFORE assigning: only |Q| vectors fold over the
+    # centroids there, never the corpus (assignment is per-row, so
+    # assigning a subset yields identical cells).
+    dist = f"-({cosine_expr('v', 'ct.cv')})"
+    q = assign_nearest(
+        emb.filter(F.col("vec_id") < N_QUERIES), cents, dist, carry=("v",)
+    ).select(F.col("vec_id").alias("query_id"), "cell", F.col("v").alias("qv"))
+    n = assign_nearest(emb, cents, dist, carry=("v",)).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", F.col("v").alias("nv")
     )
-    n = assign.select(F.col("vec_id").alias("neighbor_id"), "cell")
-    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
     scored = (
         F.broadcast(q)
         .join(n, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(qe), "query_id")
-        .join(ne, "neighbor_id")
         .select(
             "query_id", "neighbor_id", F.expr(cosine_expr("qv", "nv")).alias("cos")
         )
