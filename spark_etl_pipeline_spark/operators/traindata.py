@@ -1,0 +1,442 @@
+"""Training-data preparation operators: the last mile of an LLM pipeline.
+
+Part of the engine's LLM-data-pipeline extension surface (the reference
+repo has no training-data operators): deterministic train/val/test
+splitting, benchmark decontamination, repetition-based quality
+filtering, PII scrubbing, sequence packing, and weighted event
+sampling.
+
+Everything follows the engine's determinism rules (plans/registry.py):
+splits and samples key off md5 of a stable id — identical in Spark and
+DuckDB and stable across reruns/retries (never ``rand()``, which would
+resample on task retry); ratios are single IEEE-754 divisions of
+identical integer operands.
+
+Scale notes are per-operator; the common theme: every operator here is
+a per-row expression plus at most one bounded-side broadcast join or
+one windowed pass — no all-pairs work anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.operators.text import (
+    TOKENS_DUCK,
+    with_tokens,
+)
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+# ---------------------------------------------------------------------------
+# Deterministic id-hash helpers (identical bits in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def id_hash_spark(col: str, mod: int) -> str:
+    """Uniform bucket in [0, mod) from md5 of a bigint id, Spark flavor."""
+    return (
+        f"cast(conv(substr(md5(cast({col} as string)), 1, 8), 16, 10) as bigint)"
+        f" % {mod}"
+    )
+
+
+def id_hash_duck(col: str, mod: int) -> str:
+    """The same bucket, DuckDB flavor (bit-identical values)."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % {mod}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 5  # test gets the remainder
+
+
+def split_column(id_col: str = "doc_id") -> Column:
+    """'train'/'val'/'test' from a deterministic hash of the id.
+
+    Hash-based (not ``rand()``-based) so membership is a pure function
+    of the id: stable across reruns, task retries, and incremental
+    re-ingestion — a document can never migrate between splits and leak
+    eval data into training.
+    """
+    bucket = F.expr(id_hash_spark(id_col, 100))
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "text_train_test_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, n_chars, {id_hash_duck('doc_id', 100)} AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split, reported per (lang, split).
+
+    Per-row hash + tiny aggregate — one scan, no shuffle beyond the
+    (|langs| x 3)-group hash agg. The same ``split_column`` expression
+    tags rows in a real pipeline; the stratified counts here make the
+    assignment auditable (and oracle-verifiable) without emitting the
+    corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_column())
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> stand-in benchmark/eval set
+
+
+def _shingle_hashes_spark() -> str:
+    """Distinct md5 hashes of all 8-token shingles of ``tokens``."""
+    return (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(tokens) - {DECON_NGRAM - 1}, 0)), "
+        f"i -> cast(conv(substr(md5("
+        f"concat_ws(' ', slice(tokens, i, {DECON_NGRAM}))"
+        f"), 1, 8), 16, 10) as bigint)))"
+    )
+
+
+_SHINGLES_DUCK = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len(t) - {DECON_NGRAM - 1}, 0)), "
+    f"i -> CAST(('0x' || substr(md5("
+    f"array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ')"
+    f"), 1, 8)) AS BIGINT)))"
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM toks
+    ),
+    eval_sh AS (
+        SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, sh FROM sh WHERE doc_id % {EVAL_MOD} != 0
+    ),
+    hits AS (
+        SELECT c.doc_id, COUNT(e.sh) AS n_shared
+        FROM corpus c LEFT JOIN eval_sh e ON e.sh = c.sh
+        GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           CASE WHEN n_shared > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM hits
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 8-token
+    shingle with the eval set (here: ``doc_id % 97 == 0`` stands in for
+    the benchmark suite).
+
+    The eval side of the join is BOUNDED — benchmark suites are MBs
+    against a 100-TB corpus — so its distinct shingle hashes broadcast
+    and the corpus side never shuffles: scan -> per-row shingles ->
+    explode -> broadcast hash-probe -> per-doc count. This is the
+    standard 13-gram-overlap decontamination shape (Brown et al., GPT-3
+    appendix C) at n=8 to fit the short synthetic docs.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_shingle_hashes_spark())).alias("sh")
+    )
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("sh").distinct()
+    corpus = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hit = F.when(F.col("e_sh").isNotNull(), 1).otherwise(0)
+    return (
+        corpus.join(
+            F.broadcast(eval_sh.select(F.col("sh").alias("e_sh"))),
+            corpus.sh == F.col("e_sh"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(hit).cast("bigint").alias("n_shared"))
+        .select(
+            "doc_id",
+            "n_shared",
+            F.when(F.col("n_shared") > 0, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               greatest(len(t) - 1, 0) AS n_bigrams,
+               len(list_distinct(list_transform(
+                   generate_series(1, greatest(len(t) - 1, 0)),
+                   i -> t[i] || ' ' || t[i+1]))) AS n_distinct
+        FROM toks
+    )
+    SELECT doc_id, n_bigrams, n_distinct,
+           CASE WHEN n_bigrams > 0
+                THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams
+                ELSE 0.0 END AS rep_ratio
+    FROM bi
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-bigram ratio (the 'duplicated n-gram fraction'
+    quality signal): 1 - distinct_bigrams/total_bigrams. Boilerplate and
+    looped generations score high and get filtered before training.
+    Pure per-row expression; the ratio is one double division of
+    identical integers on both engines.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    n_bigrams = F.greatest(F.size("tokens") - 1, F.lit(0))
+    n_distinct = F.expr(
+        "size(array_distinct(transform("
+        "sequence(1, greatest(size(tokens) - 1, 0)), "
+        "i -> concat(tokens[i - 1], ' ', tokens[i]))))"
+    )
+    return docs.select(
+        "doc_id",
+        n_bigrams.alias("n_bigrams"),
+        n_distinct.alias("n_distinct"),
+        F.when(
+            n_bigrams > 0,
+            1.0 - n_distinct.cast("double") / n_bigrams,
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: Applied in ORDER (email first so its digits can't half-match as an
+#: IP). Every pattern is RE2-safe (no backreferences/lookaround) so
+#: Java regex and DuckDB's RE2 match identically.
+PII_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]"),
+    (r"\d{6,}", "[NUM]"),
+)
+
+
+def scrub_pii(col: Column) -> tuple[Column, Column]:
+    """(scrubbed_text, n_redactions) for a string column."""
+    n = F.lit(0)
+    scrubbed = col
+    for pat, _tag in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+    for pat, tag in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return scrubbed, n.cast("bigint")
+
+
+def _duck_scrub(col: str) -> str:
+    out = col
+    for pat, tag in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
+_DUCK_NRED = " + ".join(
+    f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_DUCK_NRED} AS BIGINT) AS n_redactions,
+           md5({_duck_scrub('text')}) AS scrub_hash
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4s, long digit runs) with a per-doc
+    redaction count; emits md5 of the scrubbed text so the oracle
+    verifies the transform byte-for-byte without shipping the corpus.
+
+    The synthetic corpus contains no PII (redaction counts verify as 0
+    and scrub_hash == md5(text)) — the POSITIVE path is pinned by
+    ``tests/test_traindata.py`` on in-memory rows with real-shaped
+    emails/IPs/account numbers. Per-row regex, no shuffle at all.
+
+    Counting note: counts are computed on the ORIGINAL text per pattern
+    (an email's digits are not re-counted as [NUM] because replacement
+    happens after counting; overlapping-class text is counted once per
+    matching class, deterministically in both engines).
+    """
+    docs = table(spark, sf_dir, "documents")
+    scrubbed, n_red = scrub_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_red.alias("n_redactions"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chop)
+# ---------------------------------------------------------------------------
+
+PACK_CONTEXT = 128  # tokens per training sequence
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len({TOKENS_DUCK}) AS n_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST((cum_tokens - n_tokens) // {PACK_CONTEXT} AS BIGINT) AS pack_id,
+           CAST((cum_tokens - n_tokens) % {PACK_CONTEXT} AS BIGINT) AS offset_in_pack,
+           CAST((cum_tokens - 1) // {PACK_CONTEXT}
+               - (cum_tokens - n_tokens) // {PACK_CONTEXT} + 1 AS BIGINT) AS n_packs_spanned
+    FROM c
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are laid end-to-end
+    per language stream (ordered by doc_id) and chopped into fixed
+    128-token training sequences; each doc learns its pack id, offset,
+    and how many pack boundaries it straddles.
+
+    One windowed cumulative sum per stream — the idiomatic Spark shape
+    for packing. At 100 TB a per-``lang`` partition is too coarse (one
+    task per language); the production call sites pack per (lang, shard)
+    with ``shard = pmod(hash(doc_id), n_shards)`` — packing is
+    order-dependent but shards are independent streams, so per-shard
+    packing is equally valid and embarrassingly parallel. The query
+    keeps the single-stream form so the oracle pins the arithmetic.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size("tokens").alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return base.withColumns(
+        {
+            "pack_id": F.expr(f"(cum_tokens - n_tokens) div {PACK_CONTEXT}"),
+            "offset_in_pack": (F.col("cum_tokens") - F.col("n_tokens"))
+            % PACK_CONTEXT,
+            "n_packs_spanned": F.expr(
+                f"(cum_tokens - 1) div {PACK_CONTEXT} "
+                f"- (cum_tokens - n_tokens) div {PACK_CONTEXT} + 1"
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted event sampling
+# ---------------------------------------------------------------------------
+
+#: Per-class keep rates out of 10000 (rare/valuable classes kept whole,
+#: high-volume classes downsampled — the domain-mixing step of a
+#: training pipeline).
+SAMPLE_RATES = {
+    "click": 1000,
+    "view": 500,
+    "error": 2500,
+    "purchase": 10000,
+    "signup": 10000,
+}
+
+
+def _rate_case() -> str:
+    """CASE mapping event_type -> keep rate (same SQL in both engines)."""
+    branches = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE event_type {branches} ELSE 0 END"
+
+
+@register(
+    "events_weighted_sample",
+    oracle=f"""
+    WITH u AS (
+        SELECT event_id, event_type,
+               {id_hash_duck('event_id', 10000)} AS u
+        FROM events
+    )
+    SELECT event_id, event_type, u
+    FROM u
+    WHERE u < {_rate_case()}
+    """,
+)
+def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class weighted sampling (domain mixing):
+    keep event e iff md5-hash(event_id) mod 10000 < rate(event_type).
+
+    Hash-threshold sampling, not ``sample()``: membership is a pure
+    function of the id, so the sample is identical across reruns,
+    retries, and engines — and it composes (a 10% sample of a 50%
+    sample is the cheaper predicate AND). Per-row expression, zero
+    shuffle; the filter pushes down to the scan's row-group stats where
+    the id is clustered.
+    """
+    events = table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.expr(id_hash_spark("event_id", 10000)).alias("u"),
+    ).filter(F.col("u") < F.expr(_rate_case()))

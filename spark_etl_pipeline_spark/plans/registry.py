@@ -128,6 +128,7 @@ def load_all() -> None:
         profile,
         similarity,
         text,
+        traindata,
     )
     from spark_etl_pipeline_spark.plans import etl, relational  # noqa: F401
     from spark_etl_pipeline_spark.streaming import windows  # noqa: F401
@@ -168,10 +169,23 @@ _EMIT_FIRST = (
     "text_vocab_topk",
     "sim_ivf_search",
     "sim_kmeans",
+    # --- new in round 3 (operators/traindata.py) ---
+    "text_train_test_split",
+    "text_decontaminate",
+    "text_repetition_score",
+    "text_pii_scrub",
+    "docs_pack_sequences",
+    "events_weighted_sample",
 )
 
 _EMIT_LAST = (
     # Driver-green in round 2, untouched since; safe to clip.
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_fuzzy_levenshtein",
+    "mm_frame_sample",
+    "text_quality_score",
     "rel_filter_isin",
     "rel_filter_nested_struct",
     "rel_filter_null",

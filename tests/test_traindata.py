@@ -1,0 +1,97 @@
+"""Training-data operators: positive-path and invariant tests.
+
+The oracle parity suite proves the registered queries match DuckDB on
+the corpus; these tests pin behavior the synthetic corpus cannot reach
+(it contains no PII) and structural invariants of the operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.operators.traindata import (
+    PACK_CONTEXT,
+    SAMPLE_RATES,
+    scrub_pii,
+    split_column,
+)
+from spark_etl_pipeline_spark.plans import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+
+
+def test_pii_scrub_redacts_real_shaped_pii(spark):
+    rows = [
+        (1, "contact bob.smith+spam@corp-mail.co.uk for details"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "account 123456789 was charged"),
+        (4, "no pii here at all"),
+        (5, "mix: a@b.io from 8.8.8.8 ref 00112233"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scrubbed, n_red = scrub_pii(F.col("text"))
+    got = {
+        r.doc_id: (r.clean, r.n)
+        for r in df.select("doc_id", scrubbed.alias("clean"), n_red.alias("n")).collect()
+    }
+    assert got[1] == ("contact [EMAIL] for details", 1)
+    assert got[2] == ("server at [IP] and [IP] responded", 2)
+    assert got[3] == ("account [NUM] was charged", 1)
+    assert got[4] == ("no pii here at all", 0)
+    assert got[5] == ("mix: [EMAIL] from [IP] ref [NUM]", 3)
+
+
+def test_split_is_pure_function_of_id(spark):
+    # the same ids must land in the same split in two independent plans
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    a = docs.withColumn("s", split_column()).collect()
+    b = docs.orderBy(F.desc("doc_id")).withColumn("s", split_column()).collect()
+    assert {r.doc_id: r.s for r in a} == {r.doc_id: r.s for r in b}
+    fracs = {s: 0 for s in ("train", "val", "test")}
+    for r in a:
+        fracs[r.s] += 1
+    # 90/5/5 within loose tolerance on the small sample
+    assert fracs["train"] > fracs["val"] + fracs["test"]
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    df = registry.REGISTRY["text_decontaminate"].builder(spark, SF_SMOKE)
+    rows = df.collect()
+    # eval docs themselves are excluded from the output
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all((r.n_shared > 0) == (r.contaminated == 1) for r in rows)
+
+
+def test_pack_sequences_invariants(spark):
+    rows = registry.REGISTRY["docs_pack_sequences"].builder(spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum, f"{lang}: cum broken at {r.doc_id}"
+            assert 0 <= r.offset_in_pack < PACK_CONTEXT
+            assert r.pack_id == (r.cum_tokens - r.n_tokens) // PACK_CONTEXT
+            assert r.n_packs_spanned >= 1
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    q = registry.REGISTRY["events_weighted_sample"].builder
+    a = q(spark, SF_SMOKE).collect()
+    b = q(spark, SF_SMOKE).collect()
+    assert {r.event_id for r in a} == {r.event_id for r in b}
+    full = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    totals = {r.event_type: r.n for r in full.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    kept: dict[str, int] = {t: 0 for t in totals}
+    for r in a:
+        kept[r.event_type] += 1
+    for t, n in totals.items():
+        rate = SAMPLE_RATES[t] / 10000
+        if rate == 1.0:
+            assert kept[t] == n, f"{t}: keep-all class lost rows"
+        else:
+            assert kept[t] < n, f"{t}: downsampled class kept everything"
