@@ -18,8 +18,10 @@ generalized into a reusable engine:
                     SimHash / n-gram-Jaccard / fuzzy-levenshtein /
                     embedding-cosine), similarity search (brute-force /
                     hyperplane-LSH / IVF / k-means), text analysis,
-                    multimodal column plumbing, data-quality profiling,
-                    as-of join, skew salting.
+                    training-data prep (split / decontaminate /
+                    repetition filter / PII scrub / sequence packing /
+                    weighted sampling), multimodal column plumbing,
+                    data-quality profiling, as-of join, skew salting.
 - ``streaming``   — Structured Streaming: tumbling / sliding / session
                     windows (batch-equivalent, oracle-checked), plus
                     applyInPandasWithState custom state and
