@@ -41,6 +41,10 @@ HEADLINE = [
     "stream_session_windows",
     "mm_decode_features",
     "sim_kmeans",
+    # training-data prep (round 3)
+    "text_decontaminate",
+    "docs_pack_sequences",
+    "events_weighted_sample",
 ]
 
 

@@ -144,28 +144,29 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
 
 
 def jaccard_verified(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard): exact shingle-set Jaccard per pair."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    x = shingles.alias("x")
-    y = shingles.alias("y")
-    inter = (
-        pairs.join(x, F.col("x.doc_id") == F.col("doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("x.s") == F.col("y.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    """(doc_a, doc_b, jaccard): exact shingle-set Jaccard per pair.
+
+    The candidate-pair table is the (small) LSH output, so it is
+    broadcast — twice — against the doc-keyed shingle-ARRAY table, and
+    the intersection is a per-row ``array_intersect``: the corpus-sized
+    side is never shuffled for verification, and there is no
+    pair-times-shingles row explosion. Per-doc arrays are bounded by
+    document length (never by corpus size), so the aggregated row width
+    is the same order as the document itself.
+    """
+    ss = shingles.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    a = ss.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
+    b = ss.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
+    with_a = a.join(F.broadcast(pairs), "doc_a")
+    i = F.size(F.array_intersect("ssa", "ssb")).cast("long")
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        b.join(F.broadcast(with_a), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.coalesce(F.col("i"), F.lit(0)).cast("double")
-                / (F.col("sa.n") + F.col("sb.n") - F.coalesce(F.col("i"), F.lit(0)))
+                i.cast("double")
+                / (F.size("ssa").cast("long") + F.size("ssb").cast("long") - i)
             ).alias("jaccard"),
         )
     )
