@@ -298,6 +298,96 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_duck_cos('q.v', 'c.v')} AS cos
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM exact_scored)
+        WHERE rn <= 3
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+            FROM e CROSS JOIN cents c)
+        WHERE rn = 1
+    ),
+    ivf_scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_duck_cos('qe.v', 'ne.v')} AS cos
+        FROM assign q
+        JOIN assign n ON n.cell = q.cell AND n.vec_id != q.vec_id
+        JOIN e qe ON qe.vec_id = q.vec_id
+        JOIN e ne ON ne.vec_id = n.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM ivf_scored)
+        WHERE rn <= 3
+    )
+    SELECT x.query_id,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 3 AS recall
+    FROM exact x
+    LEFT JOIN ivf i ON i.query_id = x.query_id
+                   AND i.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of IVF(nprobe=1) against the
+    exact top-3 — the acceptance gate a production ANN index must pass
+    before replacing brute force.
+
+    Both inputs are |Q|-bounded (queries are few by construction), so
+    the comparison join is broadcast and free; all the heavy lifting is
+    in the two underlying plans, which are each scale-audited on their
+    own. A real deployment trends this recall as the corpus drifts and
+    re-trains centroids when it drops.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    exact = topk_cosine(emb.filter(F.col("vec_id") < N_QUERIES), emb, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = sim_ivf_search(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    hit = F.when(F.col("ivf_neighbor_id").isNotNull(), 1).otherwise(0)
+    n_hits = F.sum(hit).cast("bigint")
+    return (
+        exact.join(
+            F.broadcast(ivf),
+            (exact.query_id == ivf.query_id)
+            & (exact.neighbor_id == F.col("ivf_neighbor_id")),
+            "left",
+        )
+        .drop(ivf.query_id)
+        .groupBy("query_id")
+        .agg(
+            n_hits.alias("n_hits"),
+            (n_hits.cast("double") / 3).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection (dedup-family operator)
 # ---------------------------------------------------------------------------
@@ -381,11 +471,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    # The confirmed-candidate table is small (LSH output), so broadcast
+    # IT against the corpus twice to fetch both vectors — the corpus
+    # side is never shuffled for verification (same pattern as
+    # dedup.jaccard_verified).
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    with_a = ea.join(F.broadcast(cand), "vec_a")
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
+        eb.join(F.broadcast(with_a), "vec_b")
         .select("vec_a", "vec_b", F.expr(cosine_expr("va", "vb")).alias("cos"))
         .filter(F.col("cos") >= COS_DUP_THRESHOLD)
     )

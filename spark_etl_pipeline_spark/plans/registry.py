@@ -176,11 +176,13 @@ _EMIT_FIRST = (
     "text_pii_scrub",
     "docs_pack_sequences",
     "events_weighted_sample",
+    "sim_ann_recall",
 )
 
 _EMIT_LAST = (
     # Driver-green in round 2, untouched since; safe to clip.
     "dedup_exact",
+    "dedup_simhash_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_fuzzy_levenshtein",

@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "sim_topk_cosine",
     "rel_asof_join",
     "sim_kmeans",  # broadcast k-centroid assignment, like sim_ivf_search
+    "sim_ann_recall",  # composes sim_topk_cosine + sim_ivf_search
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
