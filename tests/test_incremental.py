@@ -1,0 +1,85 @@
+"""Streaming incremental upsert: stream → versioned parquet snapshot.
+
+Two micro-batches (file-per-trigger, modification-time-ordered) drain
+through the foreachBatch upsert sink; the final snapshot must equal the
+same batches applied sequentially with the batch ``upsert`` — and the
+intermediate generation must still be readable (snapshot isolation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.plans.etl import upsert
+from spark_etl_pipeline_spark.streaming.incremental import (
+    latest_snapshot_path,
+    read_snapshot,
+    run_stream_upsert,
+)
+
+SCHEMA = "user_id long, status string, total double"
+
+
+def _write_batch(spark, path: str, rows, mtime: int) -> None:
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path)
+    # FileStreamSource orders batches by modification time — pin it
+    for name in os.listdir(path):
+        os.utime(os.path.join(path, name), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_upsert_matches_sequential_batch_merge(spark, tmp_path):
+    src = tmp_path / "src"
+    b1 = [(1, "new", 10.0), (2, "new", 20.0)]
+    b2 = [(2, "updated", 25.0), (3, "new", 30.0)]
+    _write_batch(spark, str(src / "b1"), b1, 1_000_000)
+    _write_batch(spark, str(src / "b2"), b2, 2_000_000)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    snap = str(tmp_path / "snapshot")
+    run_stream_upsert(stream, "user_id", snap, str(tmp_path / "ckpt"))
+
+    got = {
+        r.user_id: (r.status, r.total)
+        for r in read_snapshot(spark, snap).collect()
+    }
+    want_df = upsert(
+        spark.createDataFrame(b1, SCHEMA), spark.createDataFrame(b2, SCHEMA), "user_id"
+    )
+    want = {r.user_id: (r.status, r.total) for r in want_df.collect()}
+    assert got == want == {
+        1: ("new", 10.0),
+        2: ("updated", 25.0),
+        3: ("new", 30.0),
+    }
+
+    # snapshot isolation: the superseded generation is still readable
+    latest = latest_snapshot_path(snap)
+    assert latest is not None and latest.endswith("v1")
+    v0 = os.path.join(snap, "v0")
+    assert {r.user_id for r in spark.read.parquet(v0).collect()} == {1, 2}
+
+
+def test_stream_upsert_is_restart_idempotent(spark, tmp_path):
+    # a second availableNow run with the SAME checkpoint must be a no-op
+    src = tmp_path / "src"
+    _write_batch(spark, str(src / "b1"), [(1, "new", 1.0)], 1_000_000)
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return spark.readStream.schema(SCHEMA).parquet(f"{src}/b*")
+
+    run_stream_upsert(stream(), "user_id", snap, ckpt)
+    first = latest_snapshot_path(snap)
+    run_stream_upsert(stream(), "user_id", snap, ckpt)
+    assert latest_snapshot_path(snap) == first, "re-run re-processed old data"
+    rows = read_snapshot(spark, snap).collect()
+    assert [(r.user_id, r.status) for r in rows] == [(1, "new")]
