@@ -215,10 +215,10 @@ _BANDS_DUCK = "\n      UNION ALL ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_DUCK_SHINGLES},
+#: The full minhash-LSH pair pipeline as reusable CTEs ending in
+#: ``dup_pairs`` — shared by the pair query and the connected-components
+#: query so the two oracles can never drift apart.
+_MINHASH_PAIRS_CTES = f"""{_DUCK_SHINGLES},
     sig AS (
         SELECT doc_id, {_MH_MINS_DUCK}
         FROM hashed GROUP BY doc_id
@@ -238,16 +238,25 @@ _BANDS_DUCK = "\n      UNION ALL ".join(
         JOIN sh x ON x.doc_id = c.doc_a
         JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
         GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(COALESCE(i.i, 0) AS DOUBLE)
-               / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
-    JOIN sizes sa ON sa.doc_id = c.doc_a
-    JOIN sizes sb ON sb.doc_id = c.doc_b
-    WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
-               / (sa.n + sb.n - COALESCE(i.i, 0)) >= {JACCARD_THRESHOLD}
+    ),
+    dup_pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(i.i, 0)) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM dup_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,3 +544,109 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= HAMMING_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components + canonical selection
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 25
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, component) for every vertex of an undirected edge list,
+    where ``component`` is the smallest vertex id reachable from ``id``.
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum of its own label and its neighbors' labels; a fixpoint is
+    reached after O(component diameter) rounds. The driver loop is the
+    idiomatic Spark shape for convergence iteration (same family as
+    ``similarity.kmeans_iterate``): each round is one shuffle join of
+    the (persisted, small) edge list against the label table plus one
+    aggregate, with ``localCheckpoint`` truncating lineage so plan size
+    stays constant. Convergence is detected from SUM(label), which is
+    strictly decreasing until the fixpoint — a scalar per round, not a
+    data collect.
+
+    Dup-pair graphs are tiny relative to the corpus (edges exist only
+    between near-duplicates) and their components have single-digit
+    diameters. For adversarial graphs (long chains, giant components)
+    switch to large-star/small-star contraction (Kiveris et al., 2014),
+    which converges in O(log^2 n) rounds with the same per-round
+    primitives.
+    """
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    rev = edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    sym = fwd.union(rev).distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            sym.join(labels, sym.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e.dst AS v, r.label
+        FROM reach r JOIN edges e ON e.src = r.v
+    )
+    SELECT v AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS component,
+           CASE WHEN MIN(label) = v THEN 1 ELSE 0 END AS is_canonical
+    FROM reach
+    GROUP BY v
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: the step BETWEEN pair detection and
+    actual deduplication. MinHash-LSH pairs become an undirected graph;
+    connected components group transitive duplicates (A~B, B~C => one
+    cluster even if A,C never collided); the minimum doc_id of each
+    component is the canonical survivor, everything else is droppable.
+
+    The oracle computes the same fixpoint with a recursive CTE
+    (min reachable id per vertex) over the SAME dup_pairs CTEs as the
+    ``dedup_minhash_lsh`` oracle, so pair semantics cannot drift.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.when(F.col("id") == F.col("label"), 1).otherwise(0).alias("is_canonical"),
+    )

@@ -177,6 +177,7 @@ _EMIT_FIRST = (
     "docs_pack_sequences",
     "events_weighted_sample",
     "sim_ann_recall",
+    "dedup_components",
 )
 
 _EMIT_LAST = (

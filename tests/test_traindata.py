@@ -95,3 +95,15 @@ def test_weighted_sample_rates_and_determinism(spark):
             assert kept[t] == n, f"{t}: keep-all class lost rows"
         else:
             assert kept[t] < n, f"{t}: downsampled class kept everything"
+
+
+def test_connected_components_resolves_transitive_clusters(spark):
+    from spark_etl_pipeline_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (1~4 never directly paired), triangle 7-8-9, pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9), (21, 20)],
+        "src long, dst long",
+    )
+    got = {r.id: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
