@@ -440,3 +440,88 @@ def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr(id_hash_spark("event_id", 10000)).alias("u"),
     ).filter(F.col("u") < F.expr(_rate_case()))
+
+
+# ---------------------------------------------------------------------------
+# Stratified fixed-size sampling
+# ---------------------------------------------------------------------------
+
+STRATUM_K = 20  # docs kept per language
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY {id_hash_duck('doc_id', 1000000)}, doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, rk FROM ranked WHERE rk <= {STRATUM_K}
+    """,
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K-per-stratum sampling: the first K docs of each language
+    by hash rank — a uniform random draw that is a pure function of the
+    ids (reproducible across engines, reruns, and retries; tie-broken by
+    doc_id so equal hashes cannot reorder).
+
+    The per-stratum window ranks each language in its own partition —
+    strata process in parallel, but ONE task ranks each stratum. Fine
+    for bounded strata (languages, sources); for huge skewed strata at
+    100 TB, pre-filter with an approximate hash threshold (keep rows
+    with hash < ~2K/stratum_size ceiling) so the window only ranks a
+    small superset — same result, bounded task input.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(id_hash_spark("doc_id", 1_000_000)), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user event sequences (behavior-sequence training prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_sequences",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY event_id) AS seq
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered action sequences ('click>view>purchase>...') —
+    the sequence-modeling training-prep shape (next-action prediction,
+    session language models).
+
+    One hash aggregate: ``collect_list(struct(event_id, type))`` with
+    map-side partials, sorted per user AFTER aggregation (sort_array on
+    the struct orders by event_id — array size is user-bounded, never
+    corpus-bounded). Sequence order is event_id (generation order):
+    deterministic in both engines, unlike raw timestamps, which Spark
+    reads at µs and DuckDB at ns — equal-µs events could interleave
+    differently.
+    """
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "concat_ws('>', transform("
+                "sort_array(collect_list(struct(event_id, event_type))), "
+                "x -> x.event_type))"
+            ).alias("seq"),
+        )
+    )

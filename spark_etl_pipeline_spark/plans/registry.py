@@ -178,6 +178,8 @@ _EMIT_FIRST = (
     "events_weighted_sample",
     "sim_ann_recall",
     "dedup_components",
+    "text_stratified_sample",
+    "events_user_sequences",
 )
 
 _EMIT_LAST = (
