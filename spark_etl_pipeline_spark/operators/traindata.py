@@ -525,3 +525,65 @@ def events_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling per-user features (time-series feature engineering)
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOW = 5  # current event + 4 preceding
+
+
+@register(
+    "events_rolling_features",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           lag(event_type) OVER w AS prev_type,
+           CAST(SUM(cents) OVER (w ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS roll_cents,
+           CAST(COUNT(*) OVER (w ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS roll_n,
+           CAST(SUM(cents) OVER (w ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING
+                                 AND CURRENT ROW) AS DOUBLE)
+               / 100.0
+               / COUNT(*) OVER (w ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING
+                                AND CURRENT ROW) AS roll_avg
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-user features over the event stream: previous action
+    plus a {ROLL}-event moving sum/count/average of spend — the classic
+    behavioral-model feature set (lag features + moving aggregates).
+
+    One window pass partitioned by user_id, ordered by event_id
+    (generation order — deterministic in both engines, unlike raw
+    timestamps at differing precision). The moving sum runs on integer
+    cents: window-aggregate implementations are free to reassociate
+    float additions (DuckDB uses segment trees), but integer sums are
+    associative, so both engines agree bit-for-bit; the average is one
+    double division at the end. Scale: per-user partitions are
+    independent and user-bounded; a pathological single hot user would
+    need session-chunking, not a different operator.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wf = w.rowsBetween(-(ROLL_WINDOW - 1), Window.currentRow)
+    cents = F.expr("cast(round(value * 100) as bigint)")
+    roll_cents = F.sum(cents).over(wf)
+    roll_n = F.count(F.lit(1)).over(wf)
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        roll_cents.cast("bigint").alias("roll_cents"),
+        roll_n.cast("bigint").alias("roll_n"),
+        (roll_cents.cast("double") / 100.0 / roll_n).alias("roll_avg"),
+    )

@@ -180,6 +180,7 @@ _EMIT_FIRST = (
     "dedup_components",
     "text_stratified_sample",
     "events_user_sequences",
+    "events_rolling_features",
 )
 
 _EMIT_LAST = (
