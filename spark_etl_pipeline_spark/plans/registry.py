@@ -181,6 +181,9 @@ _EMIT_FIRST = (
     "text_stratified_sample",
     "events_user_sequences",
     "events_rolling_features",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
 )
 
 _EMIT_LAST = (

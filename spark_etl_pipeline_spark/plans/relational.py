@@ -1192,3 +1192,127 @@ def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("old_only").alias("bucket"), "n")
         )
     )
+
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: join + CONDITIONAL aggregation (CASE inside
+    SUM) — one join, one hash agg; the CASE evaluates per-row inside
+    the partial aggregate, so both counts come from the same pass.
+    (The synthetic lineitem has no shipmode column; l_returnflag plays
+    the grouping role — the plan shape is what Q12 exercises.)"""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    WITH j AS (
+        SELECT p.p_type,
+               CAST(round(l.l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS disc_c
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    )
+    SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc_c ELSE 0 END)
+                 AS DOUBLE)
+            / SUM(disc_c)) * 100.0 AS promo_revenue_pct
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: ratio-of-conditional-sums (market-share query).
+
+    Both sums are integer-cents (associative, partition-order-proof);
+    the ratio is ONE double division of identical integers followed by
+    one exact multiply — bit-identical across engines. One join + one
+    global aggregate; part is dimension-sized, left to AQE to broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    disc_c = cents("l_extendedprice") * (100 - cents("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_c).otherwise(0))
+    total = F.sum(disc_c)
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .agg(((promo.cast("double") / total) * 100.0).alias("promo_revenue_pct"))
+    )
+
+
+Q18_MIN_QTY_CENTS = 30_000  # orders totalling > 300 units
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(round(l_quantity*100) AS BIGINT)) AS qty_c
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > {Q18_MIN_QTY_CENTS}
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice,
+           CAST(b.qty_c AS DOUBLE) / 100.0 AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: HAVING-filtered aggregate drives a join chain
+    (large-volume-customer query). The per-order quantity aggregate
+    reduces lineitem to order grain BEFORE any join — the filter-early
+    plan; the surviving 'big orders' set is small, so AQE broadcasts it
+    up the orders/customer joins at runtime."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))
+        .filter(F.col("qty_c") > Q18_MIN_QTY_CENTS)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            (F.col("qty_c").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
