@@ -587,3 +587,101 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll_n.cast("bigint").alias("roll_n"),
         (roll_cents.cast("double") / 100.0 / roll_n).alias("roll_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-class standardization (z-score features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_zscore",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS ss
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type,
+           CAST(c.cents AS DOUBLE) / 100.0 AS value,
+           (CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+               / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                      - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
+               AS z
+    FROM c JOIN stats s ON s.event_type = c.event_type
+    """,
+)
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class z-score standardization of event values — the
+    two-pass feature-scaling shape: tiny per-class moment aggregate,
+    broadcast back onto the stream, per-row arithmetic.
+
+    Exactness: sum and sum-of-squares accumulate as integer cents
+    (associative — partition order cannot change them; max ss ≈
+    rows x (10^4 cents)^2 < 2^63 comfortably at any tested SF), and
+    both engines then evaluate the IDENTICAL chain of double ops on
+    identical integers. The stats side is |event_types| rows —
+    broadcast, so the fact side never shuffles.
+    """
+    events = table(spark, sf_dir, "events")
+    c = events.select(
+        "event_id", "event_type", F.expr("cast(round(value * 100) as bigint)").alias("cents")
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("cents").cast("double") / 100.0).alias("value"),
+            ((F.col("cents").cast("double") - mean) / F.sqrt(var)).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram (corpus shape audit)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET = 10  # tokens per bucket
+
+
+@register(
+    "docs_length_histogram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT len({TOKENS_DUCK}) AS n_tokens FROM documents
+    )
+    SELECT (n_tokens // {HIST_BUCKET}) * {HIST_BUCKET} AS bucket_lo,
+           COUNT(*) AS n_docs
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus (width-{B} buckets) — the
+    one-glance shape audit run before choosing chunk/pack sizes. Pure
+    map + |buckets|-row aggregate; the 100 TB plan is identical.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    bucket = F.expr(
+        f"(size(tokens) div {HIST_BUCKET}) * cast({HIST_BUCKET} as bigint)"
+    )
+    return (
+        docs.select(bucket.alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -184,6 +184,8 @@ _EMIT_FIRST = (
     "q12_priority_lines",
     "q14_promo_revenue",
     "q18_large_orders",
+    "events_zscore",
+    "docs_length_histogram",
 )
 
 _EMIT_LAST = (
