@@ -107,3 +107,44 @@ def test_connected_components_resolves_transitive_clusters(spark):
     )
     got = {r.id: r.label for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
+
+
+def test_connected_components_matches_union_find_property(spark):
+    # randomized edge lists vs a pure-Python union-find reference
+    from hypothesis import given, settings, strategies as st
+
+    from spark_etl_pipeline_spark.operators.dedup import connected_components
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-label per vertex
+        return {v: find(v) for v in parent}
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+                lambda p: p[0] != p[1]
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.label for r in connected_components(df).collect()}
+        assert got == uf_components(edges)
+
+    check()
