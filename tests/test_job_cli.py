@@ -75,3 +75,36 @@ def test_job_dry_run(spark, tmp_path, capsys):
     assert clickstream_job.main(["--config", str(cfg_path), "--dry-run"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out  # explain("formatted") reached stdout
+
+
+def test_query_job_runs_any_registered_query(spark, tmp_path):
+    import query_job
+
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "q1_out")
+    assert query_job.main(
+        ["--query", "q1_pricing_summary", "--sf-dir", SF_SMOKE, "--out", out]
+    ) == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert "sum_qty" in got.columns
+
+
+def test_query_job_rejects_unknown_query(tmp_path, capsys):
+    import query_job
+
+    assert query_job.main(
+        ["--query", "nope", "--sf-dir", "/tmp", "--out", str(tmp_path / "o")]
+    ) == 2
+
+
+def test_query_job_explain_prints_plan(spark, capsys):
+    import query_job
+
+    from tests.conftest import SF_SMOKE
+
+    assert query_job.main(
+        ["--query", "q6_forecast_revenue", "--sf-dir", SF_SMOKE, "--explain"]
+    ) == 0
+    assert "Physical Plan" in capsys.readouterr().out
