@@ -46,6 +46,20 @@ def read_parquet(
     return df
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan across schema generations (``mergeSchema``).
+
+    Long-lived datasets gain columns over time; this read reconciles
+    all file footers into the union schema, with absent columns read as
+    null — the append-only schema-evolution contract (renames/retypes
+    still need a migration). Merging costs a footer read per file, so
+    it is a separate reader, not the default: on a 100-TB dataset with
+    millions of files, use it at the ingest boundary and write back a
+    uniform schema.
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def jdbc_read_options(
     url: str,
     table: str,

@@ -14,6 +14,7 @@ from spark_etl_pipeline_spark.sources import (
     jdbc_read_options,
     jdbc_write_options,
     read_jdbc,
+    read_parquet_evolving,
     write_jdbc_append,
     read_parquet,
     write_csv_single_file,
@@ -181,3 +182,19 @@ def test_jdbc_roundtrip_embedded_derby(spark, nation):
     )
     assert par.rdd.getNumPartitions() == 4
     assert par.count() == src.count()
+
+
+def test_parquet_schema_evolution_merged_read(spark, nation, tmp_path):
+    # generation 1: two columns; generation 2 adds a third
+    path = str(tmp_path / "evolving")
+    nation.select("n_nationkey", "n_name").write.parquet(path)
+    nation.select(
+        "n_nationkey", "n_name", F.lit("emea").alias("region_tag")
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "region_tag"}
+    rows = merged.count()
+    assert rows == nation.count() * 2
+    # generation-1 rows surface the new column as null
+    assert merged.filter(F.col("region_tag").isNull()).count() == nation.count()
