@@ -152,6 +152,51 @@ def frame_sample(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(batches, FRAME_SCHEMA)
 
 
+RESIZE_TARGET_BYTES = 96  # "thumbnail" size for the fake resizer
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_payload(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched 1→1 resize: downsample each payload to ≤ TARGET
+    bytes by taking every ``stride``-th byte (stride = ceil(n/target)).
+
+    The real-world twin is thumbnailing / audio downsampling: payload
+    in, smaller payload out, same row count. Byte-stride subsampling is
+    the deterministic stand-in (the fake-decoder policy documented in
+    the module docstring); swapping in PIL's ``Image.resize`` changes
+    only the loop body — schema, batching, and partitioning stay.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                stride = max(1, -(-len(data) // RESIZE_TARGET_BYTES))
+                small = data[::stride]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(data),
+                        len(small),
+                        hashlib.md5(small).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return payloads.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Registered queries (text is pure ASCII, so byte offsets == char offsets
 # and the DuckDB oracle can mirror the byte math with string functions)
@@ -196,3 +241,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → fixed-size frame rows (1→N mapInPandas fan-out)."""
     docs = table(spark, sf_dir, "documents")
     return frame_sample(attach_payload(docs))
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               greatest(CAST(ceil(length(text) / {RESIZE_TARGET_BYTES}.0) AS BIGINT), 1)
+                   AS stride
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n, stride,
+               array_to_string(list_transform(
+                   generate_series(0, CAST(ceil(n / CAST(stride AS DOUBLE)) AS BIGINT) - 1),
+                   i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)), '') AS small
+        FROM s
+    )
+    SELECT doc_id, n AS orig_bytes,
+           CAST(length(small) AS BIGINT) AS resized_bytes,
+           md5(small) AS resized_md5
+    FROM r
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize/thumbnail (1→1 mapInPandas): each binary payload
+    downsampled to ≤ {T} bytes by byte-stride (deterministic fake for
+    an image resize — real plumbing, see ``resize_payload``)."""
+    docs = table(spark, sf_dir, "documents")
+    return resize_payload(attach_payload(docs))

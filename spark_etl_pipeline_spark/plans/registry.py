@@ -186,6 +186,7 @@ _EMIT_FIRST = (
     "q18_large_orders",
     "events_zscore",
     "docs_length_histogram",
+    "mm_resize",
 )
 
 _EMIT_LAST = (
