@@ -685,3 +685,104 @@ def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced mixture sampling (domain rebalancing)
+# ---------------------------------------------------------------------------
+
+MIX_TOTAL = 200  # sampled corpus size across all languages
+
+
+@register(
+    "docs_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    arr AS (
+        SELECT list(lang ORDER BY lang) AS langs,
+               list(n ORDER BY lang) AS ns,
+               list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang) AS ws
+        FROM counts
+    ),
+    targets AS (
+        SELECT unnest(langs) AS lang,
+               CAST(unnest(ns) AS BIGINT) AS n_docs,
+               CAST(round({MIX_TOTAL} * unnest(ws) /
+                    list_reduce(list_prepend(0.0::DOUBLE, ws), (a, x) -> a + x))
+                    AS BIGINT) AS target_n
+        FROM arr
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY {id_hash_duck('doc_id', 1000000)}, doc_id) AS rk
+        FROM documents
+    ),
+    kept AS (
+        SELECT r.lang, COUNT(*) AS kept_n
+        FROM ranked r JOIN targets t ON t.lang = r.lang
+        WHERE r.rk <= t.target_n
+        GROUP BY r.lang
+    )
+    SELECT t.lang, t.n_docs, t.target_n,
+           CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_n
+    FROM targets t LEFT JOIN kept k ON k.lang = t.lang
+    """,
+)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture sampling (T=0.5): per-language
+    targets proportional to sqrt(count) — the domain-rebalancing step
+    of an LLM data mix (upweights rare languages relative to head
+    domains; multinomial-alpha sampling with alpha=0.5), then a
+    deterministic hash-ranked draw of exactly target_n docs per
+    language.
+
+    Determinism across engines: per-domain weights use sqrt (correctly
+    rounded per IEEE-754, unlike pow), and the weight-sum folds
+    SEQUENTIALLY over the lang-sorted array (``aggregate`` /
+    ``list_reduce``) so neither engine's aggregation order can perturb
+    the total. The targets table is |domains|-sized — broadcast; the
+    corpus side pays one per-stratum rank window (same scale story as
+    ``text_stratified_sample``).
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    arr = counts.agg(
+        F.array_sort(F.collect_list(F.struct("lang", "n"))).alias("cs")
+    ).withColumn(
+        "total",
+        F.expr(
+            "aggregate(transform(cs, x -> sqrt(cast(x.n as double))), "
+            "cast(0.0 as double), (a, x) -> a + x)"
+        ),
+    )
+    targets = arr.select(
+        F.explode(
+            F.expr(
+                f"transform(cs, x -> named_struct("
+                f"'lang', x.lang, 'n_docs', cast(x.n as bigint), "
+                f"'target_n', cast(round({MIX_TOTAL} * sqrt(cast(x.n as double)) / total) as bigint)))"
+            )
+        ).alias("t")
+    ).select("t.lang", "t.n_docs", "t.target_n")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(id_hash_spark("doc_id", 1_000_000)), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang").withColumn("rk", F.row_number().over(w))
+    kept = (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.col("target_n"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept_n"))
+    )
+    return (
+        targets.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "target_n",
+            F.coalesce("kept_n", F.lit(0)).cast("bigint").alias("kept_n"),
+        )
+    )

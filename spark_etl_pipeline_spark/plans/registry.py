@@ -187,6 +187,7 @@ _EMIT_FIRST = (
     "events_zscore",
     "docs_length_histogram",
     "mm_resize",
+    "docs_mixture_sample",
 )
 
 _EMIT_LAST = (
