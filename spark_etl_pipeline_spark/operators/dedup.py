@@ -554,7 +554,10 @@ CC_MAX_ITERS = 25
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = CC_MAX_ITERS,
 ) -> DataFrame:
     """(id, component) for every vertex of an undirected edge list,
     where ``component`` is the smallest vertex id reachable from ``id``.
@@ -576,6 +579,13 @@ def connected_components(
     switch to large-star/small-star contraction (Kiveris et al., 2014),
     which converges in O(log^2 n) rounds with the same per-round
     primitives.
+
+    Convergence is VERIFIED, never assumed: if ``max_iters`` rounds
+    exhaust before the fixpoint (a component whose diameter exceeds the
+    budget — templated/boilerplate text produces long dup chains), the
+    function raises instead of silently returning partial labels, which
+    would split one component into several and leave multiple
+    "canonical" survivors of one duplicate cluster.
     """
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     rev = edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
@@ -587,7 +597,8 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
-    for _ in range(CC_MAX_ITERS):
+    converged = False
+    for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym.d == labels.id)
             .groupBy("s")
@@ -605,8 +616,16 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"{max_iters} iterations — a component's diameter exceeds the "
+            f"budget; raise max_iters or switch to large-star/small-star "
+            f"contraction rather than using partial (wrong) labels"
+        )
     return labels
 
 

@@ -119,13 +119,22 @@ EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> stand-in benchmark/eval set
 
 
 def _shingle_hashes_spark() -> str:
-    """Distinct md5 hashes of all 8-token shingles of ``tokens``."""
+    """Distinct md5 hashes of all 8-token shingles of ``tokens``.
+
+    Short-doc guard: Spark's ``sequence(1, 0)`` DESCENDS ([1, 0] — the
+    step defaults to -1 when start > stop) rather than yielding the
+    empty series DuckDB's ``generate_series(1, 0)`` does, so a doc with
+    fewer than 8 tokens would feed ``slice(tokens, 0, 8)`` and throw
+    "SQL array indices start at 1". The ``if`` branch mirrors DuckDB's
+    empty-series behavior exactly.
+    """
     return (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size(tokens) - {DECON_NGRAM - 1}, 0)), "
+        f"array_distinct(if(size(tokens) >= {DECON_NGRAM}, "
+        f"transform(sequence(1, size(tokens) - {DECON_NGRAM - 1}), "
         f"i -> cast(conv(substr(md5("
         f"concat_ws(' ', slice(tokens, i, {DECON_NGRAM}))"
-        f"), 1, 8), 16, 10) as bigint)))"
+        f"), 1, 8), 16, 10) as bigint)), "
+        f"cast(array() as array<bigint>)))"
     )
 
 
@@ -233,10 +242,16 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = with_tokens(table(spark, sf_dir, "documents"))
     n_bigrams = F.greatest(F.size("tokens") - 1, F.lit(0))
+    # Short-doc guard: sequence(1, 0) descends in Spark (step defaults
+    # to -1), so a 0/1-token doc would build out-of-bounds subscripts
+    # (null under non-ANSI, a THROW under Spark 4 ANSI defaults) and
+    # diverge from DuckDB's empty generate_series(1, 0). The if() makes
+    # both engines yield an empty bigram list for docs under 2 tokens.
     n_distinct = F.expr(
-        "size(array_distinct(transform("
-        "sequence(1, greatest(size(tokens) - 1, 0)), "
-        "i -> concat(tokens[i - 1], ' ', tokens[i]))))"
+        "size(array_distinct(if(size(tokens) >= 2, "
+        "transform(sequence(1, size(tokens) - 1), "
+        "i -> concat(tokens[i - 1], ' ', tokens[i])), "
+        "cast(array() as array<string>))))"
     )
     return docs.select(
         "doc_id",
@@ -430,9 +445,10 @@ def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-threshold sampling, not ``sample()``: membership is a pure
     function of the id, so the sample is identical across reruns,
     retries, and engines — and it composes (a 10% sample of a 50%
-    sample is the cheaper predicate AND). Per-row expression, zero
-    shuffle; the filter pushes down to the scan's row-group stats where
-    the id is clustered.
+    sample is the cheaper predicate AND). The plan is a scan plus a
+    per-row md5 filter — zero shuffle (the predicate is over a hash,
+    so no parquet reader can prune row groups on it; the win is that
+    no shuffle or sort is ever needed to sample).
     """
     events = table(spark, sf_dir, "events")
     return events.select(
@@ -611,10 +627,12 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.event_id, c.event_type,
            CAST(c.cents AS DOUBLE) / 100.0 AS value,
-           (CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
-               / sqrt(CAST(s.ss AS DOUBLE) / s.n
-                      - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
-               AS z
+           CASE WHEN CAST(s.ss AS DOUBLE) / s.n
+                     - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n) > 0
+                THEN (CAST(c.cents AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                     / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                            - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
+                ELSE NULL END AS z
     FROM c JOIN stats s ON s.event_type = c.event_type
     """,
 )
@@ -629,6 +647,12 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines then evaluate the IDENTICAL chain of double ops on
     identical integers. The stats side is |event_types| rows —
     broadcast, so the fact side never shuffles.
+
+    Degenerate-class guard: a class whose values are all equal has
+    var = 0, where Spark's Divide returns NULL (non-ANSI) but DuckDB
+    returns inf/NaN — both engines are therefore pinned to NULL via an
+    explicit var > 0 guard (also shields the tiny-negative-var case the
+    mean*mean subtraction can produce in float arithmetic).
     """
     events = table(spark, sf_dir, "events")
     c = events.select(
@@ -647,7 +671,9 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             (F.col("cents").cast("double") / 100.0).alias("value"),
-            ((F.col("cents").cast("double") - mean) / F.sqrt(var)).alias("z"),
+            F.when(var > 0, (F.col("cents").cast("double") - mean) / F.sqrt(var))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("z"),
         )
     )
 

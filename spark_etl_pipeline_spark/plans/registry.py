@@ -136,66 +136,32 @@ def load_all() -> None:
 
 #: Driver-facing emission order for ``queries()`` / ``oracles()``.
 #:
-#: The round-2 correctness gate checked exactly the first 50 entries in
-#: emission order, so ordering is a verification-coverage decision, not
-#: cosmetics. Front of the list: queries with no driver-green row yet
-#: (round 2's tail) plus everything whose plan or oracle changed this
-#: round. Back of the list: queries that are already driver-green from
-#: round 2 AND untouched since — if the window clips anything, it clips
-#: re-verification of results that already have a green row on record.
+#: The driver's correctness gate checks the first ~50 entries in emission
+#: order, so ordering is a verification-coverage decision, not cosmetics.
+#: Round-4 rotation: front of the list is exactly the 35 queries WITHOUT
+#: a round-3 driver-green row (they were green in round 2, but several of
+#: their modules — dedup.py, text.py, relational.py, profile.py — changed
+#: since that check), plus every query whose plan or oracle changed in
+#: round 4, plus round-4 additions. Back of the list: the round-3 green
+#: rows that are untouched this round — if the window clips anything, it
+#: clips re-verification of results with a fresh green row on record.
 _EMIT_FIRST = (
-    # --- no driver correctness row as of round 2 ---
-    "rel_range_join",
-    "rel_asof_join",
-    "rel_percentiles",
-    "rel_sql_exists",
-    "rel_sql_scalar_subquery",
-    "rel_sql_not_in",
-    "q13_customer_distribution",
-    "rel_window_analytics",
-    "q19_disjunctive_filter",
-    "etl_json_struct",
-    "rel_grouping_sets",
-    "rel_set_ops",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_time_rollup",
-    "stream_interval_join",
-    # --- plan or oracle changed in round 3 ---
-    "profile_orders",
-    "text_token_stats",
-    "text_lang_stats_pandas",
-    "text_vocab_topk",
-    "sim_ivf_search",
-    "sim_kmeans",
-    # --- new in round 3 (operators/traindata.py) ---
-    "text_train_test_split",
-    "text_decontaminate",
-    "text_repetition_score",
-    "text_pii_scrub",
-    "docs_pack_sequences",
-    "events_weighted_sample",
-    "sim_ann_recall",
-    "dedup_components",
-    "text_stratified_sample",
-    "events_user_sequences",
-    "events_rolling_features",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "events_zscore",
-    "docs_length_histogram",
-    "mm_resize",
-    "docs_mixture_sample",
-)
-
-_EMIT_LAST = (
-    # Driver-green in round 2, untouched since; safe to clip.
+    # --- driver-green in r2 but not re-checked in r3; modules changed since ---
+    "text_chunking",
+    "etl_events_pipeline",
+    "etl_upsert_merge",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rel_agg_stats",
+    "rel_window_rank",
+    "rel_window_running",
+    "rel_window_frame",
     "dedup_exact",
     "dedup_simhash_pairs",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard",  # calls jaccard_verified, rewritten in r3
     "dedup_fuzzy_levenshtein",
     "mm_frame_sample",
     "text_quality_score",
@@ -216,6 +182,61 @@ _EMIT_LAST = (
     "rel_cube",
     "rel_pivot",
     "rel_sort_limit",
+    # --- plan or oracle changed in round 4 ---
+    "text_decontaminate",  # short-doc shingle guard
+    "text_repetition_score",  # short-doc bigram guard
+    "events_zscore",  # var > 0 NULL guard (both engines)
+    "dedup_components",  # connected_components convergence guard
+)
+
+_EMIT_LAST = (
+    # Driver-green in round 3, untouched in round 4; safe to clip.
+    "rel_range_join",
+    "rel_asof_join",
+    "rel_percentiles",
+    "rel_sql_exists",
+    "rel_sql_scalar_subquery",
+    "rel_sql_not_in",
+    "q13_customer_distribution",
+    "rel_window_analytics",
+    "q19_disjunctive_filter",
+    "etl_json_struct",
+    "rel_grouping_sets",
+    "rel_set_ops",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_time_rollup",
+    "stream_interval_join",
+    "profile_orders",
+    "text_token_stats",
+    "text_lang_stats_pandas",
+    "text_vocab_topk",
+    "sim_ivf_search",
+    "sim_kmeans",
+    "text_train_test_split",
+    "text_pii_scrub",
+    "docs_pack_sequences",
+    "events_weighted_sample",
+    "sim_ann_recall",
+    "text_stratified_sample",
+    "events_user_sequences",
+    "events_rolling_features",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "docs_length_histogram",
+    "mm_resize",
+    "docs_mixture_sample",
+    "dedup_minhash_lsh",
+    "mm_decode_features",
+    "sim_topk_cosine",
+    "sim_ann_hyperplane",
+    "dedup_embedding_cosine",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_lang_id_ngram",
 )
 
 

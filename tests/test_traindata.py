@@ -97,6 +97,96 @@ def test_weighted_sample_rates_and_determinism(spark):
             assert kept[t] < n, f"{t}: downsampled class kept everything"
 
 
+def test_short_doc_guards_match_oracle(spark, tmp_path):
+    """The synthetic corpus has only long docs; this pins the short-doc
+    path: Spark's sequence(1, 0) DESCENDS where DuckDB's generate_series
+    is empty, so un-guarded shingle/bigram transforms crash (ANSI) or
+    diverge on docs under n tokens. Runs the real builders and the real
+    oracles on a corpus of 0..10-token docs and compares type-strictly.
+    """
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_oracle_parity import compare
+
+    texts = {
+        1: "",  # splits to one empty token
+        2: "one",
+        3: "one two",
+        4: "a b c d e f g",  # 7 tokens: below the 8-token shingle width
+        5: "a b c d e f g h",  # exactly one shingle
+        6: "a b c d e f g h i j",
+        97: "a b c d e f g h x",  # eval doc (97 % 97 == 0) sharing 5's shingle
+    }
+    pq.write_table(
+        pa.table(
+            {"doc_id": list(texts.keys()), "text": list(texts.values())}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    try:
+        for name in ("text_repetition_score", "text_decontaminate"):
+            spec = registry.REGISTRY[name]
+            spark_pdf = spec.builder(spark, str(tmp_path)).toPandas()
+            duck_pdf = con.sql(spec.oracle).df()
+            compare(spark_pdf, duck_pdf, name)
+        # positive contamination coverage: docs 5 and 6 share the eval
+        # doc's leading 8-token shingle; docs under 8 tokens have no
+        # shingles, so they are absent from BOTH engines' outputs (the
+        # explode drops them identically — they trivially can't be
+        # contaminated)
+        decon = {
+            r.doc_id: r.contaminated
+            for r in registry.REGISTRY["text_decontaminate"]
+            .builder(spark, str(tmp_path))
+            .collect()
+        }
+        assert decon == {5: 1, 6: 1}
+    finally:
+        con.close()
+
+
+def test_zscore_degenerate_class_is_null_in_both_engines(spark, tmp_path):
+    """A class whose values are all equal has var = 0: unguarded, Spark's
+    Divide yields NULL while DuckDB yields inf/NaN. The var > 0 guard
+    pins both engines to NULL; verified on a corpus built to contain a
+    flat class (the synthetic events never produce one)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_oracle_parity import compare
+
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "event_type": ["flat", "flat", "flat", "vary", "vary", "vary", "vary"],
+        "value": [5.0, 5.0, 5.0, 1.0, 2.0, 3.0, 10.0],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    try:
+        spec = registry.REGISTRY["events_zscore"]
+        spark_pdf = spec.builder(spark, str(tmp_path)).toPandas()
+        compare(spark_pdf, con.sql(spec.oracle).df(), "events_zscore")
+        z = {
+            r.event_id: r.z
+            for r in spec.builder(spark, str(tmp_path)).collect()
+        }
+        assert all(z[i] is None for i in (1, 2, 3)), "flat class must be NULL"
+        assert all(z[i] is not None for i in (4, 5, 6, 7))
+    finally:
+        con.close()
+
+
 def test_connected_components_resolves_transitive_clusters(spark):
     from spark_etl_pipeline_spark.operators.dedup import connected_components
 
@@ -107,6 +197,27 @@ def test_connected_components_resolves_transitive_clusters(spark):
     )
     got = {r.id: r.label for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    import pytest
+
+    from spark_etl_pipeline_spark.operators.dedup import connected_components
+
+    # A 31-vertex chain has diameter 30: min-label propagation moves one
+    # hop per round, so the default 25-round budget exhausts before the
+    # fixpoint. The guard must raise — never return partial labels.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain)
+    # A bumped budget converges and labels the whole chain with its min.
+    got = {
+        r.id: r.label
+        for r in connected_components(chain, max_iters=40).collect()
+    }
+    assert got == {i: 0 for i in range(31)}
 
 
 def test_connected_components_matches_union_find_property(spark):
