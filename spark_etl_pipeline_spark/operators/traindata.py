@@ -401,6 +401,72 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SHARDS = 4  # independent packing streams per language
+
+
+@register(
+    "docs_pack_sequences_sharded",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST({id_hash_duck('doc_id', PACK_SHARDS)} AS BIGINT) AS shard,
+               len({TOKENS_DUCK}) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks
+    )
+    SELECT doc_id, lang, shard, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST((cum_tokens - n_tokens) // {PACK_CONTEXT} AS BIGINT) AS pack_id,
+           CAST((cum_tokens - n_tokens) % {PACK_CONTEXT} AS BIGINT) AS offset_in_pack,
+           CAST((cum_tokens - 1) // {PACK_CONTEXT}
+               - (cum_tokens - n_tokens) // {PACK_CONTEXT} + 1 AS BIGINT) AS n_packs_spanned
+    FROM c
+    """,
+)
+def docs_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-parallel sequence packing — the 100-TB form of
+    ``docs_pack_sequences``: each language stream is split into
+    {PACK_SHARDS} deterministic hash shards and packed independently, so
+    the cumulative-sum window partitions on (lang, shard) instead of one
+    task per language. Packing is order-dependent WITHIN a stream, but
+    streams are arbitrary to begin with — per-shard packing is equally
+    valid training data and embarrassingly parallel (n_shards scales
+    with the cluster, e.g. 10k shards at 100 TB; {PACK_SHARDS} here keeps
+    the oracle's window count readable).
+
+    The shard id is the same md5 bucket used everywhere (pure function
+    of doc_id — stable across engines, reruns, and retries); pack ids
+    are therefore local to a (lang, shard) stream.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(id_hash_spark("doc_id", PACK_SHARDS)).cast("bigint").alias("shard"),
+        F.size("tokens").alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return base.withColumns(
+        {
+            "pack_id": F.expr(f"(cum_tokens - n_tokens) div {PACK_CONTEXT}"),
+            "offset_in_pack": (F.col("cum_tokens") - F.col("n_tokens"))
+            % PACK_CONTEXT,
+            "n_packs_spanned": F.expr(
+                f"(cum_tokens - 1) div {PACK_CONTEXT} "
+                f"- (cum_tokens - n_tokens) div {PACK_CONTEXT} + 1"
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted event sampling
 # ---------------------------------------------------------------------------
@@ -463,6 +529,47 @@ def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 STRATUM_K = 20  # docs kept per language
+STRAT_HASH_MOD = 1_000_000  # hash range for rank ordering + pre-filter
+STRAT_SAFETY = 4  # pre-filter keeps ~SAFETY x k rows per stratum
+
+
+def bounded_stratum_rank(
+    docs_h: DataFrame, targets: DataFrame, stratum: str, k_col: str
+) -> DataFrame:
+    """Rank rows per stratum by (h, doc_id) with the window input
+    BOUNDED by a hash-threshold pre-filter — the scale fix for
+    K-per-stratum sampling, whose naive rank window feeds an entire
+    stratum into one task.
+
+    ``docs_h``: (stratum, doc_id, h) with h uniform in [0, MOD).
+    ``targets``: one row per stratum with total count ``n_str`` and
+    quota ``k_col``.
+
+    Only rows with ``h < ceil(SAFETY * k * MOD / n_str)`` enter the
+    window — an expected SAFETY*k rows per stratum REGARDLESS of corpus
+    size. Exactness is unconditional, not probabilistic: the filter
+    keeps *every* row below the threshold, so whenever >= k rows
+    survive, the k smallest (h, doc_id) pairs of the full stratum are
+    all among them and their ranks 1..k are unchanged; strata where
+    fewer than k survive (SAFETY=4 makes this a >4-sigma event for any
+    k >= 20, but it is checked, not assumed) bypass the filter entirely
+    and rank the full stratum. The check costs one extra tiny aggregate
+    over the same scan — |strata| rows, broadcast back.
+    """
+    thr = F.least(
+        F.lit(STRAT_HASH_MOD),
+        F.ceil(F.lit(STRAT_SAFETY) * F.col(k_col) * STRAT_HASH_MOD / F.col("n_str")),
+    ).cast("bigint")
+    t = targets.withColumn("thr", thr)
+    joined = docs_h.join(F.broadcast(t), stratum)
+    pre_n = joined.groupBy(stratum).agg(
+        F.sum(F.when(F.col("h") < F.col("thr"), 1).otherwise(0)).alias("n_pre")
+    )
+    bounded = joined.join(F.broadcast(pre_n), stratum).filter(
+        (F.col("h") < F.col("thr")) | (F.col("n_pre") < F.col(k_col))
+    )
+    w = Window.partitionBy(stratum).orderBy("h", "doc_id")
+    return bounded.withColumn("rk", F.row_number().over(w))
 
 
 @register(
@@ -483,22 +590,27 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids (reproducible across engines, reruns, and retries; tie-broken by
     doc_id so equal hashes cannot reorder).
 
-    The per-stratum window ranks each language in its own partition —
-    strata process in parallel, but ONE task ranks each stratum. Fine
-    for bounded strata (languages, sources); for huge skewed strata at
-    100 TB, pre-filter with an approximate hash threshold (keep rows
-    with hash < ~2K/stratum_size ceiling) so the window only ranks a
-    small superset — same result, bounded task input.
+    Scale: the rank window's input is BOUNDED by a hash-threshold
+    pre-filter (``bounded_stratum_rank``) — each stratum's ranking task
+    sees an expected SAFETY*K rows no matter how large the stratum, so
+    a 100-TB English pile ranks the same few dozen rows a 500-doc test
+    corpus does. Result is provably identical to ranking the full
+    stratum (see the helper's docstring); the oracle ranks the full
+    stratum and the driver hash-checks them equal.
     """
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.expr(id_hash_spark("doc_id", 1_000_000)), F.col("doc_id")
+    docs_h = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(id_hash_spark("doc_id", STRAT_HASH_MOD)).alias("h"),
     )
-    return (
-        docs.select("doc_id", "lang")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= STRATUM_K)
+    targets = (
+        docs_h.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_str"))
+        .withColumn("k", F.lit(STRATUM_K))
     )
+    ranked = bounded_stratum_rank(docs_h, targets, "lang", "k")
+    return ranked.filter(F.col("rk") <= STRATUM_K).select("doc_id", "lang", "rk")
 
 
 # ---------------------------------------------------------------------------
@@ -770,8 +882,10 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SEQUENTIALLY over the lang-sorted array (``aggregate`` /
     ``list_reduce``) so neither engine's aggregation order can perturb
     the total. The targets table is |domains|-sized — broadcast; the
-    corpus side pays one per-stratum rank window (same scale story as
-    ``text_stratified_sample``).
+    corpus side's rank window is input-bounded by the same
+    hash-threshold pre-filter as ``text_stratified_sample``
+    (``bounded_stratum_rank``: expected SAFETY*target_n rows per
+    stratum at any corpus size, provably identical output).
     """
     docs = table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
@@ -793,13 +907,16 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("t")
     ).select("t.lang", "t.n_docs", "t.target_n")
-    w = Window.partitionBy("lang").orderBy(
-        F.expr(id_hash_spark("doc_id", 1_000_000)), F.col("doc_id")
+    docs_h = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(id_hash_spark("doc_id", STRAT_HASH_MOD)).alias("h"),
     )
-    ranked = docs.select("doc_id", "lang").withColumn("rk", F.row_number().over(w))
+    ranked = bounded_stratum_rank(
+        docs_h, targets.withColumnRenamed("n_docs", "n_str"), "lang", "target_n"
+    )
     kept = (
-        ranked.join(F.broadcast(targets), "lang")
-        .filter(F.col("rk") <= F.col("target_n"))
+        ranked.filter(F.col("rk") <= F.col("target_n"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("kept_n"))
     )

@@ -187,6 +187,10 @@ _EMIT_FIRST = (
     "text_repetition_score",  # short-doc bigram guard
     "events_zscore",  # var > 0 NULL guard (both engines)
     "dedup_components",  # connected_components convergence guard
+    "text_stratified_sample",  # bounded-window hash pre-filter
+    "docs_mixture_sample",  # bounded-window hash pre-filter
+    # --- new in round 4 ---
+    "docs_pack_sequences_sharded",
 )
 
 _EMIT_LAST = (
@@ -219,7 +223,6 @@ _EMIT_LAST = (
     "docs_pack_sequences",
     "events_weighted_sample",
     "sim_ann_recall",
-    "text_stratified_sample",
     "events_user_sequences",
     "events_rolling_features",
     "q12_priority_lines",
@@ -227,7 +230,6 @@ _EMIT_LAST = (
     "q18_large_orders",
     "docs_length_histogram",
     "mm_resize",
-    "docs_mixture_sample",
     "dedup_minhash_lsh",
     "mm_decode_features",
     "sim_topk_cosine",

@@ -79,6 +79,101 @@ def test_pack_sequences_invariants(spark):
             assert r.n_packs_spanned >= 1
 
 
+def test_pack_sequences_sharded_invariants(spark):
+    rows = (
+        registry.REGISTRY["docs_pack_sequences_sharded"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    )
+    by_stream: dict[tuple, list] = {}
+    for r in rows:
+        by_stream.setdefault((r.lang, r.shard), []).append(r)
+    assert len(by_stream) > len({k[0] for k in by_stream}), (
+        "sharding produced only one stream per language"
+    )
+    for key, rs in by_stream.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum, f"{key}: cum broken at {r.doc_id}"
+            assert 0 <= r.offset_in_pack < PACK_CONTEXT
+
+
+def test_pack_sequences_sharded_window_partitions_on_shard(spark):
+    # The point of the sharded variant: NO single-partition-per-language
+    # window. The exchange feeding the window must hash on (lang, shard).
+    df = registry.REGISTRY["docs_pack_sequences_sharded"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("shard" in ln and "lang" in ln for ln in shuffles), (
+        f"window exchange does not partition on (lang, shard):\n{plan[:2000]}"
+    )
+
+
+def test_bounded_stratum_rank_is_exact_and_bounded(spark, tmp_path):
+    """The hash pre-filter must (a) produce row-identical output to the
+    unfiltered full-stratum ranking and (b) actually bound the window
+    input on a stratum much larger than K."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_etl_pipeline_spark.operators.traindata import (
+        STRAT_HASH_MOD,
+        STRATUM_K,
+        bounded_stratum_rank,
+        id_hash_spark,
+    )
+
+    n = 5000
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(1, n + 1)),
+                "lang": ["en"] * (n - 50) + ["xx"] * 50,
+                "text": ["w"] * n,
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs_h = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(id_hash_spark("doc_id", STRAT_HASH_MOD)).alias("h"),
+        )
+    )
+    targets = (
+        docs_h.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_str"))
+        .withColumn("k", F.lit(STRATUM_K))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    full = (
+        docs_h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_K)
+        .select("doc_id", "lang", "rk")
+    )
+    bounded = bounded_stratum_rank(docs_h, targets, "lang", "k")
+    got = bounded.filter(F.col("rk") <= STRATUM_K).select("doc_id", "lang", "rk")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
+    # boundedness: the big stratum (4950 rows) must shed most of its
+    # rows before the window — expected input is SAFETY*K = 80 rows
+    window_input = bounded.count()  # rows that entered the rank window
+    assert window_input < n // 5, (
+        f"pre-filter did not bound the window: {window_input} of {n} rows"
+    )
+    # the registered query on the same corpus agrees with full ranking
+    spec = registry.REGISTRY["text_stratified_sample"]
+    reg = spec.builder(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, reg)) == sorted(map(tuple, full.collect()))
+
+
 def test_weighted_sample_rates_and_determinism(spark):
     q = registry.REGISTRY["events_weighted_sample"].builder
     a = q(spark, SF_SMOKE).collect()
