@@ -3,11 +3,13 @@
 LLM-data-pipeline surface for image/audio/video columns (absent from the
 reference repo). The *Spark-side* contract is fully real — binary
 columns, explicit schemas, Arrow-batched ``mapInPandas`` with 1→1 and
-1→N row shapes, partition-preserving plans. The *decoder* is the only
-stub: this container has no image/audio libraries, so ``_decode_real``
-raises ``NotImplementedError`` and the pipeline uses a clearly-marked
-deterministic fake (md5-derived dimensions) instead. Swapping in PIL /
-torchaudio later changes one function, not the plumbing.
+1→N row shapes, partition-preserving plans. Dimension extraction is
+REAL for real image bytes: ``_decode_real`` parses PNG IHDR / JPEG SOF
+headers in pure Python (no image libraries needed). Full pixel decode
+(which genuinely requires libjpeg/PIL, absent from this container)
+falls back to a clearly-marked deterministic fake (md5-derived
+dimensions) for non-image payloads such as the synthetic corpus; a
+later PIL swap-in changes one function, not the plumbing.
 
 Design for 100 TB: decode is the expensive step, so it runs inside
 ``mapInPandas`` (Arrow batch transfer, one Python worker per core, no
@@ -81,12 +83,58 @@ def attach_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: JPEG start-of-frame markers (baseline/extended/progressive/lossless
+#: and their arithmetic variants) — NOT 0xC4 (DHT), 0xC8 (JPG ext),
+#: 0xCC (DAC), which share the 0xC0 block but carry no dimensions.
+JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
 def _decode_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder hook — image libs are not in this container."""
-    raise NotImplementedError(
-        "real image/audio decode requires PIL/ffmpeg; use the deterministic "
-        "fake (md5-derived dimensions) in this environment"
-    )
+    """REAL image-dimension decode, pure Python, zero dependencies:
+    parses the PNG IHDR chunk or walks JPEG marker segments to the SOF
+    frame header. No pixel decode (that genuinely needs libjpeg/zlib) —
+    but width/height extraction, the common metadata pass of a
+    multimodal pipeline, is exact for real image bytes.
+
+    Raises ``ValueError`` for anything that is not a PNG/JPEG stream;
+    callers fall back to the deterministic fake for synthetic payloads.
+    """
+    if (
+        payload.startswith(PNG_SIGNATURE)
+        and len(payload) >= 24
+        and payload[12:16] == b"IHDR"
+    ):
+        # 8-byte signature, 4-byte chunk length, 'IHDR', then
+        # big-endian 4-byte width and height (PNG spec 11.2.2)
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        return width, height
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            if marker in JPEG_SOF_MARKERS:
+                # segment: len(2) precision(1) height(2) width(2)
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return width, height
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        raise ValueError("JPEG stream without a SOF frame header")
+    raise ValueError("not a PNG or JPEG payload")
+
+
+def _decode(payload: bytes) -> tuple[int, int]:
+    """Real header parse when the payload IS an image; deterministic
+    fake otherwise (the synthetic corpus carries utf-8 text payloads)."""
+    try:
+        return _decode_real(payload)
+    except ValueError:
+        return _decode_fake(payload)
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int]:
@@ -109,7 +157,7 @@ def decode_features(payloads: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
-                w, h = _decode_fake(data)
+                w, h = _decode(data)
                 rows.append(
                     (
                         int(doc_id),

@@ -189,6 +189,7 @@ _EMIT_FIRST = (
     "dedup_components",  # connected_components convergence guard
     "text_stratified_sample",  # bounded-window hash pre-filter
     "docs_mixture_sample",  # bounded-window hash pre-filter
+    "mm_decode_features",  # real PNG/JPEG header decode with fake fallback
     # --- new in round 4 ---
     "docs_pack_sequences_sharded",
 )
@@ -231,7 +232,6 @@ _EMIT_LAST = (
     "docs_length_histogram",
     "mm_resize",
     "dedup_minhash_lsh",
-    "mm_decode_features",
     "sim_topk_cosine",
     "sim_ann_hyperplane",
     "dedup_embedding_cosine",
