@@ -143,24 +143,50 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verified(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+def _pair_side(df: DataFrame, broadcast: bool | str) -> DataFrame:
+    """Candidate-pair join-side policy shared by the LSH verifiers.
+
+    ``True``  — explicit ``F.broadcast`` hint: right whenever pairs are
+    known-small (the common LSH case), zero planning risk.
+    ``"auto"`` — no hint: AQE sees the pair table's RUNTIME size at the
+    shuffle boundary and picks broadcast vs shuffle hash join itself.
+    This is the 100-TB-safe default: on a dup-heavy corpus the pair set
+    can approach corpus cardinality, and an unconditional broadcast of
+    a >8 GB table OOMs every executor; AQE broadcasts only under the
+    configured threshold.
+    ``False`` — ``shuffle_hash`` hint: force the shuffle path (testing,
+    or driver-memory-constrained deployments).
+    """
+    if broadcast is True:
+        return F.broadcast(df)
+    if broadcast is False:
+        return df.hint("shuffle_hash")
+    return df
+
+
+def jaccard_verified(
+    pairs: DataFrame, shingles: DataFrame, broadcast: bool | str = "auto"
+) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact shingle-set Jaccard per pair.
 
-    The candidate-pair table is the (small) LSH output, so it is
-    broadcast — twice — against the doc-keyed shingle-ARRAY table, and
-    the intersection is a per-row ``array_intersect``: the corpus-sized
-    side is never shuffled for verification, and there is no
-    pair-times-shingles row explosion. Per-doc arrays are bounded by
-    document length (never by corpus size), so the aggregated row width
-    is the same order as the document itself.
+    The candidate-pair table (the LSH output) joins — twice — against
+    the doc-keyed shingle-ARRAY table, and the intersection is a
+    per-row ``array_intersect``: there is no pair-times-shingles row
+    explosion. Per-doc arrays are bounded by document length (never by
+    corpus size), so the aggregated row width is the same order as the
+    document itself. ``broadcast`` picks the pair-side join strategy
+    (see :func:`_pair_side`): the default lets AQE broadcast the pair
+    table only when its runtime size allows, so a dup-heavy corpus
+    whose pair set rivals the corpus falls back to a shuffle hash join
+    on doc_id instead of OOMing the executors.
     """
     ss = shingles.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
     a = ss.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
     b = ss.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
-    with_a = a.join(F.broadcast(pairs), "doc_a")
+    with_a = a.join(_pair_side(pairs, broadcast), "doc_a")
     i = F.size(F.array_intersect("ssa", "ssb")).cast("long")
     return (
-        b.join(F.broadcast(with_a), "doc_b")
+        b.join(_pair_side(with_a, broadcast), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -112,17 +112,29 @@ def _decode_real(payload: bytes) -> tuple[int, int]:
         height = int.from_bytes(payload[20:24], "big")
         return width, height
     if payload[:2] == b"\xff\xd8":  # JPEG SOI
-        i = 2
-        while i + 9 <= len(payload) and payload[i] == 0xFF:
+        i, n = 2, len(payload)
+        while i + 1 < n and payload[i] == 0xFF:
+            # Runs of 0xFF are legal fill/padding before a marker
+            # (ITU T.81 B.1.1.2) — skip them before classifying, or a
+            # pad byte reads as a marker and the next two bytes as a
+            # bogus segment length.
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
+            if marker == 0xD9:  # EOI mid-stream: terminator, no SOF
+                break
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
                 i += 2
                 continue
             if marker in JPEG_SOF_MARKERS:
+                if i + 9 > n:
+                    break  # truncated SOF segment
                 # segment: len(2) precision(1) height(2) width(2)
                 height = int.from_bytes(payload[i + 5 : i + 7], "big")
                 width = int.from_bytes(payload[i + 7 : i + 9], "big")
                 return width, height
+            if i + 4 > n:
+                break  # truncated segment header
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         raise ValueError("JPEG stream without a SOF frame header")
     raise ValueError("not a PNG or JPEG payload")

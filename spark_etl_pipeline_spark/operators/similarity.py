@@ -228,13 +228,20 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH signatures: 8 sign bits → 256 buckets.
 
     Pure per-row expression (planes are plan literals — no join, no
-    Python); the only shuffle is the bucket-size window. At scale,
-    near-neighbor candidates are generated per bucket, Σ bucket² work.
+    Python). Bucket sizes come from ``groupBy("sig").count()`` — a
+    map-side-combinable aggregate whose result is ≤256 rows — broadcast
+    back onto the signature stream. A ``count() OVER (PARTITION BY
+    sig)`` window would hash-partition the WHOLE corpus into ≤256
+    tasks (a hard parallelism ceiling and a straggler factory on
+    skewed buckets); the aggregate keeps the fact side on its scan
+    partitioning at any scale. At scale, near-neighbor candidates are
+    generated per bucket, Σ bucket² work.
     """
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
     sigs = emb.select("vec_id", F.expr(_SIG_SPARK).cast("bigint").alias("sig"))
-    return sigs.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("sig"))
+    counts = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sigs.join(F.broadcast(counts), "sig").select(
+        "vec_id", "sig", "bucket_size"
     )
 
 
@@ -466,7 +473,9 @@ _DUCK_TABLE_SIGS = "\n        UNION ALL ".join(
     WHERE {_duck_cos('ea.v', 'eb.v')} >= {COS_DUP_THRESHOLD}
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, broadcast: bool | str = "auto"
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH.
 
     Independent 6-bit hyperplane tables bucket the corpus; candidate
@@ -476,7 +485,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ bucket² candidate work, never n² — this is the dedup-family twin
     of the text-shingle pipeline for modalities that live in embedding
     space (image/audio near-dups in an LLM data pipeline).
+
+    ``broadcast`` picks the candidate-pair join strategy (same policy
+    as ``dedup._pair_side``): the default lets AQE broadcast the pair
+    table only when its runtime size is under the threshold — on a
+    dup-heavy corpus the pair set can rival the corpus, and the
+    fallback is a shuffle hash join on vec_id, not an executor OOM.
     """
+    from spark_etl_pipeline_spark.operators.dedup import _pair_side
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
     sigs = emb.select(
         "vec_id",
@@ -503,11 +519,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    # The confirmed-candidate table is small (LSH output), so broadcast
-    # IT against the corpus twice to fetch both vectors — the corpus
-    # side is never shuffled for verification (same pattern as
-    # dedup.jaccard_verified). Norms ride along (one sqrt-fold per
-    # vector, not per pair); bit-identical to the oracle's inline form.
+    # The candidate table (LSH output) joins against the corpus twice to
+    # fetch both vectors — the corpus side is never shuffled for
+    # verification when the pair side broadcasts (same pattern as
+    # dedup.jaccard_verified; strategy picked by ``broadcast``, AQE by
+    # default). Norms ride along (one sqrt-fold per vector, not per
+    # pair); bit-identical to the oracle's inline form.
     nrm = F.expr(f"sqrt({dot_expr('v', 'v')})")
     ea = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), nrm.alias("na")
@@ -515,9 +532,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), nrm.alias("nb")
     )
-    with_a = ea.join(F.broadcast(cand), "vec_a")
+    with_a = ea.join(_pair_side(cand, broadcast), "vec_a")
     return (
-        eb.join(F.broadcast(with_a), "vec_b")
+        eb.join(_pair_side(with_a, broadcast), "vec_b")
         .select(
             "vec_a",
             "vec_b",

@@ -54,6 +54,36 @@ def test_decode_real_parses_jpeg_sof_variants():
         assert _decode_real(jpeg_bytes(1920, 1080, marker)) == (1920, 1080)
 
 
+def test_decode_real_skips_fill_bytes_before_markers():
+    # ITU T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+    # fill bytes. A padded-but-valid JPEG must decode EXACTLY (the old
+    # walker read the pad byte as a marker and returned fake dims).
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof = (
+        b"\xff\xff\xff"  # fill bytes before the SOF marker
+        + b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (480).to_bytes(2, "big")
+        + (640).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    padded = b"\xff\xd8" + b"\xff\xff" + app0 + sof + b"\xff\xd9"
+    assert _decode_real(padded) == (640, 480)
+
+
+def test_decode_real_treats_midstream_eoi_as_terminator():
+    # EOI (0xD9) with trailing garbage must terminate the walk and raise
+    # "no SOF", never be read as a length-prefixed segment.
+    stream = b"\xff\xd8" + b"\xff\xd9" + b"\x7f" * 32
+    with pytest.raises(ValueError):
+        _decode_real(stream)
+    # ... and a truncated SOF segment must raise, not IndexError.
+    trunc = b"\xff\xd8" + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    with pytest.raises(ValueError):
+        _decode_real(trunc)
+
+
 def test_decode_real_rejects_non_images():
     for junk in (b"", b"hello world", b"\xff\xd8 only soi", b"\x89PNGbad"):
         with pytest.raises(ValueError):

@@ -100,6 +100,15 @@ def test_vocab_topk_never_windows_full_counts(spark):
     )
 
 
+def test_ann_hyperplane_bucket_sizes_never_window(spark):
+    # Bucket sizes must be a groupBy("sig").count() broadcast back, not
+    # count() OVER (PARTITION BY sig): sig has <=256 distinct values, so
+    # a window would squeeze the whole corpus into <=256 tasks.
+    plan = plan_of(spark, "sim_ann_hyperplane")
+    assert "Window" not in plan, "bucket-size window caps parallelism at 256"
+    assert "BroadcastExchange" in plan, "bucket counts should broadcast back"
+
+
 @pytest.mark.parametrize("name", ["sim_ivf_search", "sim_kmeans"])
 def test_centroid_assignment_is_shuffle_free(spark, name):
     # Nearest-centroid assignment folds per-row over a broadcast centroid
