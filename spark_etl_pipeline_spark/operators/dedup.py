@@ -576,6 +576,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Duplicate-cluster resolution: connected components + canonical selection
 # ---------------------------------------------------------------------------
 
+#: Default iteration budget for BOTH component algorithms. Read at CALL
+#: time (the functions default to ``None`` and resolve it then), so a
+#: deployment facing longer dup chains can raise it with one module-level
+#: assignment — no code change, no new registry plumbing.
 CC_MAX_ITERS = 25
 
 
@@ -583,7 +587,8 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = CC_MAX_ITERS,
+    max_iters: int | None = None,
+    fallback: str | None = "star",
 ) -> DataFrame:
     """(id, component) for every vertex of an undirected edge list,
     where ``component`` is the smallest vertex id reachable from ``id``.
@@ -601,18 +606,22 @@ def connected_components(
 
     Dup-pair graphs are tiny relative to the corpus (edges exist only
     between near-duplicates) and their components have single-digit
-    diameters. For adversarial graphs (long chains, giant components)
-    switch to large-star/small-star contraction (Kiveris et al., 2014),
-    which converges in O(log^2 n) rounds with the same per-round
-    primitives.
+    diameters — min-label propagation fixpoints in a handful of rounds.
 
     Convergence is VERIFIED, never assumed: if ``max_iters`` rounds
-    exhaust before the fixpoint (a component whose diameter exceeds the
-    budget — templated/boilerplate text produces long dup chains), the
-    function raises instead of silently returning partial labels, which
-    would split one component into several and leave multiple
-    "canonical" survivors of one duplicate cluster.
+    (default :data:`CC_MAX_ITERS`, resolved at call time) exhaust before
+    the fixpoint — a component whose DIAMETER exceeds the budget;
+    templated/boilerplate text produces exactly such long dup chains —
+    the function hands the graph to
+    :func:`connected_components_star` (``fallback="star"``, the
+    default), whose large-star/small-star contraction converges in
+    O(log² n) rounds on any graph shape. With ``fallback=None`` it
+    raises instead of silently returning partial labels, which would
+    split one component into several and leave multiple "canonical"
+    survivors of one duplicate cluster.
     """
+    if max_iters is None:
+        max_iters = CC_MAX_ITERS
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     rev = edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     sym = fwd.union(rev).distinct().localCheckpoint()
@@ -646,18 +655,137 @@ def connected_components(
             break
         prev_sum = cur_sum
     if not converged:
+        if fallback == "star":
+            # Diameter exceeded the budget: re-solve with the
+            # O(log² n)-round contraction rather than failing. Partial
+            # labels are never used — star restarts from the raw edges.
+            return connected_components_star(edges, src, dst)
         raise RuntimeError(
             f"connected_components did not reach a fixpoint within "
             f"{max_iters} iterations — a component's diameter exceeds the "
-            f"budget; raise max_iters or switch to large-star/small-star "
-            f"contraction rather than using partial (wrong) labels"
+            f"budget; raise max_iters, or use fallback='star' "
+            f"(large-star/small-star contraction) rather than partial "
+            f"(wrong) labels"
         )
     return labels
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int | None = None,
+) -> DataFrame:
+    """(id, component-min) labels via alternating large-star/small-star
+    contraction — the chain-graph-safe twin of
+    :func:`connected_components`.
+
+    Min-label propagation needs O(diameter) rounds; this contraction
+    (Kiveris et al., *Connected Components in MapReduce and Beyond*,
+    SoCC 2014) needs O(log² n) on ANY shape, because each round rewires
+    vertices directly to their neighborhood minimum instead of moving
+    labels one hop:
+
+    - **large-star** (per node u): every strictly-larger neighbor
+      v > u is re-pointed at m = min(Γ(u) ∪ {u});
+    - **small-star** (per node u over its smaller neighbors S):
+      u and all of S are re-pointed at m = min(S).
+
+    Both steps are one groupBy-min plus one join per round — the same
+    shuffle primitives as label propagation, with ``localCheckpoint``
+    truncating lineage. Edges stay canonically (larger → smaller), so
+    the fixpoint is exactly the star set {(v, root) : v ≠ root}.
+
+    Convergence is verified EXACTLY: when the cheap per-round stats
+    (count, Σu, Σv) stop changing, a set-difference confirms the edge
+    set is truly stable before the loop exits — stats alone could
+    collide. Exhausting ``max_iters`` (default :data:`CC_MAX_ITERS`)
+    raises; with the log² bound that means a genuinely pathological
+    input, not a tuning problem.
+    """
+    if max_iters is None:
+        max_iters = CC_MAX_ITERS
+    raw = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).filter(
+        F.col("s") != F.col("d")
+    )
+    verts = (
+        raw.select(F.col("s").alias("id"))
+        .union(raw.select(F.col("d").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Canonical orientation: u (larger) → v (smaller).
+    e = (
+        raw.select(
+            F.greatest("s", "d").alias("u"), F.least("s", "d").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star_round(cur: DataFrame) -> DataFrame:
+        """One large-star + small-star round over canonical (u > v) edges."""
+        # large-star: every v > u re-points at m = min(Γ(u) ∪ {u})
+        sym = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: u and its smaller neighbors S re-point at min(S)
+        # (edges are (u > v), so grouping by u collects exactly S)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        joined = ls.join(mins2, "u")
+        return (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def stats(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)), F.sum("u"), F.sum("v")
+        ).collect()[0]
+        return tuple(row)
+
+    prev = stats(e)
+    converged = False
+    for _ in range(max_iters):
+        e = star_round(e).localCheckpoint()
+        cur = stats(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if converged and prev[0]:
+        # Exact fixpoint confirmation: one more full round must leave
+        # the set unchanged (stats equality alone could collide).
+        nxt = star_round(e)
+        converged = nxt.exceptAll(e).isEmpty() and nxt.count() == prev[0]
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint within "
+            f"{max_iters} rounds — with the O(log² n) bound this means a "
+            f"pathological input, not a budget tuning problem"
+        )
+    return verts.join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("label")), "id", "left"
+    ).select("id", F.coalesce("label", F.col("id")).alias("label"))
+
+
+#: Shared by ``dedup_components`` (label propagation) and
+#: ``dedup_components_star`` (star contraction): both compute the same
+#: fixpoint, so they share one recursive-CTE oracle — any semantic drift
+#: between the two algorithms fails one of the two green rows.
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE {_MINHASH_PAIRS_CTES},
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
@@ -675,8 +803,18 @@ def connected_components(
            CASE WHEN MIN(label) = v THEN 1 ELSE 0 END AS is_canonical
     FROM reach
     GROUP BY v
-    """,
-)
+    """
+
+
+def _labels_to_components(labels: DataFrame) -> DataFrame:
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.when(F.col("id") == F.col("label"), 1).otherwise(0).alias("is_canonical"),
+    )
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: the step BETWEEN pair detection and
     actual deduplication. MinHash-LSH pairs become an undirected graph;
@@ -689,9 +827,17 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_lsh`` oracle, so pair semantics cannot drift.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b")
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        F.col("label").alias("component"),
-        F.when(F.col("id") == F.col("label"), 1).otherwise(0).alias("is_canonical"),
+    return _labels_to_components(connected_components(pairs, "doc_a", "doc_b"))
+
+
+@register("dedup_components_star", oracle=_COMPONENTS_ORACLE)
+def dedup_components_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution via large-star/small-star contraction
+    — same result as ``dedup_components`` (one shared oracle pins that),
+    different convergence contract: O(log² n) rounds regardless of
+    component diameter, the shape to use when templated/boilerplate text
+    produces long duplicate chains that exhaust label propagation."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _labels_to_components(
+        connected_components_star(pairs, "doc_a", "doc_b")
     )

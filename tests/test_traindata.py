@@ -294,32 +294,60 @@ def test_connected_components_resolves_transitive_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
 
 
-def test_connected_components_raises_on_iteration_exhaustion(spark):
+def test_connected_components_chain_exhaustion_and_star_fallback(spark):
     import pytest
 
-    from spark_etl_pipeline_spark.operators.dedup import connected_components
+    from spark_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
 
     # A 31-vertex chain has diameter 30: min-label propagation moves one
     # hop per round, so the default 25-round budget exhausts before the
-    # fixpoint. The guard must raise — never return partial labels.
+    # fixpoint. With fallback disabled the guard must raise — never
+    # return partial labels.
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(chain)
-    # A bumped budget converges and labels the whole chain with its min.
+        connected_components(chain, fallback=None)
+    want = {i: 0 for i in range(31)}
+    # The DEFAULT path now hands the exhausted graph to star contraction
+    # and still converges — the pipeline no longer hard-fails on long
+    # dup chains.
+    got = {r.id: r.label for r in connected_components(chain).collect()}
+    assert got == want
+    # A bumped budget converges by propagation alone.
     got = {
         r.id: r.label
-        for r in connected_components(chain, max_iters=40).collect()
+        for r in connected_components(chain, max_iters=40, fallback=None).collect()
     }
-    assert got == {i: 0 for i in range(31)}
+    assert got == want
+    # Star contraction converges DIRECTLY with the default budget —
+    # O(log² n) rounds, diameter-independent.
+    got = {r.id: r.label for r in connected_components_star(chain).collect()}
+    assert got == want
+
+
+def test_connected_components_star_resolves_transitive_clusters(spark):
+    from spark_etl_pipeline_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9), (21, 20)],
+        "src long, dst long",
+    )
+    got = {r.id: r.label for r in connected_components_star(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
 
 
 def test_connected_components_matches_union_find_property(spark):
     # randomized edge lists vs a pure-Python union-find reference
     from hypothesis import given, settings, strategies as st
 
-    from spark_etl_pipeline_spark.operators.dedup import connected_components
+    from spark_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
 
     def uf_components(edges):
         parent = {}
@@ -338,7 +366,7 @@ def test_connected_components_matches_union_find_property(spark):
         # canonical min-label per vertex
         return {v: find(v) for v in parent}
 
-    @settings(max_examples=10, deadline=None)
+    @settings(max_examples=8, deadline=None)
     @given(
         st.lists(
             st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
@@ -350,7 +378,10 @@ def test_connected_components_matches_union_find_property(spark):
     )
     def check(edges):
         df = spark.createDataFrame(edges, "src long, dst long")
+        want = uf_components(edges)
         got = {r.id: r.label for r in connected_components(df).collect()}
-        assert got == uf_components(edges)
+        assert got == want
+        star = {r.id: r.label for r in connected_components_star(df).collect()}
+        assert star == want
 
     check()
