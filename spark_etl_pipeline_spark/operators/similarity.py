@@ -108,6 +108,35 @@ def assign_nearest(
     )
 
 
+def assign_topn(
+    emb: DataFrame,
+    cents: DataFrame,
+    dist_order: str,
+    n: int,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Zero-shuffle top-``n``-nearest-centroid assignment, one row per
+    (vec_id, cell) — the multi-probe twin of :func:`assign_nearest`.
+
+    Same broadcast-fold shape: sort the per-row (distance, cid) structs,
+    slice the first ``n``, explode. The fact side keeps its scan
+    partitioning; output cardinality is n×|emb| with n a small constant
+    (nprobe), never |emb|×k.
+    """
+    cents_one = cents.agg(F.collect_list(F.struct(*cents.columns)).alias("cents"))
+    return emb.crossJoin(F.broadcast(cents_one)).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(array_sort(transform(cents, ct -> "
+                f"named_struct('d', {dist_order}, 'cid', ct.cid))), 1, {n}), "
+                f"s -> s.cid)"
+            )
+        ).alias("cell"),
+        *carry,
+    )
+
+
 def topk_cosine(
     queries: DataFrame, corpus: DataFrame, k: int = TOP_K
 ) -> DataFrame:
@@ -284,6 +313,21 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the cells are physical partitions, so the scan itself is
     pruned — the part brute force can never do.
     """
+    return _ivf_topk(spark, sf_dir, nprobe=1)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF plan: nearest-cell corpus assignment, top-``nprobe``
+    cell probing on the (|Q|-bounded) query side, exact cosine inside
+    the probed cells, top-3 per query.
+
+    ``nprobe`` multiplies only the QUERY side's row count (|Q|·nprobe
+    rows drive the cell join) — the corpus is still assigned once, so
+    recall rises with nprobe at a cost linear in probed-cell size, the
+    standard IVF quality/latency dial. A (query, neighbor) pair can
+    never appear twice: each neighbor lives in exactly one cell and the
+    probed cells are distinct.
+    """
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec().alias("v")
     ).withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
@@ -305,9 +349,13 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic (same sqrt doubles, same multiply/divide order as the
     # oracle's inline form).
     dist = f"-({dot_expr('v', 'ct.cv')} / (nrm * ct.cn))"
-    q = assign_nearest(
-        emb.filter(F.col("vec_id") < N_QUERIES), cents, dist, carry=("v", "nrm")
-    ).select(
+    q_src = emb.filter(F.col("vec_id") < N_QUERIES)
+    q_assigned = (
+        assign_nearest(q_src, cents, dist, carry=("v", "nrm"))
+        if nprobe == 1
+        else assign_topn(q_src, cents, dist, nprobe, carry=("v", "nrm"))
+    )
+    q = q_assigned.select(
         F.col("vec_id").alias("query_id"),
         "cell",
         F.col("v").alias("qv"),
@@ -335,6 +383,68 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+#: Oracle CTE fragments shared by the nprobe>1 queries: corpus assign
+#: (nearest cell) + query assign (top-nprobe cells) + probed-cell scoring.
+_IVF_CENTS_ASSIGN = f"""
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % {CENTROID_STRIDE} = 0),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+            FROM e CROSS JOIN cents c)
+        WHERE rn = 1
+    )"""
+
+
+def _ivf_scored_sql(nprobe: int) -> str:
+    return f"""
+    qassign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_duck_cos('e.v', 'c.cv')} DESC, c.cid) AS rn
+            FROM e CROSS JOIN cents c
+            WHERE e.vec_id < {N_QUERIES})
+        WHERE rn <= {nprobe}
+    ),
+    ivf_scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               {_duck_cos('qe.v', 'ne.v')} AS cos
+        FROM qassign q
+        JOIN assign n ON n.cell = q.cell AND n.vec_id != q.vec_id
+        JOIN e qe ON qe.vec_id = q.vec_id
+        JOIN e ne ON ne.vec_id = n.vec_id
+    )"""
+
+
+@register(
+    "sim_ivf_nprobe2",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_IVF_CENTS_ASSIGN},
+    {_ivf_scored_sql(2)}
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM ivf_scored)
+    WHERE rn <= 3
+    """,
+)
+def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search probing the query's TOP-2 cells — the recall dial.
+
+    nprobe=1 misses exact neighbors that sit just across a cell
+    boundary; probing the second-nearest cell recovers most of them for
+    2× the probed volume on the |Q|-bounded query side only (the corpus
+    assignment and everything downstream is unchanged). The
+    ``sim_ann_recall_nprobe2`` harness pins that recall strictly
+    improves on this corpus.
+    """
+    return _ivf_topk(spark, sf_dir, nprobe=2)
 
 
 @register(
@@ -402,11 +512,15 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     own. A real deployment trends this recall as the corpus drifts and
     re-trains centroids when it drops.
     """
+    return _ann_recall(spark, sf_dir, nprobe=1)
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
     exact = topk_cosine(emb.filter(F.col("vec_id") < N_QUERIES), emb, k=3).select(
         "query_id", "neighbor_id"
     )
-    ivf = sim_ivf_search(spark, sf_dir).select(
+    ivf = _ivf_topk(spark, sf_dir, nprobe).select(
         "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
     )
     hit = F.when(F.col("ivf_neighbor_id").isNotNull(), 1).otherwise(0)
@@ -425,6 +539,50 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_hits.cast("double") / 3).alias("recall"),
         )
     )
+
+
+@register(
+    "sim_ann_recall_nprobe2",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_duck_cos('q.v', 'c.v')} AS cos
+        FROM e q JOIN e c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM exact_scored)
+        WHERE rn <= 3
+    ),
+    {_IVF_CENTS_ASSIGN},
+    {_ivf_scored_sql(2)},
+    ivf AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+              FROM ivf_scored)
+        WHERE rn <= 3
+    )
+    SELECT x.query_id,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 3 AS recall
+    FROM exact x
+    LEFT JOIN ivf i ON i.query_id = x.query_id
+                   AND i.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id
+    """,
+)
+def sim_ann_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of IVF with nprobe=2 — paired with ``sim_ann_recall``
+    (nprobe=1) this is the quality/latency trade made measurable; a
+    pytest pins that total recall strictly improves on this corpus."""
+    return _ann_recall(spark, sf_dir, nprobe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -19,8 +19,10 @@ salt value (tests verify salted result == unsalted result).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.plans.registry import register, table
 
 SALT_COL = "__salt"
 
@@ -95,5 +97,81 @@ def salted_join(
     salted_big = with_salt(big, salt)
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias(SALT_COL)
     replicated = small.select("*", salts)
-    out = salted_big.join(replicated, [on, SALT_COL], how)
+    # shuffle_hash by contract: salted_join exists precisely for the
+    # small-but-NOT-broadcastable side. Letting the planner broadcast
+    # the replicated side would silently turn the whole construction
+    # into a no-op (broadcast joins have no shuffle skew to flatten) —
+    # if the side fits the broadcast threshold, call a plain join.
+    out = salted_big.join(replicated.hint("shuffle_hash"), [on, SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries: the salted plans with their UNSALTED SQL as oracle
+# (salting must never change a result — the oracle IS that contract).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_skew_salted_agg",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed ``events.user_id``.
+
+    Phase 1 groups by (user_id, salt) — a hot user fans out across
+    ``salt`` reducers; phase 2 sum-merges the per-salt partials. The
+    oracle is the plain unsalted GROUP BY: identical output is the
+    whole point (integer-cents sums keep the merge associative, so the
+    salt split cannot change a bit). Plan-gated: the phase-1 exchange
+    must hash on (user_id, __salt).
+    """
+    ev = table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+        salt=8,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("cents").cast("double") / 100).alias("total_value"),
+    )
+
+
+@register(
+    "events_skew_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def events_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join: skewed ``events.user_id`` against a customer
+    dim standing in for the small-but-not-broadcastable side.
+
+    The big side salts its key, the dim replicates ×salt, and the join
+    key becomes (user_id, salt) — each hot user spreads over ``salt``
+    tasks instead of serializing into one. The oracle is the plain
+    unsalted join; the plan gate asserts the exchange hashes on the
+    salt column.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    return salted_join(ev, dim, "user_id", salt=8).select(
+        "event_id", "user_id", "c_name"
+    )

@@ -127,6 +127,7 @@ def load_all() -> None:
         multimodal,
         profile,
         similarity,
+        skew,
         text,
         traindata,
     )

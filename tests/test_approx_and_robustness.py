@@ -37,6 +37,32 @@ def test_approx_percentile_within_tolerance(spark):
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02
 
 
+def test_ivf_nprobe2_strictly_improves_recall(spark):
+    # The reason nprobe exists: probing the second-nearest cell must
+    # recover boundary neighbors. Monotone per query (a superset of
+    # cells can only add candidates) and strictly better in total on
+    # this corpus (measured: 3.0 -> 5.67 summed recall@3 at sf0.01).
+    from spark_etl_pipeline_spark.plans import registry
+    from tests.conftest import SF_CORRECTNESS
+
+    registry.load_all()
+    r1 = {
+        r.query_id: r.recall
+        for r in registry.REGISTRY["sim_ann_recall"]
+        .builder(spark, SF_CORRECTNESS)
+        .collect()
+    }
+    r2 = {
+        r.query_id: r.recall
+        for r in registry.REGISTRY["sim_ann_recall_nprobe2"]
+        .builder(spark, SF_CORRECTNESS)
+        .collect()
+    }
+    assert set(r1) == set(r2)
+    assert all(r2[q] >= r1[q] for q in r1)
+    assert sum(r2.values()) > sum(r1.values())
+
+
 def test_malformed_json_yields_null_not_error(spark):
     df = spark.createDataFrame(
         [("1", '{"k": ["a","b"]}'), ("2", "{not json"), ("3", None), ("4", '{"k": "notarray"}')],

@@ -30,10 +30,12 @@ ALL_QUERIES = sorted(registry.REGISTRY)
 NESTED_LOOP_OK = {
     "rel_range_join",
     "sim_ivf_search",
+    "sim_ivf_nprobe2",  # same broadcast centroid fold, top-2 slice
     "sim_topk_cosine",
     "rel_asof_join",
     "sim_kmeans",  # broadcast k-centroid assignment, like sim_ivf_search
     "sim_ann_recall",  # composes sim_topk_cosine + sim_ivf_search
+    "sim_ann_recall_nprobe2",  # same composition at nprobe=2
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
@@ -98,6 +100,24 @@ def test_vocab_topk_never_windows_full_counts(spark):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
         "Window executes before the limit — full token set in one task"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["events_skew_salted_agg", "events_skew_salted_join"]
+)
+def test_salted_plans_exchange_on_salt_key(spark, name):
+    # The whole point of salting: the shuffle must hash on the salt
+    # column (hot keys fan out), and for the join the replicated side
+    # must never collapse to a broadcast (that would no-op the salt).
+    plan = plan_of(spark, name)
+    salted_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__salt" in ln
+    ]
+    assert salted_exchanges, f"{name}: no exchange hashes on __salt"
+    if name == "events_skew_salted_join":
+        assert "ShuffledHashJoin" in plan
 
 
 def test_ann_hyperplane_bucket_sizes_never_window(spark):
