@@ -93,12 +93,27 @@ def _nanos_columns(path: str) -> list[str]:
         candidate = files[0]
     try:
         schema = pq.read_schema(candidate)
+        phys = pq.ParquetFile(candidate).schema
     except Exception:
         return []
+    # Physical-type check matters: Spark-written INT96 timestamps ALSO
+    # surface as timestamp[ns] in the arrow schema, but Spark reads
+    # INT96 natively — only INT64 TIMESTAMP(NANOS) needs the
+    # nanosAsLong repair. Treating INT96 as nanos would corrupt every
+    # Spark-written table fed back through table(). Physical leaves are
+    # keyed by their top-level path segment (array/struct leaves have
+    # their own names, e.g. ``embedding.list.element``).
+    int96 = {
+        phys.column(i).path.split(".")[0]
+        for i in range(len(phys.names))
+        if phys.column(i).physical_type == "INT96"
+    }
     return [
         f.name
         for f in schema
-        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        if pat.is_timestamp(f.type)
+        and f.type.unit == "ns"
+        and f.name not in int96
     ]
 
 
@@ -139,64 +154,29 @@ def load_all() -> None:
 #:
 #: The driver's correctness gate checks the first ~50 entries in emission
 #: order, so ordering is a verification-coverage decision, not cosmetics.
-#: Round-4 rotation: front of the list is exactly the 35 queries WITHOUT
-#: a round-3 driver-green row (they were green in round 2, but several of
-#: their modules — dedup.py, text.py, relational.py, profile.py — changed
-#: since that check), plus every query whose plan or oracle changed in
-#: round 4, plus round-4 additions. Back of the list: the round-3 green
-#: rows that are untouched this round — if the window clips anything, it
-#: clips re-verification of results with a fresh green row on record.
+#: Round-5 rotation: front of the list is (a) the six round-5 additions
+#: (never had a driver row), (b) every query whose plan or builder
+#: changed in round 5, then (c) the round-3-green set that round 4
+#: deliberately clipped — keeping every query's driver row at most two
+#: rounds old. Back of the list: the round-4 green rows untouched this
+#: round — if the window clips anything, it clips re-verification of
+#: results with the freshest green row on record.
 _EMIT_FIRST = (
-    # --- driver-green in r2 but not re-checked in r3; modules changed since ---
-    "text_chunking",
-    "etl_events_pipeline",
-    "etl_upsert_merge",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "rel_agg_stats",
-    "rel_window_rank",
-    "rel_window_running",
-    "rel_window_frame",
-    "dedup_exact",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",  # calls jaccard_verified, rewritten in r3
-    "dedup_fuzzy_levenshtein",
-    "mm_frame_sample",
-    "text_quality_score",
-    "rel_filter_isin",
-    "rel_filter_nested_struct",
-    "rel_filter_null",
-    "rel_project_ops",
-    "rel_rename_upper",
-    "rel_join_inner_2key",
-    "rel_join_left",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_full",
-    "rel_join_cross",
-    "rel_union_dedup",
-    "rel_dedup_keyed",
-    "rel_rollup",
-    "rel_cube",
-    "rel_pivot",
-    "rel_sort_limit",
-    # --- plan or oracle changed in round 4 ---
-    "text_decontaminate",  # short-doc shingle guard
-    "text_repetition_score",  # short-doc bigram guard
-    "events_zscore",  # var > 0 NULL guard (both engines)
-    "dedup_components",  # connected_components convergence guard
-    "text_stratified_sample",  # bounded-window hash pre-filter
-    "docs_mixture_sample",  # bounded-window hash pre-filter
-    "mm_decode_features",  # real PNG/JPEG header decode with fake fallback
-    # --- new in round 4 ---
-    "docs_pack_sequences_sharded",
-)
-
-_EMIT_LAST = (
-    # Driver-green in round 3, untouched in round 4; safe to clip.
+    # --- new in round 5 ---
+    "dedup_components_star",
+    "sim_ivf_nprobe2",
+    "sim_ann_recall_nprobe2",
+    "events_skew_salted_agg",
+    "events_skew_salted_join",
+    "rel_partition_prune",
+    # --- plan or builder changed in round 5 ---
+    "sim_ann_hyperplane",  # bucket sizes de-windowed (groupBy + broadcast)
+    "dedup_minhash_lsh",  # jaccard_verified broadcast knob (auto default)
+    "dedup_ngram_jaccard",  # same jaccard_verified change
+    "dedup_embedding_cosine",  # pair-side broadcast knob (auto default)
+    "sim_ivf_search",  # refactored through _ivf_topk(nprobe=1)
+    "sim_ann_recall",  # refactored through _ann_recall(nprobe=1)
+    # --- driver-green in r3, clipped by the r4 window, untouched in r5 ---
     "rel_range_join",
     "rel_asof_join",
     "rel_percentiles",
@@ -218,13 +198,11 @@ _EMIT_LAST = (
     "text_token_stats",
     "text_lang_stats_pandas",
     "text_vocab_topk",
-    "sim_ivf_search",
     "sim_kmeans",
     "text_train_test_split",
     "text_pii_scrub",
     "docs_pack_sequences",
     "events_weighted_sample",
-    "sim_ann_recall",
     "events_user_sequences",
     "events_rolling_features",
     "q12_priority_lines",
@@ -232,14 +210,61 @@ _EMIT_LAST = (
     "q18_large_orders",
     "docs_length_histogram",
     "mm_resize",
-    "dedup_minhash_lsh",
     "sim_topk_cosine",
-    "sim_ann_hyperplane",
-    "dedup_embedding_cosine",
     "text_lang_id",
     "text_fingerprint",
     "text_bpe_token_count",
     "text_lang_id_ngram",
+)
+
+_EMIT_LAST = (
+    # r5-touched but behavior-identical on the driver corpus (r04-green;
+    # star fallback never fires below exhaustion, the JPEG walker never
+    # fires on text payloads — both changes are pytest-pinned). First in
+    # line if the driver window runs past 50.
+    "dedup_components",
+    "mm_decode_features",
+    # Driver-green in round 4, untouched in round 5; safe to clip.
+    "text_chunking",
+    "etl_events_pipeline",
+    "etl_upsert_merge",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "rel_agg_stats",
+    "rel_window_rank",
+    "rel_window_running",
+    "rel_window_frame",
+    "dedup_exact",
+    "dedup_simhash_pairs",
+    "dedup_simhash",
+    "dedup_fuzzy_levenshtein",
+    "mm_frame_sample",
+    "text_quality_score",
+    "rel_filter_isin",
+    "rel_filter_nested_struct",
+    "rel_filter_null",
+    "rel_project_ops",
+    "rel_rename_upper",
+    "rel_join_inner_2key",
+    "rel_join_left",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_full",
+    "rel_join_cross",
+    "rel_union_dedup",
+    "rel_dedup_keyed",
+    "rel_rollup",
+    "rel_cube",
+    "rel_pivot",
+    "rel_sort_limit",
+    "text_decontaminate",
+    "text_repetition_score",
+    "events_zscore",
+    "text_stratified_sample",
+    "docs_mixture_sample",
+    "docs_pack_sequences_sharded",
 )
 
 

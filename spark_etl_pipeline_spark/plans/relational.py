@@ -1316,3 +1316,60 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qty_c").cast("double") / 100.0).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning as a registered capability (SURVEY §4: read the
+# dataset ROOT and filter the partition column — the reference instead
+# hardcodes one partition's path into its config)
+# ---------------------------------------------------------------------------
+
+
+def _partitioned_orders_copy(spark: SparkSession, sf_dir: str) -> str:
+    """One-time partitioned-by-status copy of ``orders`` under /tmp.
+
+    Hive-style layout (``o_orderstatus=F/...``) is what makes pruning
+    possible; the copy is cached per sf_dir and rebuilt only when
+    missing, so the registered query measures the READ path, not the
+    write. Production tables are born partitioned — this stand-in
+    exists because the driver's flat test tables are not.
+    """
+    import hashlib
+    import os
+
+    from spark_etl_pipeline_spark.sources import write_parquet
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"/tmp/spark_graft_cache/orders_by_status_{key}"
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        write_parquet(
+            table(spark, sf_dir, "orders"),
+            root,
+            mode="overwrite",
+            partition_by=["o_orderstatus"],
+        )
+    return root
+
+
+@register(
+    "rel_partition_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def rel_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-level partition pruning: scan the partitioned root with
+    a predicate on the partition column. The predicate lands in the
+    scan's ``PartitionFilters`` (plan-gated), so non-matching
+    directories are never even LISTED — at 100 TB this is the difference
+    between reading one status partition and reading the table. The
+    oracle runs the same filter over the flat table: pruning must be
+    invisible in the result.
+    """
+    from spark_etl_pipeline_spark.sources import read_parquet
+
+    root = _partitioned_orders_copy(spark, sf_dir)
+    df = read_parquet(spark, root, predicate=F.col("o_orderstatus") == "F")
+    return df.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")

@@ -102,6 +102,16 @@ def test_vocab_topk_never_windows_full_counts(spark):
     )
 
 
+def test_partition_prune_lands_in_partition_filters(spark):
+    # The status predicate must prune DIRECTORIES at plan time
+    # (PartitionFilters), not filter rows after the scan.
+    plan = plan_of(spark, "rel_partition_prune")
+    start = plan.index("PartitionFilters")
+    assert "o_orderstatus" in plan[start : start + 200], (
+        "partition predicate not in PartitionFilters — scan reads all statuses"
+    )
+
+
 @pytest.mark.parametrize(
     "name", ["events_skew_salted_agg", "events_skew_salted_join"]
 )

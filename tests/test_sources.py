@@ -198,3 +198,25 @@ def test_parquet_schema_evolution_merged_read(spark, nation, tmp_path):
     assert rows == nation.count() * 2
     # generation-1 rows surface the new column as null
     assert merged.filter(F.col("region_tag").isNull()).count() == nation.count()
+
+
+def test_table_does_not_misrepair_int96_timestamps(spark, tmp_path):
+    # Spark's default parquet timestamp encoding (INT96) surfaces as
+    # timestamp[ns] in arrow schemas, but Spark reads it natively — the
+    # footer sniffer must only flag INT64 TIMESTAMP(NANOS) (the driver
+    # testdata encoding) for the nanosAsLong repair. Regression: the
+    # sniffer once flagged INT96 and table() then applied `ts div 1000`
+    # to a real timestamp column (analysis error).
+    from spark_etl_pipeline_spark.plans.registry import table
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        src = spark.sql(
+            "SELECT 1 AS id, timestamp'2026-01-02 03:04:05.123456' AS ts"
+        )
+        src.write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    got = table(spark, str(tmp_path), "t")
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert str(got.collect()[0]["ts"]) == "2026-01-02 03:04:05.123456"
