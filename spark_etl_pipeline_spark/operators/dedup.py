@@ -841,3 +841,54 @@ def dedup_components_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _labels_to_components(
         connected_components_star(pairs, "doc_a", "doc_b")
     )
+
+
+@register(
+    "docs_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e.dst AS v, r.label
+        FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    dropped AS (
+        SELECT v FROM reach GROUP BY v HAVING MIN(label) != v
+    )
+    SELECT d.doc_id, d.lang, md5(d.text) AS content_md5,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT v FROM dropped)
+    """,
+)
+def docs_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup pipeline a corpus curator actually runs:
+    MinHash-LSH pairs → connected components → drop every non-canonical
+    member → surviving corpus.
+
+    Composition of three independently-oracled stages, oracled again as
+    a whole (the CTE chain reuses the exact ``dup_pairs`` SQL, so any
+    drift in ANY stage fails this row too). Scale shape: the drop-list
+    is the duplicate subset (bounded by dup rate, far smaller than the
+    corpus); the final anti-join shuffles on doc_id with AQE free to
+    broadcast the drop side when it fits — the corpus itself is scanned
+    once.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    dropped = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )

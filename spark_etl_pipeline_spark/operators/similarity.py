@@ -838,3 +838,71 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "cluster",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: per-vector symmetric int8 quantization
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127  # symmetric int8 range [-127, 127]
+
+
+@register(
+    "sim_embed_quantize",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scaled AS (
+        SELECT vec_id, v,
+               CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
+                    THEN 0.0
+                    ELSE {QUANT_LEVELS}.0
+                         / list_max(list_transform(v, x -> abs(x)))
+               END AS scale
+        FROM e
+    )
+    SELECT vec_id, scale,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, {DIM}),
+                   i -> CAST(round(v[i] * scale) AS BIGINT) * i)),
+               (s, x) -> s + x) AS checksum,
+           CAST(len(list_filter(v,
+               x -> abs(CAST(round(x * scale) AS BIGINT)) = {QUANT_LEVELS}))
+               AS BIGINT) AS n_sat
+    FROM scaled
+    """,
+)
+def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the memory-side half of
+    ANN at 100 TB (4× smaller vectors ⇒ 4× more corpus per executor;
+    IVF cell scans score int8 with one rescale).
+
+    Pure per-row JVM expressions: scale = 127/max|x|, q_i = round(x_i ·
+    scale). The oracle compares an order-weighted integer CHECKSUM of
+    the quantized vector plus the saturation count — integer-exact
+    across engines, so any rounding drift in any dimension fails the
+    row. The dequantization error bound (≤ 0.5/scale per dimension) is
+    pinned by a pytest rather than the oracle (it is a property, not a
+    value).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    mx = "array_max(transform(v, x -> abs(x)))"
+    scaled = emb.withColumn(
+        "scale",
+        F.expr(
+            f"CASE WHEN {mx} = 0.0D THEN 0.0D "
+            f"ELSE {QUANT_LEVELS}.0D / {mx} END"
+        ),
+    )
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.expr(
+            f"aggregate(zip_with(transform(v, x -> cast(round(x * scale) as bigint)), "
+            f"sequence(1L, {DIM}L), (q, i) -> q * i), "
+            "cast(0 as bigint), (s, x) -> s + x)"
+        ).alias("checksum"),
+        F.expr(
+            f"cast(size(filter(v, x -> "
+            f"abs(cast(round(x * scale) as bigint)) = {QUANT_LEVELS})) as bigint)"
+        ).alias("n_sat"),
+    )

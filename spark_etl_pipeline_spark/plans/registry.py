@@ -163,6 +163,8 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "docs_dedup_corpus",
+    "sim_embed_quantize",
     "dedup_components_star",
     "sim_ivf_nprobe2",
     "sim_ann_recall_nprobe2",
@@ -213,11 +215,13 @@ _EMIT_FIRST = (
     "sim_topk_cosine",
     "text_lang_id",
     "text_fingerprint",
-    "text_bpe_token_count",
-    "text_lang_id_ngram",
 )
 
 _EMIT_LAST = (
+    # r3-green, untouched; bumped out of the 50-row window by the two
+    # extra round-5 additions — first in line next rotation.
+    "text_bpe_token_count",
+    "text_lang_id_ngram",
     # r5-touched but behavior-identical on the driver corpus (r04-green;
     # star fallback never fires below exhaustion, the JPEG walker never
     # fires on text payloads — both changes are pytest-pinned). First in

@@ -92,3 +92,34 @@ def test_strip_stray_commas_variants(spark):
     assert lossy["a,b"][1] == "ab"
     # quoted-element commas survive in both
     assert lossy['"a","b"'] == ('"a","b"', '"a","b"')
+
+
+def test_int8_quantization_error_bound(spark):
+    # Property the oracle can't express: dequantized values must sit
+    # within half a quantization step (0.5/scale) of the originals, and
+    # no quantized magnitude may exceed 127.
+    from pyspark.sql import functions as F
+
+    from spark_etl_pipeline_spark.operators.similarity import QUANT_LEVELS, _vec
+    from spark_etl_pipeline_spark.plans.registry import table
+
+    emb = table(spark, SF_SMOKE, "embeddings").select("vec_id", _vec().alias("v"))
+    mx = "array_max(transform(v, x -> abs(x)))"
+    checked = emb.withColumn(
+        "scale",
+        F.expr(f"CASE WHEN {mx} = 0.0D THEN 0.0D ELSE {QUANT_LEVELS}.0D / {mx} END"),
+    ).select(
+        F.expr(
+            "array_max(transform(v, x -> "
+            "abs(x - cast(round(x * scale) as bigint) / scale)))"
+        ).alias("max_err"),
+        F.expr(
+            "array_max(transform(v, x -> "
+            "abs(cast(round(x * scale) as bigint))))"
+        ).alias("max_q"),
+        (F.lit(0.5) / F.col("scale") + F.lit(1e-12)).alias("bound"),
+    )
+    bad = checked.filter(
+        (F.col("max_err") > F.col("bound")) | (F.col("max_q") > QUANT_LEVELS)
+    )
+    assert bad.count() == 0
