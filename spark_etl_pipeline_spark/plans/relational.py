@@ -721,7 +721,15 @@ def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window functions (row_number with unique tiebreak)."""
+    """Ranking window functions (row_number with unique tiebreak).
+
+    Scale contract: a FULL per-group ranking inherently serializes each
+    group into one task (the total order is the semantics — unlike a
+    windowed count, it cannot be rewritten as groupBy + join, cf. the
+    de-windowed ``sim_ann_hyperplane``). Partition-key cardinality is
+    therefore the parallelism bound; for low-cardinality keys at corpus
+    scale, ask for the top-K variant instead (``text_vocab_topk``'s
+    TakeOrderedAndProject-then-window shape), which this engine gates."""
     cust = table(spark, sf_dir, "customer")
     w_total = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
     w_rank = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
