@@ -892,3 +892,81 @@ def docs_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("content_md5"),
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "docs_dedup_incremental",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT d.doc_id, d.lang, md5(d.text) AS content_md5,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id % 4 = 3
+      AND NOT EXISTS (
+        SELECT 1 FROM dup_pairs p
+        WHERE p.doc_b = d.doc_id
+           OR (p.doc_a = d.doc_id AND p.doc_b % 4 <> 3)
+      )
+    """,
+)
+def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a DELTA batch (here ``doc_id % 4 =
+    3``) deduped against an already-curated BASE corpus plus itself.
+
+    The operation every rolling-crawl pipeline runs per batch: the base
+    corpus is authoritative (a delta doc matching ANY base doc is
+    dropped, regardless of id order); within the batch the greedy
+    min-id rule applies (drop a delta doc iff it has a verified
+    near-dup partner with a smaller doc_id). Greedy-pairwise, not
+    connected components — a batch is small relative to base, and the
+    rule is one anti-join instead of an iterative contraction; the
+    corresponding full-corpus CC pass is ``docs_dedup_corpus``.
+
+    Scale shape — the reason this exists as its own operator: only
+    DELTA-touching pairs are ever formed. The bucket join probes the
+    full band table with the (small) delta band set, so the work is
+    Σ_bucket |delta ∩ bucket| × |bucket|, not the corpus self-join. At
+    100 TB the base band/signature/shingle tables are precomputed and
+    stored (append-only alongside the corpus — here derived in-plan
+    from the same table, same topology); each batch re-hashes only
+    itself, probes the store, and appends its survivors' signatures.
+    Pair verification reuses :func:`jaccard_verified` (AQE picks
+    broadcast vs shuffle for the pair side at runtime).
+    """
+    docs = table(spark, sf_dir, "documents")
+    in_delta = F.col("doc_id") % 4 == 3
+    sh = shingle_set(docs)
+    bands = lsh_bands(minhash_signatures(sh))
+    cand = (
+        bands.filter(in_delta)
+        .alias("d")
+        .join(bands.alias("x"), ["band", "bh"])
+        .filter(F.col("d.doc_id") != F.col("x.doc_id"))
+        .select(
+            F.least("d.doc_id", "x.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "x.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_verified(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    dropped = (
+        verified.select(F.col("doc_b").alias("doc_id"))
+        .union(
+            verified.filter(F.col("doc_b") % 4 != 3).select(
+                F.col("doc_a").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    return (
+        docs.filter(in_delta)
+        .join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("text")).alias("content_md5"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )

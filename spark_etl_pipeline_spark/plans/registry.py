@@ -163,6 +163,7 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "docs_dedup_incremental",
     "docs_dedup_corpus",
     "sim_embed_quantize",
     "dedup_components_star",
@@ -214,10 +215,11 @@ _EMIT_FIRST = (
     "mm_resize",
     "sim_topk_cosine",
     "text_lang_id",
-    "text_fingerprint",
 )
 
 _EMIT_LAST = (
+    # r3-green, untouched; clipped to keep the r5 window at 50 rows.
+    "text_fingerprint",
     # r3-green, untouched; bumped out of the 50-row window by the two
     # extra round-5 additions — first in line next rotation.
     "text_bpe_token_count",
