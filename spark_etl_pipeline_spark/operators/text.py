@@ -473,3 +473,124 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("vocab_id", F.row_number().over(w)).orderBy(
         F.col("freq").desc(), F.col("token")
     )
+
+
+# Gopher-style intra-document repetition gates (Rae et al. 2021 §A1.1):
+# a doc dominated by one bigram / repeated trigrams / one word is
+# boilerplate or spam, not training text.
+REP_TOP_BIGRAM_MAX = 0.06
+REP_DUP_TRIGRAM_MAX = 0.10
+REP_MAX_WORD_MAX = 0.13
+
+_BG_SPARK = (
+    "CASE WHEN size(tokens) >= 2 THEN transform(sequence(0, size(tokens) - 2),"
+    " i -> concat(tokens[i], ' ', tokens[i+1])) ELSE array() END"
+)
+_TRI_SPARK = (
+    "CASE WHEN size(tokens) >= 3 THEN transform(sequence(0, size(tokens) - 3),"
+    " i -> concat(tokens[i], ' ', tokens[i+1], ' ', tokens[i+2]))"
+    " ELSE array() END"
+)
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+            generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS g
+        FROM toks
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    bga AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_ratio
+        FROM bgc GROUP BY doc_id
+    ),
+    tri AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE [] END) AS s
+        FROM toks
+    ),
+    tric AS (
+        SELECT doc_id,
+               CAST(count(*) - count(DISTINCT s) AS DOUBLE) / count(*)
+                   AS dup_trigram_ratio
+        FROM tri GROUP BY doc_id
+    ),
+    wcc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        GROUP BY doc_id, w
+    ),
+    wa AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS max_word_ratio
+        FROM wcc GROUP BY doc_id
+    )
+    SELECT doc_id, top_bigram_ratio, dup_trigram_ratio, max_word_ratio,
+           (top_bigram_ratio <= {REP_TOP_BIGRAM_MAX}
+            AND dup_trigram_ratio <= {REP_DUP_TRIGRAM_MAX}
+            AND max_word_ratio <= {REP_MAX_WORD_MAX}) AS keep
+    FROM bga
+    JOIN tric USING (doc_id)
+    JOIN wa USING (doc_id)
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition gate: fraction of the doc
+    covered by its top bigram, by duplicated trigrams, and by its most
+    frequent word; ``keep`` ANDs the three thresholds.
+
+    Scale shape: three explode → hash-aggregate branches, each keyed
+    (doc_id, gram) with map-side partial counts — shuffle volume is
+    DISTINCT grams per doc, not corpus tokens — re-aggregated to one
+    row per doc and self-joined on doc_id (co-partitioned: the three
+    branches land on the same doc_id hashing, so AQE-planned joins
+    never re-exchange a side that is already on-key). No window, no
+    per-row O(len²) higher-order scan — the explode path is the one
+    that survives million-token documents.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents")).select(
+        "doc_id", "tokens"
+    )
+    bga = (
+        docs.select("doc_id", F.explode(F.expr(_BG_SPARK)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_ratio")
+        )
+    )
+    tric = (
+        docs.select("doc_id", F.explode(F.expr(_TRI_SPARK)).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                (F.count(F.lit(1)) - F.countDistinct("s")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_trigram_ratio")
+        )
+    )
+    wa = (
+        docs.select("doc_id", F.explode("tokens").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("max_word_ratio"))
+    )
+    return (
+        bga.join(tric, "doc_id")
+        .join(wa, "doc_id")
+        .withColumn(
+            "keep",
+            (F.col("top_bigram_ratio") <= REP_TOP_BIGRAM_MAX)
+            & (F.col("dup_trigram_ratio") <= REP_DUP_TRIGRAM_MAX)
+            & (F.col("max_word_ratio") <= REP_MAX_WORD_MAX),
+        )
+    )

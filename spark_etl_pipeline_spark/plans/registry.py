@@ -163,6 +163,8 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "stream_dedup_replay",
+    "text_repetition_filter",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
     "sim_embed_quantize",
@@ -213,12 +215,12 @@ _EMIT_FIRST = (
     "q18_large_orders",
     "docs_length_histogram",
     "mm_resize",
-    "sim_topk_cosine",
-    "text_lang_id",
 )
 
 _EMIT_LAST = (
     # r3-green, untouched; clipped to keep the r5 window at 50 rows.
+    "sim_topk_cosine",
+    "text_lang_id",
     "text_fingerprint",
     # r3-green, untouched; bumped out of the 50-row window by the two
     # extra round-5 additions — first in line next rotation.

@@ -322,3 +322,61 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.event_id").alias("purchase_id"),
         F.col("c.event_id").alias("click_id"),
     )
+
+
+def stream_events_dedup(
+    spark: SparkSession, src_glob: str, schema, nanos: list[str]
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup over a replayed source.
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per
+    ``event_id`` and — unlike plain ``dropDuplicates`` — EXPIRES each
+    key's state once the watermark passes its event time, so state is
+    bounded by (watermark horizon x arrival rate), not by stream
+    lifetime. That expiry contract is the only viable dedup at
+    100 TB/day: an at-least-once upstream (Kafka redelivery, file
+    re-drops) re-sends within minutes, never weeks, so a 24h horizon
+    absorbs every real replay while state stays finite.
+    """
+    stream = spark.readStream.schema(schema).format("parquet").load(src_glob)
+    for col in nanos:
+        stream = stream.withColumn(
+            col, F.expr(f"timestamp_micros(`{col}` div 1000)")
+        )
+    return stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+@register(
+    "stream_dedup_replay",
+    oracle="""
+    WITH replayed AS (
+        SELECT * FROM events
+        UNION ALL
+        SELECT * FROM events WHERE event_id % 10 = 0
+    ),
+    deduped AS (SELECT DISTINCT * FROM replayed)
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+               AS sum_value
+    FROM deduped
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`stream_events_dedup`: a 10% at-least-once
+    replay (every ``event_id % 10 = 0`` delivered twice) deduped back
+    to exactly-once, verified by per-type count + exact-cents sum equal
+    to the clean source. Replay rows are byte-identical, so keyed
+    ``dropDuplicates("event_id")`` and the oracle's full-row DISTINCT
+    agree deterministically. One shuffle on event_id (the dedup), one
+    on event_type (the audit agg) — map-side partials on both."""
+    ev = table(spark, sf_dir, "events")
+    replayed = ev.union(ev.filter(F.col("event_id") % 10 == 0))
+    deduped = replayed.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+    )

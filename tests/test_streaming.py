@@ -96,3 +96,42 @@ def test_stream_stream_interval_join_matches_batch(spark):
         want["n_pairs"],
         want["n_purchases_with_click"],
     ) and got["n_pairs"] > 0
+
+
+def test_stream_dedup_replayed_files(spark, tmp_path):
+    """Two byte-identical file drops of the same events →
+    dropDuplicatesWithinWatermark keeps exactly one row per event_id."""
+    import shutil
+
+    from spark_etl_pipeline_spark.plans.registry import _nanos_columns
+    from spark_etl_pipeline_spark.streaming.windows import stream_events_dedup
+
+    src = f"{SF_SMOKE}/events.parquet"
+    drop_dir = tmp_path / "drops"
+    drop_dir.mkdir()
+    shutil.copy(src, drop_dir / "batch_000.parquet")
+    shutil.copy(src, drop_dir / "batch_001.parquet")
+
+    nanos = _nanos_columns(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+
+    stream = stream_events_dedup(spark, f"{drop_dir}/*.parquet", schema, nanos)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS ids FROM dedup_test"
+    ).collect()[0]
+    want = spark.read.parquet(src).count()
+    assert got["n"] == got["ids"] == want and want > 0
