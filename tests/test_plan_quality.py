@@ -151,3 +151,23 @@ def test_centroid_assignment_is_shuffle_free(spark, name):
             raise AssertionError(
                 f"{name}: centroid assignment shuffles on vec_id:\n{line}"
             )
+
+
+def test_repetition_filter_single_scan_no_join(spark):
+    # All three gram metrics must come off ONE corpus scan (tagged
+    # explode + stacked aggregates). A regression to per-metric branches
+    # re-scans the corpus 3x and joins the results back on doc_id.
+    plan = plan_of(spark, "text_repetition_filter")
+    assert plan.count("Scan parquet") == 1, "repetition metrics re-scan corpus"
+    assert "Join" not in plan, "metric branches joined instead of pivoted"
+    assert "Window" not in plan
+
+
+def test_incremental_dedup_prunes_to_delta_probe(spark):
+    # The delta-batch predicate must reach the probe-side band branch as
+    # a Filter on doc_id (pushed through the minhash aggregate to the
+    # scan side), so the bucket join probes with the BATCH, not the
+    # corpus; and the pair verification must never cartesian.
+    plan = plan_of(spark, "docs_dedup_incremental")
+    assert "(doc_id" in plan and "% 4)" in plan, "delta predicate missing"
+    assert "CartesianProduct" not in plan
