@@ -163,6 +163,13 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_dormant_customers",
     "stream_dedup_replay",
     "text_repetition_filter",
     "docs_dedup_incremental",
@@ -208,6 +215,10 @@ _EMIT_FIRST = (
     "text_pii_scrub",
     "docs_pack_sequences",
     "events_weighted_sample",
+)
+
+_EMIT_LAST = (
+    # r3-green, untouched; clipped to keep the r5 window at 50 rows.
     "events_user_sequences",
     "events_rolling_features",
     "q12_priority_lines",
@@ -215,10 +226,6 @@ _EMIT_FIRST = (
     "q18_large_orders",
     "docs_length_histogram",
     "mm_resize",
-)
-
-_EMIT_LAST = (
-    # r3-green, untouched; clipped to keep the r5 window at 50 rows.
     "sim_topk_cosine",
     "text_lang_id",
     "text_fingerprint",
