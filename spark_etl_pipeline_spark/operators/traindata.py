@@ -929,3 +929,127 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_n", F.lit(0)).cast("bigint").alias("kept_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: ordered funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT '2_click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT '3_purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user counts
+    at step k only if the step-k event happens AT OR AFTER their
+    step-(k-1) entry time (the strict-ordering semantics real funnel
+    tools use, not three independent counts).
+
+    Three chained (filter → per-user min → join) stages, every shuffle
+    keyed user_id — co-partitioned end to end, so stages 2 and 3 reuse
+    the stage-1 partitioning instead of re-exchanging; each stage's
+    state is one timestamp per surviving user (monotonically shrinking).
+    Equality on event timestamps is µs in BOTH engines (the registry
+    repairs the parquet's nanos to micros; DuckDB's TIMESTAMP is µs),
+    so the >= gates can never disagree.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def count_step(df: DataFrame, step: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), "n_users"
+        )
+
+    return (
+        count_step(s1, "1_view")
+        .unionByName(count_step(s2, "2_click"))
+        .unionByName(count_step(s3, "3_purchase"))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS first_date
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.first_date, '%Y-%m-%d') AS cohort_date,
+           date_diff('day', f.first_date, CAST(e.ts AS DATE)) // 7
+               AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e
+    JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen date,
+    counted distinct in each subsequent week offset — the table every
+    growth dashboard renders.
+
+    Per-user first-seen is one aggregate on user_id; the join back is
+    on the same key (co-partitioned, no extra exchange); the distinct
+    count shuffles once on (cohort, offset, user) then reduces. Week
+    offsets are INTEGER day-diffs div 7 on both engines — no week-start
+    or timezone convention can drift the bucket edges the way
+    date_trunc('week') would.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_date")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            F.date_format("first_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.expr("datediff(cast(ts as date), first_date) div 7")
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

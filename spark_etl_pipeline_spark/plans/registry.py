@@ -163,6 +163,8 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "events_funnel",
+    "events_cohort_retention",
     "q4_order_priority",
     "q7_nation_volume",
     "q8_market_share",
@@ -213,12 +215,12 @@ _EMIT_FIRST = (
     "sim_kmeans",
     "text_train_test_split",
     "text_pii_scrub",
-    "docs_pack_sequences",
-    "events_weighted_sample",
 )
 
 _EMIT_LAST = (
     # r3-green, untouched; clipped to keep the r5 window at 50 rows.
+    "docs_pack_sequences",
+    "events_weighted_sample",
     "events_user_sequences",
     "events_rolling_features",
     "q12_priority_lines",
