@@ -894,6 +894,62 @@ def docs_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_survivors(docs: DataFrame, in_delta) -> DataFrame:
+    """DELTA-batch docs surviving dedup against BASE + the batch itself.
+
+    ``in_delta`` is a callable ``Column -> boolean Column`` applied to
+    an id column to test batch membership (callable, not a bound
+    Column, because the predicate must be evaluated against doc_id,
+    doc_a and doc_b at different points of the plan). Base is
+    authoritative: a delta doc near-dup-matching
+    ANY base doc is dropped regardless of id order; within the batch
+    the greedy min-id rule applies (drop a delta doc iff it has a
+    verified partner with a smaller doc_id). Greedy-pairwise, not
+    connected components — a batch is small relative to base, and the
+    rule is one anti-join instead of an iterative contraction; the
+    corresponding full-corpus CC pass is ``docs_dedup_corpus``.
+
+    Scale shape — the reason this exists as its own operator: only
+    DELTA-touching pairs are ever formed. The bucket join probes the
+    full band table with the (small) delta band set, so the work is
+    Σ_bucket |delta ∩ bucket| × |bucket|, not the corpus self-join. At
+    100 TB the base band/signature/shingle tables are precomputed and
+    stored (append-only alongside the corpus — here derived in-plan
+    from the same table, same topology); each batch re-hashes only
+    itself, probes the store, and appends its survivors' signatures.
+    Pair verification reuses :func:`jaccard_verified` (AQE picks
+    broadcast vs shuffle for the pair side at runtime).
+    """
+    sh = shingle_set(docs)
+    bands = lsh_bands(minhash_signatures(sh))
+    cand = (
+        bands.filter(in_delta(F.col("doc_id")))
+        .alias("d")
+        .join(bands.alias("x"), ["band", "bh"])
+        .filter(F.col("d.doc_id") != F.col("x.doc_id"))
+        .select(
+            F.least("d.doc_id", "x.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "x.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = jaccard_verified(cand, sh).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    dropped = (
+        verified.select(F.col("doc_b").alias("doc_id"))
+        .union(
+            verified.filter(~in_delta(F.col("doc_b"))).select(
+                F.col("doc_a").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    return docs.filter(in_delta(F.col("doc_id"))).join(
+        dropped, "doc_id", "left_anti"
+    )
+
+
 @register(
     "docs_dedup_incremental",
     oracle=f"""
@@ -910,63 +966,14 @@ def docs_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingestion dedup: a DELTA batch (here ``doc_id % 4 =
-    3``) deduped against an already-curated BASE corpus plus itself.
-
-    The operation every rolling-crawl pipeline runs per batch: the base
-    corpus is authoritative (a delta doc matching ANY base doc is
-    dropped, regardless of id order); within the batch the greedy
-    min-id rule applies (drop a delta doc iff it has a verified
-    near-dup partner with a smaller doc_id). Greedy-pairwise, not
-    connected components — a batch is small relative to base, and the
-    rule is one anti-join instead of an iterative contraction; the
-    corresponding full-corpus CC pass is ``docs_dedup_corpus``.
-
-    Scale shape — the reason this exists as its own operator: only
-    DELTA-touching pairs are ever formed. The bucket join probes the
-    full band table with the (small) delta band set, so the work is
-    Σ_bucket |delta ∩ bucket| × |bucket|, not the corpus self-join. At
-    100 TB the base band/signature/shingle tables are precomputed and
-    stored (append-only alongside the corpus — here derived in-plan
-    from the same table, same topology); each batch re-hashes only
-    itself, probes the store, and appends its survivors' signatures.
-    Pair verification reuses :func:`jaccard_verified` (AQE picks
-    broadcast vs shuffle for the pair side at runtime).
+    """Incremental ingestion dedup: the DELTA batch (``doc_id % 4 = 3``)
+    deduped against the already-curated BASE corpus plus itself — see
+    :func:`incremental_survivors` for semantics and the scale story.
     """
     docs = table(spark, sf_dir, "documents")
-    in_delta = F.col("doc_id") % 4 == 3
-    sh = shingle_set(docs)
-    bands = lsh_bands(minhash_signatures(sh))
-    cand = (
-        bands.filter(in_delta)
-        .alias("d")
-        .join(bands.alias("x"), ["band", "bh"])
-        .filter(F.col("d.doc_id") != F.col("x.doc_id"))
-        .select(
-            F.least("d.doc_id", "x.doc_id").alias("doc_a"),
-            F.greatest("d.doc_id", "x.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    verified = jaccard_verified(cand, sh).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
-    dropped = (
-        verified.select(F.col("doc_b").alias("doc_id"))
-        .union(
-            verified.filter(F.col("doc_b") % 4 != 3).select(
-                F.col("doc_a").alias("doc_id")
-            )
-        )
-        .distinct()
-    )
-    return (
-        docs.filter(in_delta)
-        .join(dropped, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            "lang",
-            F.md5(F.col("text")).alias("content_md5"),
-            F.col("n_chars").cast("long").alias("n_chars"),
-        )
+    return incremental_survivors(docs, lambda c: c % 4 == 3).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     )

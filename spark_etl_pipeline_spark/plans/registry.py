@@ -163,6 +163,7 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "rel_scd2_history",
     "events_funnel",
     "events_cohort_retention",
     "q4_order_priority",
@@ -214,11 +215,11 @@ _EMIT_FIRST = (
     "text_vocab_topk",
     "sim_kmeans",
     "text_train_test_split",
-    "text_pii_scrub",
 )
 
 _EMIT_LAST = (
     # r3-green, untouched; clipped to keep the r5 window at 50 rows.
+    "text_pii_scrub",
     "docs_pack_sequences",
     "events_weighted_sample",
     "events_user_sequences",

@@ -1764,3 +1764,77 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "rel_scd2_history",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_id, event_type,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM flagged
+    ),
+    versions AS (
+        SELECT user_id, run_id, event_type,
+               MIN(event_id) AS valid_from_id,
+               COUNT(*) AS n_events
+        FROM runs
+        GROUP BY user_id, run_id, event_type
+    )
+    SELECT user_id, event_type, valid_from_id,
+           lead(valid_from_id) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_id) AS valid_to_id,
+           n_events
+    FROM versions
+    """,
+)
+def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    user's consecutive same-state runs into version rows with
+    [valid_from, valid_to) id ranges, open-ended for the current
+    version — the gaps-and-islands shape every warehouse dim build
+    runs.
+
+    Two window passes partitioned by user_id (change-flag + running
+    run_id, then lead over the collapsed versions) with ONE exchange:
+    the run aggregation and both windows share the user_id hash, so
+    Catalyst plans window → agg → window without re-shuffling. Version
+    ordering is event_id (generation order) — deterministic in both
+    engines, unlike same-µs timestamps. Per-user state is bounded by
+    that user's history; a hot user skews a task but never an executor
+    (AQE skew split applies to the exchange).
+    """
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    versions = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("event_id").alias("valid_from_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("valid_from_id")
+    return versions.select(
+        "user_id",
+        "event_type",
+        "valid_from_id",
+        F.lead("valid_from_id").over(w_ver).alias("valid_to_id"),
+        "n_events",
+    )

@@ -385,3 +385,31 @@ def test_connected_components_matches_union_find_property(spark):
         assert star == want
 
     check()
+
+
+def test_incremental_dedup_base_wins_and_greedy_min(spark):
+    """Pin the two rules the oracle can't isolate: (1) a delta doc dies
+    to a base near-dup even when the BASE id is LARGER; (2) within the
+    batch, only the partner with the smaller id survives; (3) a
+    transitive chain is greedy-pairwise, not connected-components."""
+    from spark_etl_pipeline_spark.operators.dedup import incremental_survivors
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one two three four five six seven eight nine ten"
+    rows = [
+        # delta 1 dups base 100 (larger base id): base must still win.
+        (1, shared + " tail_a"),
+        (100, shared + " tail_b"),
+        # delta 3 and 5 dup each other, no base partner: 3 survives.
+        (3, uniq + " closer_x"),
+        (5, uniq + " closer_y"),
+        # delta 7: clean, survives.
+        (7, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    delta_ids = {1, 3, 5, 7}
+    out = incremental_survivors(
+        docs, lambda c: c.isin([int(i) for i in delta_ids])
+    )
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == {3, 7}, got
