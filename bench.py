@@ -45,6 +45,13 @@ HEADLINE = [
     "text_decontaminate",
     "docs_pack_sequences",
     "events_weighted_sample",
+    # round-5 additions: end-to-end corpus curation + new analytics
+    "docs_dedup_corpus",
+    "docs_dedup_incremental",
+    "text_repetition_filter",
+    "q8_market_share",
+    "q10_returned_items",
+    "rel_scd2_history",
 ]
 
 
