@@ -163,6 +163,8 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "rel_unpivot",
+    "rel_higher_order_funcs",
     "rel_scd2_history",
     "events_funnel",
     "events_cohort_retention",
@@ -213,12 +215,12 @@ _EMIT_FIRST = (
     "text_token_stats",
     "text_lang_stats_pandas",
     "text_vocab_topk",
-    "sim_kmeans",
-    "text_train_test_split",
 )
 
 _EMIT_LAST = (
     # r3-green, untouched; clipped to keep the r5 window at 50 rows.
+    "sim_kmeans",
+    "text_train_test_split",
     "text_pii_scrub",
     "docs_pack_sequences",
     "events_weighted_sample",

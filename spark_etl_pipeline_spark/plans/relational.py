@@ -1838,3 +1838,104 @@ def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_id").over(w_ver).alias("valid_to_id"),
         "n_events",
     )
+
+
+@register(
+    "rel_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+                   AS qty_cents,
+               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                   AS price_cents,
+               CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+                   AS disc_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_cents' AS measure, qty_cents AS value_cents
+    FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'price_cents', price_cents FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'disc_cents', disc_cents FROM wide
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag measures back to long
+    (flag, measure, value) rows — the inverse of ``rel_pivot`` and the
+    standard long-format prep for metric stores.
+
+    ``DataFrame.unpivot`` compiles to Expand (each input row emits one
+    row per measure inside the same task) — NO shuffle beyond the
+    source aggregate, versus the UNION-of-three-projections form which
+    would re-read the aggregate three times. Measures stay exact
+    integer cents.
+    """
+    wide = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(cents("l_quantity")).alias("qty_cents"),
+            F.sum(cents("l_extendedprice")).alias("price_cents"),
+            F.sum(cents("l_discount")).alias("disc_cents"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_cents", "price_cents", "disc_cents"],
+        variableColumnName="measure",
+        valueColumnName="value_cents",
+    )
+
+
+@register(
+    "rel_higher_order_funcs",
+    oracle="""
+    WITH arrs AS (
+        SELECT l_orderkey,
+               list_sort(list(CAST(round(l_quantity*100) AS BIGINT)))
+                   AS qtys
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+        GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INTEGER) AS n_lines,
+           CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS qty_sum,
+           CAST(list_aggregate(qtys, 'max') AS BIGINT) AS qty_max,
+           CAST(len(list_filter(qtys, x -> x % 200 = 0)) AS INTEGER)
+               AS n_even_units,
+           array_to_string(list_transform(qtys, x -> x // 100), ',')
+               AS whole_units
+    FROM arrs
+    """,
+)
+def rel_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over per-key collected arrays:
+    sort_array / aggregate (fold) / array_max / filter / transform —
+    the SQL-lambda surface that keeps per-row array logic JVM-side
+    (whole-stage codegen) instead of in a Python UDF.
+
+    One hash aggregate builds the per-order array (bounded by order
+    width, never corpus size); every lambda then evaluates per-row
+    with zero additional exchanges. The fold keeps bigint cents; the
+    per-element division is integer div — nothing float anywhere.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    arrs = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(cents("l_quantity"))).alias("qtys")
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_lines"),
+        F.expr(
+            "aggregate(qtys, cast(0 as bigint), (acc, x) -> acc + x)"
+        ).alias("qty_sum"),
+        F.array_max("qtys").alias("qty_max"),
+        F.size(F.expr("filter(qtys, x -> x % 200 = 0)")).alias("n_even_units"),
+        F.expr("concat_ws(',', transform(qtys, x -> x div 100))").alias(
+            "whole_units"
+        ),
+    )
