@@ -1053,3 +1053,161 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation: every per-doc verdict in one table
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    """Stitch the quality, repetition, and near-dup-CC oracles into one
+    statement (imported lazily to keep module import order acyclic).
+    Every sub-pipeline's SQL is the SAME text the standalone queries
+    use, so this row fails if ANY stage drifts."""
+    from spark_etl_pipeline_spark.operators.dedup import _MINHASH_PAIRS_CTES
+    from spark_etl_pipeline_spark.operators.text import (
+        EN_STOPWORDS,
+        REP_DUP_TRIGRAM_MAX,
+        REP_MAX_WORD_MAX,
+        REP_TOP_BIGRAM_MAX,
+    )
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e.dst AS v, r.label
+        FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    dropped AS (
+        SELECT v FROM reach GROUP BY v HAVING MIN(label) != v
+    ),
+    qtoks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    qual AS (
+        SELECT doc_id,
+               CASE WHEN len(t) BETWEEN 5 AND 2000
+                     AND CAST(len(list_distinct(t)) AS DOUBLE)/len(t) >= 0.1
+                    THEN 1 ELSE 0 END AS qual_keep
+        FROM qtoks
+    ),
+    rbg AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+            generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS g
+        FROM qtoks
+    ),
+    rbgc AS (SELECT doc_id, g, count(*) AS c FROM rbg GROUP BY doc_id, g),
+    rbga AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS r1
+        FROM rbgc GROUP BY doc_id
+    ),
+    rtri AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE [] END) AS s
+        FROM qtoks
+    ),
+    rtric AS (
+        SELECT doc_id,
+               CAST(count(*) - count(DISTINCT s) AS DOUBLE) / count(*) AS r2
+        FROM rtri GROUP BY doc_id
+    ),
+    rwcc AS (
+        SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS w FROM qtoks)
+        GROUP BY doc_id, w
+    ),
+    rwa AS (
+        SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS r3
+        FROM rwcc GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT b.doc_id,
+               CASE WHEN b.r1 <= {REP_TOP_BIGRAM_MAX}
+                     AND t.r2 <= {REP_DUP_TRIGRAM_MAX}
+                     AND w.r3 <= {REP_MAX_WORD_MAX}
+                    THEN 1 ELSE 0 END AS rep_keep
+        FROM rbga b JOIN rtric t USING (doc_id) JOIN rwa w USING (doc_id)
+    )
+    SELECT d.doc_id, d.lang,
+           q.qual_keep, r.rep_keep,
+           CASE WHEN d.doc_id IN (SELECT v FROM dropped) THEN 0 ELSE 1 END
+               AS dedup_keep,
+           CASE WHEN q.qual_keep = 1 AND r.rep_keep = 1
+                 AND d.doc_id NOT IN (SELECT v FROM dropped)
+                THEN 1 ELSE 0 END AS keep
+    FROM documents d
+    JOIN qual q ON q.doc_id = d.doc_id
+    JOIN rep r ON r.doc_id = d.doc_id
+    """  # noqa: F841 (EN_STOPWORDS imported for parity with quality_columns)
+
+
+@register("docs_curation_pipeline", oracle=_curation_oracle())
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end curation verdict table: per document, the quality
+    gate, the intra-doc repetition gate, and the cross-corpus near-dup
+    canonical gate, plus the final AND — what a training-data pipeline
+    materializes before tokenization.
+
+    Composes three independently-oracled sub-pipelines
+    (``text_quality_score``, ``text_repetition_filter``,
+    ``dedup_minhash_lsh`` → ``connected_components``) and is oracled
+    AGAIN as a whole, so drift in any stage fails this row too. Scale
+    shape: each signal family is its own scan+aggregate branch keyed
+    doc_id; the final assembly is doc_id-co-partitioned joins plus one
+    left-anti-style flag join against the (dup-bounded, AQE-broadcast)
+    drop list. The corpus is never shuffled on anything wider than
+    doc_id.
+    """
+    from spark_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_minhash_lsh,
+    )
+    from spark_etl_pipeline_spark.operators.text import (
+        text_quality_score,
+        text_repetition_filter,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    qual = text_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("qual_keep")
+    )
+    rep = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("rep_keep")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    dropped = labels.filter(F.col("label") != F.col("id")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("is_dup")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "qual_keep",
+            "rep_keep",
+            F.when(F.col("is_dup").isNull(), 1).otherwise(0).alias("dedup_keep"),
+            F.when(
+                (F.col("qual_keep") == 1)
+                & (F.col("rep_keep") == 1)
+                & F.col("is_dup").isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("keep"),
+        )
+    )

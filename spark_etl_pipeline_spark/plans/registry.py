@@ -163,6 +163,7 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "docs_curation_pipeline",
     "rel_unpivot",
     "rel_higher_order_funcs",
     "rel_scd2_history",
@@ -214,11 +215,11 @@ _EMIT_FIRST = (
     "profile_orders",
     "text_token_stats",
     "text_lang_stats_pandas",
-    "text_vocab_topk",
 )
 
 _EMIT_LAST = (
     # r3-green, untouched; clipped to keep the r5 window at 50 rows.
+    "text_vocab_topk",
     "sim_kmeans",
     "text_train_test_split",
     "text_pii_scrub",
