@@ -594,3 +594,73 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("max_word_ratio") <= REP_MAX_WORD_MAX),
         )
     )
+
+
+RARE_BIGRAM_MIN_COUNT = 3  # corpus occurrences below this = "rare"
+
+
+@register(
+    "text_rare_bigram_ratio",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+            generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+            ELSE [] END) AS g
+        FROM toks
+    ),
+    corpus AS (SELECT g, count(*) AS cg FROM bg GROUP BY g),
+    scored AS (
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               sum(CASE WHEN c.cg < {RARE_BIGRAM_MIN_COUNT}
+                        THEN 1 ELSE 0 END) AS n_rare
+        FROM bg b JOIN corpus c ON c.g = b.g
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_rare AS BIGINT) AS n_rare,
+           CAST(n_rare AS DOUBLE) / n_bigrams AS rare_ratio
+    FROM scored
+    """,
+)
+def text_rare_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-grounded fluency signal: the fraction of each document's
+    word bigrams that are RARE corpus-wide (< {MIN} occurrences) — the
+    integer-exact stand-in for an n-gram LM perplexity score (a sum of
+    float log-probs would be summation-order-dependent across engines;
+    a count ratio is one division of identical integers).
+
+    Scale shape: one explode → corpus bigram counts (hash aggregate,
+    map-side combinable, shuffle = DISTINCT bigrams) → join back on the
+    bigram string (AQE picks broadcast while the rare-vocab table fits,
+    shuffle-hash beyond) → per-doc count aggregate on doc_id. The
+    corpus model and the scoring pass are the same two shuffles at any
+    corpus size; the model table never lands on the driver.
+    """
+    bg = (
+        with_tokens(table(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.expr(_BG_SPARK)).alias("g"))
+    )
+    corpus = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cg"))
+    return (
+        bg.join(corpus, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cg") < RARE_BIGRAM_MIN_COUNT, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_bigrams")).alias(
+                "rare_ratio"
+            ),
+        )
+    )

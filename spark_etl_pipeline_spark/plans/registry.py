@@ -163,6 +163,7 @@ def load_all() -> None:
 #: results with the freshest green row on record.
 _EMIT_FIRST = (
     # --- new in round 5 ---
+    "text_rare_bigram_ratio",
     "dedup_containment",
     "docs_curation_pipeline",
     "rel_unpivot",
@@ -214,11 +215,11 @@ _EMIT_FIRST = (
     "stream_time_rollup",
     "stream_interval_join",
     "profile_orders",
-    "text_token_stats",
 )
 
 _EMIT_LAST = (
     # r3-green, untouched; clipped to keep the r5 window at 50 rows.
+    "text_token_stats",
     "text_lang_stats_pandas",
     "text_vocab_topk",
     "sim_kmeans",
