@@ -1,0 +1,102 @@
+"""Shared streaming source plumbing: schema-sniffed readStream + event-time repair.
+
+Two independent data-drift hazards live at the parquet/stream boundary,
+and both have bitten real test data:
+
+1. **INT64 TIMESTAMP(NANOS)** — Spark's vectorized reader rejects it
+   unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, and then
+   surfaces raw nano longs that must be integer-divided back to
+   microsecond timestamps (see ``plans.registry._nanos_columns``).
+2. **TIMESTAMP_NTZ** — parquet timestamps written without
+   ``isAdjustedToUTC`` infer as ``TimestampNTZType``, which
+   ``withWatermark`` rejects outright
+   (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``). The session timezone is
+   pinned to UTC by the session factory, so a plain cast to LTZ is
+   value-preserving — the wall-clock instant each NTZ value denotes is
+   the same instant the LTZ value stores.
+
+``events_stream`` handles both in one place so every watermark helper
+(windows, stream-stream join, stateful dedup, profiles) reads the same
+normalized stream; ``normalize_event_time`` is the reusable cast for
+callers that build their own reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, TimestampNTZType
+
+from spark_etl_pipeline_spark.plans.registry import _nanos_columns
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Cast an inferred TIMESTAMP_NTZ event-time column to LTZ.
+
+    ``withWatermark`` requires ``TimestampType`` (local-timezone); parquet
+    written without UTC adjustment infers as ``TimestampNTZType``. With the
+    session timezone pinned to UTC the cast is value-preserving, so this
+    is a schema repair, not a semantic change. No-op on LTZ columns and on
+    frames where ``col`` is absent or non-timestamp (e.g. already repaired
+    from nanos longs).
+    """
+    try:
+        dtype = df.schema[col].dataType
+    except KeyError:
+        return df
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def repair_nanos(df: DataFrame, nanos: list[str]) -> DataFrame:
+    """Convert nanosAsLong bigint columns back to microsecond timestamps."""
+    for col in nanos:
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    return df
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    ts_col: str = "ts",
+    table_name: str = "events",
+) -> DataFrame:
+    """The events table as a bounded file stream, watermark-ready.
+
+    Sniffs the parquet footer for INT64-NANOS columns, reads with the
+    legacy nanos path when needed, repairs nanos longs to µs timestamps,
+    and normalizes an NTZ event-time column to LTZ — so the returned
+    stream accepts ``withWatermark(ts_col, ...)`` no matter which
+    timestamp flavor the files carry (µs-LTZ, µs-NTZ, or INT64-NANOS).
+    """
+    path = f"{sf_dir}/{table_name}.parquet"
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a directory base path; a glob keeps this
+    # working when the dataset is a single file as well as a directory
+    # of parts.
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}/{table_name}.*")
+    )
+    return normalize_event_time(repair_nanos(stream, nanos), ts_col)
+
+
+def stream_from_glob(
+    spark: SparkSession,
+    src_glob: str,
+    schema: StructType,
+    nanos: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """readStream over an arbitrary glob with the same two repairs applied.
+
+    For callers that stage their own replay directories (the streaming
+    dedup tests) and therefore already hold the schema + nanos sniff.
+    """
+    stream = spark.readStream.schema(schema).format("parquet").load(src_glob)
+    return normalize_event_time(repair_nanos(stream, nanos), ts_col)

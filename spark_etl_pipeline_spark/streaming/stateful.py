@@ -21,28 +21,15 @@ from collections.abc import Iterator
 from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from spark_etl_pipeline_spark.plans.registry import _nanos_columns
+from spark_etl_pipeline_spark.streaming.source import events_stream as _events_stream
 
 if TYPE_CHECKING:
     import pandas as pd
 
 PROFILE_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 STATE_SCHEMA = "n bigint, total double"
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a bounded stream (nanos-safe, like table())."""
-    path = f"{sf_dir}/events.parquet"
-    nanos = _nanos_columns(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")
-    for col in nanos:
-        stream = stream.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-    return stream
 
 
 def running_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:

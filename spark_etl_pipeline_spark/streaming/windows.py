@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spark_etl_pipeline_spark.functions import cents
 from spark_etl_pipeline_spark.plans.registry import register, table
+from spark_etl_pipeline_spark.streaming.source import events_stream, stream_from_glob
 
 
 def tumbling(
@@ -53,20 +54,7 @@ def stream_events_tumbling(
     directory as a bounded stream — the plan is the production
     streaming plan either way.
     """
-    from spark_etl_pipeline_spark.plans.registry import _nanos_columns
-
-    path = f"{sf_dir}/events.parquet"
-    nanos = _nanos_columns(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # FileStreamSource needs a directory base path; a glob keeps this
-    # working when the dataset is a single file (the test layout) as
-    # well as a real directory of parts.
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")
-    )
-    for col in nanos:
-        stream = stream.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    stream = events_stream(spark, sf_dir)
     return (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", duration), "event_type")
@@ -298,17 +286,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark is what lets Spark evict it. Returns the matched-pair
     stream (aggregate in the sink or a downstream stage).
     """
-    from spark_etl_pipeline_spark.plans.registry import _nanos_columns
-
-    path = f"{sf_dir}/events.parquet"
-    nanos = _nanos_columns(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-
     def side(name: str) -> DataFrame:
-        s = spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")
-        for col in nanos:
-            s = s.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+        s = events_stream(spark, sf_dir)
         return s.filter(F.col("event_type") == name).withWatermark("ts", "1 hour")
 
     p = side("purchase").alias("p")
@@ -338,11 +317,7 @@ def stream_events_dedup(
     re-drops) re-sends within minutes, never weeks, so a 24h horizon
     absorbs every real replay while state stays finite.
     """
-    stream = spark.readStream.schema(schema).format("parquet").load(src_glob)
-    for col in nanos:
-        stream = stream.withColumn(
-            col, F.expr(f"timestamp_micros(`{col}` div 1000)")
-        )
+    stream = stream_from_glob(spark, src_glob, schema, nanos)
     return stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
