@@ -71,6 +71,52 @@ def stream_events_tumbling(
     )
 
 
+@register(
+    "stream_tumbling_drain",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``readStream`` → ``writeStream`` execution of the tumbling plan.
+
+    Unlike the batch twin (:func:`stream_tumbling_counts`, same oracle),
+    this drains the actual watermarked file stream with an
+    ``availableNow`` trigger into a memory sink and returns the sink
+    table — so the driver's correctness gate exercises Structured
+    Streaming's micro-batch engine itself (state store, watermark
+    advancement, trigger lifecycle), not just the shared aggregation
+    plan. ``complete`` output mode emits every window including those
+    still open at end-of-stream, which is exactly the batch semantics
+    the oracle computes. In production the same query runs unmodified
+    with a processing-time trigger and a kafka/file sink — availableNow
+    is Spark's official backfill/replay mode, not a test shim.
+    """
+    sink = "stream_tumbling_drain_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    q = (
+        stream_events_tumbling(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Registered batch-mode queries (same plans a stream would run)
 # ---------------------------------------------------------------------------
