@@ -180,7 +180,27 @@ def jaccard_verified(
     whose pair set rivals the corpus falls back to a shuffle hash join
     on doc_id instead of OOMing the executors.
     """
-    ss = shingles.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    return jaccard_verified_sets(pairs, shingle_sets(shingles), broadcast)
+
+
+def shingle_sets(shingles: DataFrame) -> DataFrame:
+    """(doc_id, ss): per-doc shingle ARRAY — the storable signature form.
+
+    One hash aggregate on doc_id; array size is bounded by document
+    length, never corpus size. This is exactly the table the
+    materialized signature store persists, so in-plan derivation and
+    store readback feed :func:`jaccard_verified_sets` identically.
+    """
+    return shingles.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+
+
+def jaccard_verified_sets(
+    pairs: DataFrame, ss: DataFrame, broadcast: bool | str = "auto"
+) -> DataFrame:
+    """:func:`jaccard_verified` over pre-aggregated (doc_id, ss) arrays —
+    the entry point when the sets come from a materialized store
+    instead of an in-plan aggregation (same join topology either way).
+    """
     a = ss.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ssa"))
     b = ss.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ssb"))
     with_a = a.join(_pair_side(pairs, broadcast), "doc_a")
@@ -972,6 +992,135 @@ def docs_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     return incremental_survivors(docs, lambda c: c % 4 == 3).select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized signature store — the append-only 100-TB ingest shape
+# ---------------------------------------------------------------------------
+
+
+def build_signature_store(docs: DataFrame, store_path: str) -> None:
+    """Materialize a corpus's dedup state as two parquet tables.
+
+    ``{store_path}/bands``    — (doc_id, band, bh): the LSH band/bucket
+    keys new batches probe against.
+    ``{store_path}/shingles`` — (doc_id, ss): the exact shingle arrays
+    pair verification reads.
+
+    This is the production counterpart to deriving both in-plan
+    (:func:`incremental_survivors`): at 100 TB the base corpus is
+    hashed ONCE when it is curated, and every subsequent ingest batch
+    reads the store instead of re-shingling petabytes. Both tables are
+    append-only — a batch's survivors append their own rows — so the
+    store grows with the corpus and nothing is ever rewritten. Writes
+    repartition on doc_id so probe-side joins read co-hashed files.
+    """
+    sh = shingle_set(docs)
+    lsh_bands(minhash_signatures(sh)).repartition("doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/bands")
+    shingle_sets(sh).repartition("doc_id").write.mode("overwrite").parquet(
+        f"{store_path}/shingles"
+    )
+
+
+def append_signature_store(docs: DataFrame, store_path: str) -> None:
+    """Append a survivor batch's signatures to an existing store."""
+    sh = shingle_set(docs)
+    lsh_bands(minhash_signatures(sh)).repartition("doc_id").write.mode(
+        "append"
+    ).parquet(f"{store_path}/bands")
+    shingle_sets(sh).repartition("doc_id").write.mode("append").parquet(
+        f"{store_path}/shingles"
+    )
+
+
+def probe_signature_store(
+    spark: SparkSession, store_path: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Delta docs surviving dedup against a MATERIALIZED base store + itself.
+
+    Semantics identical to :func:`incremental_survivors` (base
+    authoritative: a delta doc matching ANY stored doc drops; within
+    the batch the greedy min-id rule applies) — but the base side is
+    read back from parquet, so the only shingling work is the delta
+    batch itself. Candidate formation splits structurally instead of by
+    membership predicate:
+
+    - delta×base — the delta band set probes the stored band table on
+      (band, bh); work is Σ_bucket |delta ∩ bucket| × |bucket_base|.
+    - delta×delta — in-batch LSH self-join (:func:`candidate_pairs`),
+      quadratic only in the (small) batch.
+
+    Verification unions the stored shingle arrays with the delta's own
+    (disjoint doc_ids) through :func:`jaccard_verified_sets` — the
+    stored arrays are the verification operand, never recomputed.
+    """
+    base_bands = spark.read.parquet(f"{store_path}/bands")
+    base_ss = spark.read.parquet(f"{store_path}/shingles")
+
+    delta_sh = shingle_set(delta_docs)
+    delta_bands = lsh_bands(minhash_signatures(delta_sh))
+    delta_ss = shingle_sets(delta_sh)
+
+    cand_base = (
+        delta_bands.alias("d")
+        .join(base_bands.alias("b"), ["band", "bh"])
+        .select(
+            F.col("d.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ss_all = base_ss.unionByName(delta_ss)
+    dropped_vs_base = (
+        jaccard_verified_sets(cand_base, ss_all)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("doc_id"))
+    )
+    dropped_in_batch = (
+        jaccard_verified_sets(candidate_pairs(delta_bands), delta_ss)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+    )
+    dropped = dropped_vs_base.union(dropped_in_batch).distinct()
+    return delta_docs.join(dropped, "doc_id", "left_anti")
+
+
+@register(
+    "docs_dedup_store",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT d.doc_id, d.lang, md5(d.text) AS content_md5,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id % 4 = 3
+      AND NOT EXISTS (
+        SELECT 1 FROM dup_pairs p
+        WHERE p.doc_b = d.doc_id
+           OR (p.doc_a = d.doc_id AND p.doc_b % 4 <> 3)
+      )
+    """,
+)
+def docs_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed incremental dedup: build the BASE corpus's signature
+    store on disk, then dedup the DELTA batch (``doc_id % 4 = 3``) by
+    probing the store — same oracle as ``docs_dedup_incremental``, which
+    derives everything in-plan. Equality of the two rows is the proof
+    that the materialized ingest shape loses nothing.
+    """
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 4 == 3
+    store = tempfile.mkdtemp(prefix="spark_etl_sigstore_")
+    build_signature_store(docs.filter(~is_delta), store)
+    return probe_signature_store(spark, store, docs.filter(is_delta)).select(
         "doc_id",
         "lang",
         F.md5(F.col("text")).alias("content_md5"),

@@ -1,0 +1,63 @@
+"""Materialized signature store: build → probe must equal the in-plan
+incremental dedup, and append must equal a from-scratch rebuild."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.operators.dedup import (
+    append_signature_store,
+    build_signature_store,
+    incremental_survivors,
+    probe_signature_store,
+)
+from spark_etl_pipeline_spark.plans.registry import table
+from tests.conftest import SF_SMOKE
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_store_probe_equals_inplan_incremental(spark, tmp_path):
+    docs = table(spark, SF_SMOKE, "documents")
+    is_delta = F.col("doc_id") % 4 == 3
+    store = str(tmp_path / "store")
+
+    build_signature_store(docs.filter(~is_delta), store)
+    got = probe_signature_store(spark, store, docs.filter(is_delta))
+    want = incremental_survivors(docs, lambda c: c % 4 == 3)
+
+    got_ids, want_ids = _ids(got), _ids(want)
+    assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    docs = table(spark, SF_SMOKE, "documents")
+    base = docs.filter(F.col("doc_id") % 4 != 3)
+    delta = docs.filter(F.col("doc_id") % 4 == 3)
+
+    # Incremental build: half the base first, the other half appended.
+    grown = str(tmp_path / "grown")
+    build_signature_store(base.filter(F.col("doc_id") % 2 == 0), grown)
+    append_signature_store(base.filter(F.col("doc_id") % 2 == 1), grown)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_signature_store(base, rebuilt)
+
+    assert _ids(probe_signature_store(spark, grown, delta)) == _ids(
+        probe_signature_store(spark, rebuilt, delta)
+    )
+
+
+def test_store_layout_roundtrip(spark, tmp_path):
+    """Both store tables read back with the schema the probe expects."""
+    docs = table(spark, SF_SMOKE, "documents").limit(50)
+    store = str(tmp_path / "layout")
+    build_signature_store(docs, store)
+
+    bands = spark.read.parquet(f"{store}/bands")
+    assert set(bands.columns) == {"doc_id", "band", "bh"}
+    ss = spark.read.parquet(f"{store}/shingles")
+    assert set(ss.columns) == {"doc_id", "ss"}
+    assert ss.count() == bands.select("doc_id").distinct().count()
