@@ -1198,3 +1198,173 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cont_a") >= CONTAINMENT_THRESHOLD)
         | (F.col("cont_b") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# One-sided (anchor-shingle) containment — closes the length-skew recall gap
+# ---------------------------------------------------------------------------
+
+#: Anchor blocking parameters (shared with the DuckDB oracle).
+ONESIDED_MAX_DF = 20
+ONESIDED_ANCHORS = 4
+PLANTED_DOC_ID = 1_000_000
+
+
+def onesided_candidates(
+    shingles: DataFrame,
+    max_df: int = ONESIDED_MAX_DF,
+    n_anchors: int = ONESIDED_ANCHORS,
+) -> DataFrame:
+    """Containment candidates via rare-shingle ANCHORS, not signatures.
+
+    Two-sided MinHash banding recalls JACCARD-similar pairs: a tiny
+    quote inside a huge document has near-zero Jaccard, so its band
+    keys never collide with the container's. The containment-correct
+    blocking keys off the SHORTER side alone: every shingle of a
+    contained quote also occurs in its container, so if any of the
+    quote's ``n_anchors`` smallest rare-shingle hashes appears in the
+    container's shingle inventory the pair is a candidate — recall 1
+    for exact containment, ≥ 1 - miss^k for noisy.
+
+    Scale bound: the join key is the shingle hash; the inventory side
+    is pre-filtered to document frequency ≤ ``max_df`` (boilerplate
+    shingles drop out), so bucket work is Σ_h anchors_h × df_h ≤
+    max_df × (n_anchors × n_docs) — linear in corpus size, never the
+    shingle-inventory self-join. The anchor row_number window
+    partitions by doc_id over a doc's own rare shingles — input-bounded
+    by document length, safe at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    hashed = shingles.select("doc_id", F.expr(_H_SPARK).alias("h")).distinct()
+    rare_h = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("h")
+    )
+    rare = hashed.join(rare_h, "h")
+    w = Window.partitionBy("doc_id").orderBy("h")
+    anchors = (
+        rare.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_anchors)
+        .select("doc_id", "h")
+    )
+    return (
+        anchors.alias("a")
+        .join(rare.alias("i"), "h")
+        .filter(F.col("a.doc_id") != F.col("i.doc_id"))
+        .select(
+            F.least("a.doc_id", "i.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "i.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def _planted_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ one synthetic length-skewed container.
+
+    The container (doc_id 1,000,000) is the corpus's shortest
+    shingle-bearing document quoted verbatim at the head of its longest
+    document — a ~8%-of-container quote whose Jaccard to the container
+    is far below any banding threshold. Deterministic (min/max by
+    (n_chars, doc_id)), so the Spark plan and the DuckDB oracle plant
+    the identical row; built with a single min_by/max_by aggregate —
+    no cross join.
+    """
+    has_shingles = F.size(F.split(F.trim("text"), r"\s+")) >= SHINGLE_N
+    extremes = docs.agg(
+        F.min_by("text", F.when(has_shingles, F.struct("n_chars", "doc_id"))).alias(
+            "qt"
+        ),
+        F.max_by("text", F.struct("n_chars", "doc_id")).alias("ft"),
+    )
+    planted = extremes.select(
+        F.lit(PLANTED_DOC_ID).cast("long").alias("doc_id"),
+        F.concat_ws(" ", "qt", "ft").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(planted)
+
+
+@register(
+    "dedup_containment_onesided",
+    oracle=f"""
+    WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT {PLANTED_DOC_ID} AS doc_id,
+               (SELECT text FROM documents
+                WHERE len(string_split_regex(trim(text), '\\s+')) >= {SHINGLE_N}
+                ORDER BY n_chars, doc_id LIMIT 1)
+               || ' ' ||
+               (SELECT text FROM documents
+                ORDER BY n_chars DESC, doc_id DESC LIMIT 1) AS text
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM docs2
+    ),
+    sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS s FROM toks),
+    hashed AS (SELECT DISTINCT doc_id, {_H_DUCK} AS h FROM sh),
+    rare_h AS (
+        SELECT h FROM hashed
+        GROUP BY h HAVING count(DISTINCT doc_id) <= {ONESIDED_MAX_DF}
+    ),
+    rare AS (SELECT doc_id, h FROM hashed JOIN rare_h USING (h)),
+    anchors AS (
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+            FROM rare) WHERE rn <= {ONESIDED_ANCHORS}
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.doc_id, i.doc_id) AS doc_a,
+                        greatest(a.doc_id, i.doc_id) AS doc_b
+        FROM anchors a JOIN rare i ON a.h = i.h AND a.doc_id <> i.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+        GROUP BY 1, 2
+    ),
+    conts AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.i, 0) AS DOUBLE) / sa.n AS cont_a,
+               CAST(COALESCE(i.i, 0) AS DOUBLE) / sb.n AS cont_b
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, cont_a, cont_b
+    FROM conts
+    WHERE cont_a >= {CONTAINMENT_THRESHOLD}
+       OR cont_b >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_onesided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup with ONE-SIDED anchor blocking, proven on a
+    planted length-skewed pair the two-sided banding misses.
+
+    The corpus is documents plus one synthetic container
+    (:func:`_planted_corpus`: shortest doc quoted inside longest —
+    quote ≈ 8% of container). Candidates come from
+    :func:`onesided_candidates` (quote-side rare-shingle anchors probing
+    the full shingle inventory), then exact containment verifies — so
+    the planted (quote, container) pair, invisible to
+    ``dedup_containment``'s Jaccard-banded candidates, appears in this
+    result with cont_a = 1.0. The pytest twin asserts both halves:
+    present here, absent from the two-sided candidate set.
+    """
+    docs = table(spark, sf_dir, "documents")
+    corpus = _planted_corpus(docs)
+    shingles = shingle_set(corpus)
+    cand = onesided_candidates(shingles)
+    conts = containment_verified(cand, shingles)
+    return conts.filter(
+        (F.col("cont_a") >= CONTAINMENT_THRESHOLD)
+        | (F.col("cont_b") >= CONTAINMENT_THRESHOLD)
+    )
