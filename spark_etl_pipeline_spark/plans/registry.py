@@ -154,103 +154,46 @@ def load_all() -> None:
 #:
 #: The driver's correctness gate checks the first ~50 entries in emission
 #: order, so ordering is a verification-coverage decision, not cosmetics.
-#: Round-5 rotation: front of the list is (a) the six round-5 additions
-#: (never had a driver row), (b) every query whose plan or builder
-#: changed in round 5, then (c) the round-3-green set that round 4
-#: deliberately clipped — keeping every query's driver row at most two
-#: rounds old. Back of the list: the round-4 green rows untouched this
-#: round — if the window clips anything, it clips re-verification of
-#: results with the freshest green row on record.
+#: Round-6 rotation: front of the list is (a) the three round-6 additions
+#: (never had a driver row), (b) every query whose builder changed in
+#: round 6 (the jaccard_verified refactor through shingle_sets /
+#: jaccard_verified_sets), (c) the 20 queries whose newest driver row is
+#: r3 — three rounds old, past the rotation contract's stated maximum —
+#: then (d) as many round-4-green rows (now two rounds old) as fit the
+#: window. Back of the list: the round-5 driver-green set — the freshest
+#: rows on record, safe to clip.
 _EMIT_FIRST = (
-    # --- new in round 5 ---
-    "text_rare_bigram_ratio",
-    "dedup_containment",
-    "docs_curation_pipeline",
-    "rel_unpivot",
-    "rel_higher_order_funcs",
-    "rel_scd2_history",
-    "events_funnel",
-    "events_cohort_retention",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_dormant_customers",
-    "stream_dedup_replay",
-    "text_repetition_filter",
+    # --- new in round 6 ---
+    "stream_tumbling_drain",
+    "docs_dedup_store",
+    "dedup_containment_onesided",
+    # --- builder touched in round 6 (jaccard_verified -> _sets refactor) ---
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
-    "sim_embed_quantize",
-    "dedup_components_star",
-    "sim_ivf_nprobe2",
-    "sim_ann_recall_nprobe2",
-    "events_skew_salted_agg",
-    "events_skew_salted_join",
-    "rel_partition_prune",
-    # --- plan or builder changed in round 5 ---
-    "sim_ann_hyperplane",  # bucket sizes de-windowed (groupBy + broadcast)
-    "dedup_minhash_lsh",  # jaccard_verified broadcast knob (auto default)
-    "dedup_ngram_jaccard",  # same jaccard_verified change
-    "dedup_embedding_cosine",  # pair-side broadcast knob (auto default)
-    "sim_ivf_search",  # refactored through _ivf_topk(nprobe=1)
-    "sim_ann_recall",  # refactored through _ann_recall(nprobe=1)
-    # --- driver-green in r3, clipped by the r4 window, untouched in r5 ---
-    "rel_range_join",
-    "rel_asof_join",
-    "rel_percentiles",
-    "rel_sql_exists",
-    "rel_sql_scalar_subquery",
-    "rel_sql_not_in",
-    "q13_customer_distribution",
-    "rel_window_analytics",
-    "q19_disjunctive_filter",
-    "etl_json_struct",
-    "rel_grouping_sets",
-    "rel_set_ops",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_time_rollup",
-    "stream_interval_join",
-    "profile_orders",
-)
-
-_EMIT_LAST = (
-    # r3-green, untouched; clipped to keep the r5 window at 50 rows.
-    "text_token_stats",
-    "text_lang_stats_pandas",
-    "text_vocab_topk",
-    "sim_kmeans",
-    "text_train_test_split",
-    "text_pii_scrub",
+    # --- newest driver row is r3: three rounds old, must lead ---
+    "docs_length_histogram",
     "docs_pack_sequences",
-    "events_weighted_sample",
-    "events_user_sequences",
     "events_rolling_features",
+    "events_user_sequences",
+    "events_weighted_sample",
+    "mm_resize",
     "q12_priority_lines",
     "q14_promo_revenue",
     "q18_large_orders",
-    "docs_length_histogram",
-    "mm_resize",
+    "sim_kmeans",
     "sim_topk_cosine",
-    "text_lang_id",
-    "text_fingerprint",
-    # r3-green, untouched; bumped out of the 50-row window by the two
-    # extra round-5 additions — first in line next rotation.
     "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
     "text_lang_id_ngram",
-    # r5-touched but behavior-identical on the driver corpus (r04-green;
-    # star fallback never fires below exhaustion, the JPEG walker never
-    # fires on text payloads — both changes are pytest-pinned). First in
-    # line if the driver window runs past 50.
-    "dedup_components",
-    "mm_decode_features",
-    # Driver-green in round 4, untouched in round 5; safe to clip.
-    "text_chunking",
-    "etl_events_pipeline",
-    "etl_upsert_merge",
+    "text_lang_stats_pandas",
+    "text_pii_scrub",
+    "text_token_stats",
+    "text_train_test_split",
+    "text_vocab_topk",
+    # --- round-4 green, now two rounds old: fill the window ---
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "q3_top_orders",
@@ -263,8 +206,24 @@ _EMIT_LAST = (
     "dedup_simhash_pairs",
     "dedup_simhash",
     "dedup_fuzzy_levenshtein",
+    "dedup_components",
     "mm_frame_sample",
+    "mm_decode_features",
     "text_quality_score",
+    "text_chunking",
+    "etl_events_pipeline",
+    "etl_upsert_merge",
+    "text_decontaminate",
+    "text_repetition_score",
+    "events_zscore",
+    "text_stratified_sample",
+)
+
+_EMIT_LAST = (
+    # Round-4 green rows that did not fit the 50-row window — first in
+    # line for the r7 rotation (ahead of everything r5/r6-green).
+    "docs_mixture_sample",
+    "docs_pack_sequences_sharded",
     "rel_filter_isin",
     "rel_filter_nested_struct",
     "rel_filter_null",
@@ -282,12 +241,53 @@ _EMIT_LAST = (
     "rel_cube",
     "rel_pivot",
     "rel_sort_limit",
-    "text_decontaminate",
-    "text_repetition_score",
-    "events_zscore",
-    "text_stratified_sample",
-    "docs_mixture_sample",
-    "docs_pack_sequences_sharded",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_percentiles",
+    "rel_sql_exists",
+    "rel_sql_scalar_subquery",
+    "rel_sql_not_in",
+    "q13_customer_distribution",
+    "rel_window_analytics",
+    "q19_disjunctive_filter",
+    "etl_json_struct",
+    "rel_grouping_sets",
+    "rel_set_ops",
+    "profile_orders",
+    # Round-5 driver-green: freshest rows on record, safe to clip.
+    "text_rare_bigram_ratio",
+    "dedup_containment",
+    "docs_curation_pipeline",
+    "rel_unpivot",
+    "rel_higher_order_funcs",
+    "rel_scd2_history",
+    "events_funnel",
+    "events_cohort_retention",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q22_dormant_customers",
+    "stream_dedup_replay",
+    "text_repetition_filter",
+    "sim_embed_quantize",
+    "dedup_components_star",
+    "sim_ivf_nprobe2",
+    "sim_ann_recall_nprobe2",
+    "events_skew_salted_agg",
+    "events_skew_salted_join",
+    "rel_partition_prune",
+    "sim_ann_hyperplane",
+    "dedup_embedding_cosine",
+    "sim_ivf_search",
+    "sim_ann_recall",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_time_rollup",
+    "stream_interval_join",
 )
 
 
