@@ -164,6 +164,12 @@ def load_all() -> None:
 #: rows on record, safe to clip.
 _EMIT_FIRST = (
     # --- new in round 6 ---
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_suppliers",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
     "stream_tumbling_drain",
     "docs_dedup_store",
     "dedup_containment_onesided",
@@ -211,17 +217,17 @@ _EMIT_FIRST = (
     "mm_decode_features",
     "text_quality_score",
     "text_chunking",
+)
+
+_EMIT_LAST = (
+    # Round-4 green rows that did not fit the 50-row window — first in
+    # line for the r7 rotation (ahead of everything r5/r6-green).
     "etl_events_pipeline",
     "etl_upsert_merge",
     "text_decontaminate",
     "text_repetition_score",
     "events_zscore",
     "text_stratified_sample",
-)
-
-_EMIT_LAST = (
-    # Round-4 green rows that did not fit the 50-row window — first in
-    # line for the r7 rotation (ahead of everything r5/r6-green).
     "docs_mixture_sample",
     "docs_pack_sequences_sharded",
     "rel_filter_isin",

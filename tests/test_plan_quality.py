@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "sim_ann_recall",  # composes sim_topk_cosine + sim_ivf_search
     "sim_ann_recall_nprobe2",  # same composition at nprobe=2
     "q22_dormant_customers",  # 1-row global-average broadcast, by design
+    "q11_important_stock",  # 1-row global-total broadcast threshold, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
