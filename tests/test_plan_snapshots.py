@@ -1,0 +1,103 @@
+"""Plan snapshots through ``jobs/query_job.py --explain``.
+
+The plan-quality gates assert individual properties (no cartesian,
+pushed filters, TakeOrderedAndProject, ...); this test pins the WHOLE
+operator tree for the headline queries so a Spark upgrade or refactor
+that reshapes a plan shows up as a readable snapshot diff instead of a
+silent regression. Node sequences are normalized (names only — no plan
+ids, no column lists) so the snapshot survives cosmetic churn.
+
+Refresh after an intentional plan change:
+
+    PLAN_SNAPSHOT_UPDATE=1 python -m pytest tests/test_plan_snapshots.py -q
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+
+import pytest
+
+from jobs.query_job import main as query_job_main
+from tests.conftest import SF_CORRECTNESS
+
+SNAPSHOT_PATH = Path(__file__).parent / "plan_snapshots.json"
+
+#: Headline queries: the bench set's expensive shapes plus one of each
+#: plan family. Builders with side effects (store writes, stream
+#: drains) are deliberately absent — --explain must stay read-only.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q6_forecast_revenue",
+    "q5_region_revenue",
+    "q21_waiting_supplier",
+    "dedup_minhash_lsh",
+    "dedup_containment_onesided",
+    "docs_dedup_incremental",
+    "sim_ivf_search",
+    "rel_asof_join",
+    "etl_events_pipeline",
+    "stream_tumbling_counts",
+    "events_skew_salted_agg",
+    "rel_partition_prune",
+]
+
+_NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$")
+
+
+def plan_nodes(explain_out: str) -> list[str]:
+    """The ordered operator-node names from ``explain('formatted')``.
+
+    Only the tree section is read (lines like ``+- * HashAggregate (5)``);
+    the per-node detail blocks below it carry column lists and codegen
+    ids that churn without a semantic plan change.
+    """
+    nodes = []
+    for line in explain_out.splitlines():
+        m = _NODE_RE.match(line)
+        if m:
+            nodes.append(m.group(1).strip())
+    return nodes
+
+
+def _current(name: str, capsys) -> list[str]:
+    rc = query_job_main(
+        ["--query", name, "--sf-dir", SF_CORRECTNESS, "--explain"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    nodes = plan_nodes(out)
+    assert nodes, f"{name}: no plan nodes parsed from --explain output"
+    return nodes
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_plan_snapshot(spark, capsys, name):
+    nodes = _current(name, capsys)
+    if os.environ.get("PLAN_SNAPSHOT_UPDATE"):
+        snaps = (
+            json.loads(SNAPSHOT_PATH.read_text())
+            if SNAPSHOT_PATH.exists()
+            else {}
+        )
+        snaps[name] = nodes
+        SNAPSHOT_PATH.write_text(
+            json.dumps(dict(sorted(snaps.items())), indent=1) + "\n"
+        )
+        return
+    snaps = json.loads(SNAPSHOT_PATH.read_text())
+    assert name in snaps, (
+        f"{name}: no snapshot recorded — run PLAN_SNAPSHOT_UPDATE=1 pytest "
+        "tests/test_plan_snapshots.py"
+    )
+    assert nodes == snaps[name], (
+        f"{name}: physical plan changed.\n"
+        f"  recorded: {snaps[name]}\n"
+        f"  current : {nodes}\n"
+        "If intentional, refresh with PLAN_SNAPSHOT_UPDATE=1."
+    )
