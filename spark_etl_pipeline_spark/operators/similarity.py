@@ -612,6 +612,29 @@ _DUCK_TABLE_SIGS = "\n        UNION ALL ".join(
 )
 
 
+def embedding_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, t, sig): one signature row per vector per hash table.
+
+    The per-row explode of N_TABLES struct literals keeps signature
+    computation a single JVM projection (no shuffle); this is also the
+    storable form the embedding store materializes.
+    """
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(_table_sig("spark", t)).cast("bigint").alias("sig"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.t", "x.sig")
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -652,20 +675,7 @@ def dedup_embedding_cosine(
     """
     from spark_etl_pipeline_spark.operators.dedup import _pair_side
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
-    sigs = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        F.expr(_table_sig("spark", t)).cast("bigint").alias("sig"),
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("x"),
-    ).select("vec_id", "x.t", "x.sig")
+    sigs = embedding_signatures(emb)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -906,3 +916,138 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"abs(cast(round(x * scale) as bigint)) = {QUANT_LEVELS})) as bigint)"
         ).alias("n_sat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized embedding store — incremental vector-dedup ingest shape
+# ---------------------------------------------------------------------------
+
+
+def build_embedding_store(emb: DataFrame, store_path: str) -> None:
+    """Materialize a vector corpus's LSH state as two parquet tables.
+
+    ``{store_path}/sigs``    — (vec_id, t, sig): hyperplane bucket keys
+    new batches probe against.
+    ``{store_path}/vectors`` — (vec_id, v, nrm): the vectors with their
+    norms PRECOMPUTED, so probe-time verification never re-folds a
+    stored vector's norm.
+
+    The vector twin of ``dedup.build_signature_store``: at 100 TB the
+    curated corpus is hashed once, each ingest batch probes the stored
+    buckets, and survivors append their own rows — append-only, nothing
+    rewritten. Writes repartition on vec_id for co-hashed probe joins.
+    """
+    emb = emb.select("vec_id", "v")
+    embedding_signatures(emb).repartition("vec_id").write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/sigs")
+    emb.withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})")).repartition(
+        "vec_id"
+    ).write.mode("overwrite").parquet(f"{store_path}/vectors")
+
+
+def probe_embedding_store(
+    spark: SparkSession, store_path: str, delta_emb: DataFrame
+) -> DataFrame:
+    """Near-dup pairs touching the DELTA batch, against a stored corpus.
+
+    Emits (vec_a, vec_b, cos) for every pair with cosine ≥ threshold
+    where at least one side is in the delta — delta×base pairs come
+    from probing the stored signature table on (t, sig), delta×delta
+    pairs from the in-batch self-join. The stored side is never
+    re-hashed and its norms are read back, so per-batch work is
+    Σ_bucket |delta ∩ bucket| × |bucket|, exactly the incremental-text
+    contract (:func:`dedup.probe_signature_store`) in embedding space.
+    """
+    from spark_etl_pipeline_spark.operators.dedup import _pair_side
+
+    base_sigs = spark.read.parquet(f"{store_path}/sigs")
+    base_vecs = spark.read.parquet(f"{store_path}/vectors")
+
+    delta_emb = delta_emb.select("vec_id", "v")
+    delta_sigs = embedding_signatures(delta_emb)
+    delta_vecs = delta_emb.withColumn(
+        "nrm", F.expr(f"sqrt({dot_expr('v', 'v')})")
+    )
+
+    cand_base = (
+        delta_sigs.alias("d")
+        .join(base_sigs.alias("b"), ["t", "sig"])
+        .select(
+            F.least("d.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("d.vec_id", "b.vec_id").alias("vec_b"),
+        )
+    )
+    d1, d2 = delta_sigs.alias("d1"), delta_sigs.alias("d2")
+    cand_delta = (
+        d1.join(
+            d2,
+            (F.col("d1.t") == F.col("d2.t"))
+            & (F.col("d1.sig") == F.col("d2.sig"))
+            & (F.col("d1.vec_id") < F.col("d2.vec_id")),
+        )
+        .select(
+            F.col("d1.vec_id").alias("vec_a"), F.col("d2.vec_id").alias("vec_b")
+        )
+    )
+    cand = cand_base.union(cand_delta).distinct()
+
+    vecs = base_vecs.unionByName(delta_vecs)
+    ea = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    eb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    with_a = ea.join(_pair_side(cand, "auto"), "vec_a")
+    return (
+        eb.join(_pair_side(with_a, "auto"), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
+    )
+
+
+@register(
+    "sim_embedding_store",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        {_DUCK_TABLE_SIGS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a
+        JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, {_duck_cos('ea.v', 'eb.v')} AS cos
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE {_duck_cos('ea.v', 'eb.v')} >= {COS_DUP_THRESHOLD}
+      AND (c.vec_a % 4 = 3 OR c.vec_b % 4 = 3)
+    """,
+)
+def sim_embedding_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-backed incremental embedding dedup: build the BASE corpus's
+    signature/vector store on disk, probe it with the DELTA batch
+    (``vec_id % 4 = 3``).
+
+    The oracle is the full-corpus pipeline restricted to pairs touching
+    the delta — bucketing is per-vector, so probing stored signatures
+    finds exactly the delta-touching subset of the full candidate set.
+    Equality of the two proves the materialized ingest shape loses
+    nothing (the embedding twin of ``docs_dedup_store``).
+    """
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    is_delta = F.col("vec_id") % 4 == 3
+    store = tempfile.mkdtemp(prefix="spark_etl_embstore_")
+    build_embedding_store(emb.filter(~is_delta), store)
+    return probe_embedding_store(spark, store, emb.filter(is_delta))

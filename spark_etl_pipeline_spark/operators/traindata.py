@@ -1211,3 +1211,178 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splitting, shard shuffling, token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_oracle() -> str:
+    from spark_etl_pipeline_spark.operators.dedup import _MINHASH_PAIRS_CTES
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e.dst AS v, r.label
+        FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    groups AS (SELECT v, MIN(label) AS grp FROM reach GROUP BY v),
+    tagged AS (
+        SELECT d.lang, d.n_chars, COALESCE(g.grp, d.doc_id) AS grp
+        FROM documents d LEFT JOIN groups g ON g.v = d.doc_id
+    )
+    SELECT lang,
+           CASE WHEN {id_hash_duck('grp', 100)} < {SPLIT_TRAIN_PCT}
+                     THEN 'train'
+                WHEN {id_hash_duck('grp', 100)}
+                     < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT grp) AS n_groups,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY 1, 2
+    """
+
+
+@register("docs_split_leakage_safe", oracle=_leakage_safe_oracle())
+def docs_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can NEVER leak near-duplicates across
+    splits: hash the duplicate-CLUSTER id, not the document id.
+
+    A plain per-doc hash split (``text_train_test_split``) puts ~10% of
+    each near-dup cluster's members in eval — the classic contamination
+    bug that inflates benchmark scores. Here LSH pairs feed connected
+    components, every doc takes its component's min-id as group key
+    (singletons: own id), and the 90/5/5 hash runs on the GROUP —
+    whole clusters move together by construction. The audit output is
+    per (lang, split) with distinct-group counts; the pytest twin
+    asserts the straddling-pair count is literally zero while the
+    per-doc split does straddle.
+
+    Scale shape: the pair graph is dup-bounded (see
+    ``docs_dedup_corpus``); the label join back to the corpus is one
+    shuffle on doc_id with the (small) label side AQE-broadcastable.
+    """
+    from spark_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+        dedup_minhash_lsh,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    tagged = (
+        docs.join(labels, docs.doc_id == labels.id, "left")
+        .withColumn("grp", F.coalesce("label", "doc_id"))
+        .withColumn("split", split_column("grp"))
+    )
+    return tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("grp").alias("n_groups"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "docs_shard_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               {id_hash_duck('doc_id', N_SHARDS)} AS shard,
+               md5(CAST(doc_id AS VARCHAR)) AS ok
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def docs_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: (doc_id, shard, pos).
+
+    Training dataloaders need the corpus in a reproducible random-ish
+    order, sharded so each reader streams one file set. Shard = md5
+    bucket of doc_id; in-shard position = rank of the md5 hex string —
+    a pure function of the id, so re-runs, retries, and incremental
+    rebuilds emit the identical order (``rand()`` never could). One
+    shuffle on shard; each rank window is corpus/N_SHARDS rows, and in
+    production N_SHARDS scales with the corpus to hold a target
+    rows-per-shard — the window never sees unbounded input.
+    """
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.expr(id_hash_spark("doc_id", N_SHARDS)).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("ok"),
+    )
+    w = Window.partitionBy("shard").orderBy("ok", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+TOKEN_BUDGET_PER_SOURCE = 20_000  # chars; stand-in token estimate
+
+
+@register(
+    "docs_token_budget_select",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS running
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_selected,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_selected
+    FROM ranked
+    WHERE running <= {TOKEN_BUDGET_PER_SOURCE}
+    GROUP BY source
+    """,
+)
+def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source corpus selection under a token budget.
+
+    Every pretraining mix allocates a budget per source/domain and
+    fills it greedily by a priority order (here: longest docs first,
+    doc_id tiebreak — swap in a quality score without changing the
+    plan). The running sum is a per-source window ordered by the
+    priority key; a doc is kept while the cumulative total stays under
+    budget. One shuffle on source; window input is bounded per source
+    (production sub-shards a giant source by hash prefix and allocates
+    the budget across sub-shards — same plan, smaller partitions).
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("running")
+    )
+    return (
+        ranked.filter(F.col("running") <= TOKEN_BUDGET_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_chars").alias("chars_selected"),
+        )
+    )

@@ -164,6 +164,10 @@ def load_all() -> None:
 #: rows on record, safe to clip.
 _EMIT_FIRST = (
     # --- new in round 6 ---
+    "sim_embedding_store",
+    "docs_split_leakage_safe",
+    "docs_shard_shuffle",
+    "docs_token_budget_select",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -213,15 +217,15 @@ _EMIT_FIRST = (
     "dedup_simhash",
     "dedup_fuzzy_levenshtein",
     "dedup_components",
-    "mm_frame_sample",
-    "mm_decode_features",
-    "text_quality_score",
-    "text_chunking",
 )
 
 _EMIT_LAST = (
     # Round-4 green rows that did not fit the 50-row window — first in
     # line for the r7 rotation (ahead of everything r5/r6-green).
+    "mm_frame_sample",
+    "mm_decode_features",
+    "text_quality_score",
+    "text_chunking",
     "etl_events_pipeline",
     "etl_upsert_merge",
     "text_decontaminate",

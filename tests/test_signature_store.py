@@ -61,3 +61,36 @@ def test_store_layout_roundtrip(spark, tmp_path):
     ss = spark.read.parquet(f"{store}/shingles")
     assert set(ss.columns) == {"doc_id", "ss"}
     assert ss.count() == bands.select("doc_id").distinct().count()
+
+
+def test_embedding_store_probe_equals_full_filtered(spark, tmp_path):
+    """Probe(store, delta) == full-corpus pairs restricted to delta."""
+    from pyspark.sql import functions as F
+
+    from spark_etl_pipeline_spark.operators.similarity import (
+        _vec,
+        build_embedding_store,
+        dedup_embedding_cosine,
+        probe_embedding_store,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", _vec().alias("v")
+    )
+    is_delta = F.col("vec_id") % 4 == 3
+    store = str(tmp_path / "embstore")
+    build_embedding_store(emb.filter(~is_delta), store)
+
+    got = {
+        (r["vec_a"], r["vec_b"], round(r["cos"], 9))
+        for r in probe_embedding_store(
+            spark, store, emb.filter(is_delta)
+        ).collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], round(r["cos"], 9))
+        for r in dedup_embedding_cosine(spark, SF_SMOKE)
+        .filter((F.col("vec_a") % 4 == 3) | (F.col("vec_b") % 4 == 3))
+        .collect()
+    }
+    assert got == want and len(got) > 0
