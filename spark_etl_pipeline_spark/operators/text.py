@@ -664,3 +664,52 @@ def text_rare_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical text normalization (corpus-cleaning first pass)
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form: lowercase, control chars stripped, whitespace
+    runs collapsed to single spaces, ends trimmed.
+
+    The standard first pass before hashing/dedup so cosmetic variants
+    (casing, tabs, CRLF, trailing blanks) collapse to one canonical
+    byte string. Pure per-row JVM expressions — no UDF, no shuffle.
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[\\x00-\\x1F]", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+@register(
+    "text_normalize",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[\x00-\x1F]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS norm_md5,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm
+    FROM n
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc canonical hash + normalized length (the audit row a
+    cleaning stage emits; the md5 doubles as the exact-dedup key over
+    the CANONICAL text, catching case/whitespace-variant duplicates
+    plain ``dedup_exact`` misses). One scan, zero shuffles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

@@ -401,3 +401,62 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
     )
+
+
+@register(
+    "stream_profiles_drain",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           round(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_profiles_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``applyInPandasWithState`` execution, driver-checked.
+
+    Drains the per-user running-profile stream (arbitrary Arrow-batched
+    state, update mode) with ``availableNow`` and returns each user's
+    FINAL emitted profile — which equals the batch aggregate the oracle
+    computes. The custom-stateful surface thereby gets a correctness
+    row that actually exercises the state store, not just its batch
+    twin. ``total_value`` rounds to cents on both sides: the state
+    function accumulates in arrival order, the oracle in scan order —
+    two float sums of 2-decimal values agree to well under a cent, and
+    the stored profile keeps the raw running float exactly as a
+    production profile store would.
+    """
+    from spark_etl_pipeline_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    sink = "stream_profiles_drain_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    q = (
+        running_user_profiles(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    w = F.expr(
+        "row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC)"
+    )
+    return (
+        spark.table(sink)
+        .withColumn("rn", w)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+    )
