@@ -332,3 +332,88 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     an image resize — real plumbing, see ``resize_payload``)."""
     docs = table(spark, sf_dir, "documents")
     return resize_payload(attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Audio-style fixed-window framing (1→N, overlap)
+# ---------------------------------------------------------------------------
+
+WINDOW_BYTES = 32
+HOP_BYTES = 16
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("win_md5", StringType()),
+    ]
+)
+
+
+def audio_windows(payloads: DataFrame) -> DataFrame:
+    """Overlapping fixed-size byte windows per payload — the audio
+    framing primitive (spectrogram frames, VAD chunks) as a 1→N
+    ``mapInPandas``: window size 32 bytes, hop 16 (50% overlap), only
+    full windows emitted. Real audio swaps the md5 for an FFT/feature
+    call; the Arrow batch shape, schema, and window arithmetic are the
+    production plumbing. Zero shuffle — framing happens inside the scan
+    partition.
+    """
+
+    def slice_windows(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n < WINDOW_BYTES:
+                    continue
+                for i in range((n - WINDOW_BYTES) // HOP_BYTES + 1):
+                    w = b[i * HOP_BYTES : i * HOP_BYTES + WINDOW_BYTES]
+                    ids.append(did)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(w.hex().upper().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": idxs, "win_md5": hashes}
+            )
+
+    return payloads.mapInPandas(slice_windows, AUDIO_WINDOW_SCHEMA)
+
+
+@register(
+    "mm_audio_window",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id, hx,
+               unnest(generate_series(0,
+                   CAST((n - {WINDOW_BYTES}) // {HOP_BYTES} AS INT))) AS win_idx
+        FROM p WHERE n >= {WINDOW_BYTES}
+    )
+    SELECT doc_id,
+           CAST(win_idx AS INT) AS win_idx,
+           md5(substr(hx, win_idx * {2 * HOP_BYTES} + 1,
+               {2 * WINDOW_BYTES})) AS win_md5
+    FROM w
+    """,
+)
+def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing over the synthetic payloads, hash-verified per
+    window. The oracle frames the identical bytes by slicing the hex
+    encoding (2 hex chars per byte — ASCII-safe under any text
+    encoding), so every (doc, window) md5 must agree bit-for-bit with
+    the Python-side slice — pinning window arithmetic, hop overlap,
+    and the partial-window drop rule across engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return audio_windows(attach_payload(docs))

@@ -460,3 +460,74 @@ def stream_profiles_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_value", 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_rollup_drain",
+    oracle="""
+    WITH g AS (
+        SELECT e.event_type, e.value, x.grain,
+               CASE x.grain WHEN 'hour' THEN date_trunc('hour', e.ts)
+                            ELSE date_trunc('day', e.ts) END AS bucket
+        FROM events e
+        CROSS JOIN (SELECT unnest(['hour', 'day']) AS grain) x
+    )
+    SELECT grain,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+    FROM g GROUP BY grain, bucket, event_type
+    """,
+)
+def stream_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-style multi-grain rollup as a REAL stream.
+
+    Same one-pass grain fan-out as the batch twin
+    (:func:`stream_time_rollup`, shared oracle): the explode is a
+    stateless streaming projection, the (grain, bucket, event_type)
+    aggregate holds one state row per group, and the availableNow drain
+    in complete mode emits the full continuous-aggregate table — the
+    exact maintenance loop a streaming rollup runs in production, where
+    grain rows are independent state groups updated incrementally per
+    micro-batch.
+    """
+    stream = events_stream(spark, sf_dir)
+    grains = F.explode(
+        F.array(
+            F.struct(F.lit("hour").alias("grain"), F.date_trunc("hour", "ts").alias("bucket")),
+            F.struct(F.lit("day").alias("grain"), F.date_trunc("day", "ts").alias("bucket")),
+        )
+    ).alias("g")
+    agg = (
+        stream.select("event_type", "value", grains)
+        .select("event_type", "value", "g.grain", "g.bucket")
+        .groupBy("grain", "bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+        )
+        .select(
+            "grain",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    sink = "stream_rollup_drain_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink)
