@@ -1386,3 +1386,68 @@ def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_selected"),
         )
     )
+
+
+@register(
+    "events_feature_assembly",
+    oracle="""
+    WITH feat AS (
+        SELECT event_id, user_id, ts, event_type,
+               COUNT(*) OVER w AS n_prior_events,
+               COALESCE(SUM(CAST(round(value*100) AS BIGINT)) OVER w, 0)
+                   AS prior_value_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS label_ts,
+           n_prior_events,
+           CAST(prior_value_cents AS DOUBLE)/100.0 AS prior_value
+    FROM feat
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-example assembly: each purchase
+    (the label event) carries the user's activity features computed
+    STRICTLY BEFORE the label timestamp — the leakage rule every
+    feature-store join must honor (a feature computed at or after the
+    label time trains a model on the future).
+
+    The exclusive frame ``ROWS UNBOUNDED PRECEDING TO 1 PRECEDING``
+    over (ts, event_id) per user makes "strictly before" exact even
+    for same-timestamp ties, in one window pass — no self-join, no
+    as-of lookup table. One shuffle on user_id; window input is
+    bounded by per-user activity (the same contract as
+    ``events_user_sequences``). Sums are integer cents, divided once.
+    """
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_prior_events"),
+            F.coalesce(
+                F.sum(F.expr("cast(round(value*100) as bigint)")).over(w),
+                F.lit(0),
+            ).alias("prior_value_cents"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("label_ts"),
+            "n_prior_events",
+            (F.col("prior_value_cents").cast("double") / 100.0).alias(
+                "prior_value"
+            ),
+        )
+    )
