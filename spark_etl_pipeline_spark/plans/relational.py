@@ -2334,3 +2334,67 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "rel_corr_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sx,
+               SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+               SUM(CAST(round(l_quantity*100) AS BIGINT)
+                   * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
+               SUM(CAST(round(l_quantity*100) AS BIGINT)
+                   * CAST(round(l_quantity*100) AS BIGINT)) AS sxx,
+               SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round(l_extendedprice*100) AS BIGINT)) AS syy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+           / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+              * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+               AS qty_price_corr
+    FROM s
+    """,
+)
+def rel_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pearson correlation with DETERMINISTIC float output.
+
+    The built-in ``corr`` aggregate accumulates doubles in partition
+    order, so two runs (or two engines) can disagree in the last bits —
+    un-hashable. This plan instead reduces the five EXACT integer
+    moment sums (n, Σx, Σy, Σxy, Σx², Σy² in cents — associative bigint
+    adds, map-side combinable) and evaluates the closed form once in
+    double: identical operands, identical IEEE-754 ops, bit-identical
+    result on any cluster size. Overflow headroom: cents products are
+    ≲1e11 and row counts ≲1e7 per group at bench scale stay under 2^63;
+    at larger scale the sums switch to DECIMAL(38,0) unchanged in shape.
+    One shuffle on the group key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = cents("l_quantity")
+    y = cents("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            )
+        ).alias("qty_price_corr"),
+    )

@@ -231,3 +231,27 @@ def read_json(
     """JSON-lines scan with a REQUIRED explicit schema (same rationale
     as :func:`read_csv`; declared-but-absent fields read as null)."""
     return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the columnar alternative when the downstream stack is
+    Hive/Trino-flavored. Same partitioning contract as
+    :func:`write_parquet`; ORC's stripe-level statistics give the same
+    predicate-pushdown behavior parquet row groups do.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan with the engine's usual pushdown expectations (filters
+    and column pruning reach the stripe reader — asserted in
+    tests/test_sources.py)."""
+    return spark.read.orc(path)

@@ -220,3 +220,23 @@ def test_table_does_not_misrepair_int96_timestamps(spark, tmp_path):
     got = table(spark, str(tmp_path), "t")
     assert dict(got.dtypes)["ts"] == "timestamp"
     assert str(got.collect()[0]["ts"]) == "2026-01-02 03:04:05.123456"
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from spark_etl_pipeline_spark.plans.registry import table
+    from spark_etl_pipeline_spark.sources import read_orc, write_orc
+
+    src = table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path, partition_by=["o_orderstatus"])
+
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    # partition pruning: the status filter must prune directories
+    pruned = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" not in plan.split("ReadSchema")[-1][:200], (
+        "partition column should come from the directory, not the file"
+    )
+    want = src.filter(F.col("o_orderstatus") == "F").count()
+    assert pruned.count() == want
