@@ -2398,3 +2398,46 @@ def rel_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("qty_price_corr"),
     )
+
+
+@register(
+    "rel_window_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+               AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rel_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based rolling window: each event's count/sum over the user's
+    trailing hour — a RANGE frame over epoch seconds, not a ROWS frame.
+
+    The distinction matters for correctness AND determinism: a ROWS
+    frame over irregular event times is data-cadence-dependent, while a
+    RANGE frame's membership is a pure function of the timestamp
+    VALUES — peer rows (equal ts) always share a frame, so no ordering
+    tiebreak can change the result. This is the rolling-feature shape
+    feature stores actually need ("activity in the last hour"), exact
+    in integer cents. One shuffle on user_id; frame input bounded by
+    per-user activity within the hour.
+    """
+    events = table(spark, sf_dir, "events")
+    # NTZ-safe epoch: TIMESTAMP_NTZ refuses a direct bigint cast; the
+    # LTZ hop is value-preserving under the pinned-UTC session (same
+    # normalization contract as streaming/source.py).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum(cents("value")).over(w).cast("double") / 100.0).alias(
+            "value_last_hour"
+        ),
+    )
