@@ -175,3 +175,41 @@ def events_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, dim, "user_id", salt=8).select(
         "event_id", "user_id", "c_name"
     )
+
+
+@register(
+    "events_heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n_total FROM events),
+    per_key AS (
+        SELECT user_id, COUNT(*) AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT p.user_id, p.n,
+           CAST(p.n AS DOUBLE) / t.n_total AS share
+    FROM per_key p, tot t
+    ORDER BY p.n DESC, p.user_id
+    LIMIT 5
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew DIAGNOSTIC: the top-5 heaviest join/agg keys with their
+    share of the table — the query an operator runs before deciding
+    between a plain shuffle, AQE skew-join, or explicit salting
+    (``events_skew_salted_*`` are the fixes; this measures the
+    disease). One aggregate on the key, a 1-row broadcast total, and a
+    TakeOrderedAndProject top-5 — the driver never sees the key set.
+    """
+    events = table(spark, sf_dir, "events")
+    tot = events.agg(F.count(F.lit(1)).alias("n_total"))
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_key.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(5)
+    )

@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     "sim_ann_recall_nprobe2",  # same composition at nprobe=2
     "q22_dormant_customers",  # 1-row global-average broadcast, by design
     "q11_important_stock",  # 1-row global-total broadcast threshold, by design
+    "events_heavy_hitters",  # 1-row global-count broadcast share, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}

@@ -240,3 +240,43 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     want = src.filter(F.col("o_orderstatus") == "F").count()
     assert pruned.count() == want
+
+
+def test_clustered_write_narrows_file_stats(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions clusters rows so each
+    parquet file covers a narrow, mostly-disjoint user_id range — the
+    data-layout prerequisite for row-group skipping on key filters at
+    scale (min/max stats only prune when values are clustered)."""
+    import pyarrow.parquet as pq
+    from spark_etl_pipeline_spark.plans.registry import table
+
+    events = table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    path = str(tmp_path / "clustered")
+    (
+        events.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+    import glob
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(len(md.schema.names))
+            if md.schema.column(i).name == "user_id"
+        )
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    assert len(spans) >= 4
+    # ranges must be (mostly) disjoint: sorted by lo, each file's lo is
+    # at least the previous file's hi (range partitioner boundaries)
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert lo_b >= hi_a, f"file ranges overlap: {spans}"
+    # and each file covers a strict subset of the global domain
+    global_lo = min(s[0] for s in spans)
+    global_hi = max(s[1] for s in spans)
+    assert all(hi - lo < (global_hi - global_lo) for lo, hi in spans)
