@@ -1451,3 +1451,59 @@ def events_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_value_deciles",
+    oracle="""
+    WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS vc FROM events),
+    b AS (
+        SELECT quantile_disc(vc,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM v
+    )
+    SELECT len(list_filter(b.bs, x -> v.vc > x)) + 1 AS decile,
+           COUNT(*) AS n,
+           CAST(MIN(v.vc) AS DOUBLE)/100.0 AS min_value,
+           CAST(MAX(v.vc) AS DOUBLE)/100.0 AS max_value
+    FROM v, b
+    GROUP BY 1
+    """,
+)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile discretization — the scale-safe feature-binning shape.
+
+    A global ``ntile`` would rank the whole table in ONE window
+    partition (a driver-sized sort at 100 TB); instead the nine decile
+    BOUNDARIES reduce in one aggregate (``percentile_disc`` over exact
+    integer cents — order statistics, no float interpolation), the
+    9-number row broadcasts, and binning is a per-row lambda over the
+    broadcast array. Two passes over the data, zero unbounded state.
+    ``percentile_disc`` picks actual data values (smallest value with
+    CDF ≥ p, the SQL-standard convention DuckDB's ``quantile_disc``
+    shares), so boundaries are exact bigints in both engines.
+    """
+    from spark_etl_pipeline_spark.functions import cents
+
+    events = table(spark, sf_dir, "events")
+    v = events.select(cents("value").alias("vc"))
+    bound_exprs = [
+        F.expr(
+            f"cast(percentile_disc({p/10}) WITHIN GROUP (ORDER BY vc) as bigint)"
+        ).alias(f"b{p}")
+        for p in range(1, 10)
+    ]
+    bounds = v.agg(F.array(*bound_exprs).alias("bs"))
+    return (
+        v.join(F.broadcast(bounds))
+        .select(
+            (F.expr("size(filter(bs, x -> vc > x))") + 1).alias("decile"),
+            "vc",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("vc").cast("double") / 100.0).alias("min_value"),
+            (F.max("vc").cast("double") / 100.0).alias("max_value"),
+        )
+    )

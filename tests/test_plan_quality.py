@@ -39,6 +39,7 @@ NESTED_LOOP_OK = {
     "q22_dormant_customers",  # 1-row global-average broadcast, by design
     "q11_important_stock",  # 1-row global-total broadcast threshold, by design
     "events_heavy_hitters",  # 1-row global-count broadcast share, by design
+    "events_value_deciles",  # 1-row decile-boundary broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
