@@ -164,6 +164,8 @@ def load_all() -> None:
 #: rows on record, safe to clip.
 _EMIT_FIRST = (
     # --- new in round 6 ---
+    "stream_sliding_drain",
+    "stream_session_drain",
     "events_value_deciles",
     "events_heavy_hitters",
     "rel_window_range_time",
@@ -215,13 +217,13 @@ _EMIT_FIRST = (
     # --- round-4 green, now two rounds old: fill the window ---
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q3_top_orders",
-    "q5_region_revenue",
 )
 
 _EMIT_LAST = (
     # Round-4 green rows that did not fit the 50-row window — first in
     # line for the r7 rotation (ahead of everything r5/r6-green).
+    "q3_top_orders",
+    "q5_region_revenue",
     "rel_agg_stats",
     "rel_window_rank",
     "rel_window_running",

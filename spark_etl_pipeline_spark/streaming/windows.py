@@ -531,3 +531,107 @@ def stream_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+def _drain_to_table(spark: SparkSession, df: DataFrame, sink: str) -> DataFrame:
+    """Shared availableNow → memory-sink drain (complete mode)."""
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
+@register(
+    "stream_sliding_drain",
+    oracle="""
+    WITH expanded AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                   - k.k * INTERVAL 30 MINUTE AS window_start,
+               event_type
+        FROM events
+        CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+        WHERE ts >= time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
+          AND ts <  time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
+                    + INTERVAL 1 HOUR
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def stream_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window aggregation as a REAL stream (each event's
+    2-window membership expands inside the micro-batch engine; grouped
+    state per (window, type)), drained complete-mode — shares the batch
+    twin's oracle exactly like the tumbling/rollup drains."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        sliding(stream, "ts", "1 hour", "30 minutes", ["event_type"])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return _drain_to_table(spark, agg, "stream_sliding_drain_sink")
+
+
+@register(
+    "stream_session_drain",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a REAL stream: ``session_window`` grouped
+    state merges/extends sessions per user as micro-batches arrive;
+    the complete-mode availableNow drain emits the final session table,
+    equal to the batch sessionization the oracle reconstructs with
+    lag + cumulative sum."""
+    stream = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        session(stream, "ts", "30 minutes", ["user_id"])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    return _drain_to_table(spark, agg, "stream_session_drain_sink")
