@@ -774,9 +774,10 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
     return assign, cents_df
 
 
-@register(
-    "sim_kmeans",
-    oracle=f"""
+#: Shared k-means oracle CTE chain (2 unrolled rounds): e, c0, a1,
+#: c1, a2 (final assignment), c2 (final centroids). Reused by
+#: sim_kmeans and the kmeans-backed IVF search.
+_KMEANS_CTES = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
     a1 AS (
@@ -818,7 +819,13 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
             CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS d) g
             GROUP BY x.cell, g.d)
         GROUP BY cid
-    )
+    )"""
+
+
+@register(
+    "sim_kmeans",
+    oracle=f"""
+    {_KMEANS_CTES}
     SELECT c2.cid AS cluster, n.n AS n_members,
            c2.cv[1] AS c_first, c2.cv[{DIM}] AS c_last
     FROM c2
@@ -1051,3 +1058,74 @@ def sim_embedding_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="spark_etl_embstore_")
     build_embedding_store(emb.filter(~is_delta), store)
     return probe_embedding_store(spark, store, emb.filter(is_delta))
+
+
+@register(
+    "sim_ivf_kmeans",
+    oracle=f"""
+    {_KMEANS_CTES},
+    q AS (SELECT vec_id AS query_id, cell FROM a2 WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               {_duck_cos('eq.v', 'en.v')} AS cos
+        FROM q
+        JOIN a2 n ON n.cell = q.cell AND n.vec_id <> q.query_id
+        JOIN e eq ON eq.vec_id = q.query_id
+        JOIN e en ON en.vec_id = n.vec_id
+    )
+    SELECT query_id, neighbor_id, cos
+    FROM (SELECT *, row_number() OVER
+              (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED k-means cells — the production ANN shape
+    (``sim_ivf_search`` uses a deterministic centroid sample; this one
+    uses the bit-exact 2-round k-means partition from
+    :func:`kmeans_iterate`, so cells reflect the data distribution).
+
+    The final k-means assignment IS the inverted index: both the query
+    side (filtered to |Q| rows) and the corpus side come from the same
+    assignment table, so search adds ONE cell equi-join + per-pair
+    cosine + per-query top-3 — no new assignment pass, and probed-cell
+    sizes track real cluster populations. Offline, the assignment and
+    centroid tables persist exactly like the embedding store
+    (build-once, probe-per-batch).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    assign, _cents = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
+    nrm = F.expr(f"sqrt({dot_expr('v', 'v')})")
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("v").alias("qv"),
+        nrm.alias("qn"),
+    )
+    n = assign.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("v").alias("nv"),
+        nrm.alias("nn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(n, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.expr(dot_expr("qv", "nv")) / (F.col("qn") * F.col("nn"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

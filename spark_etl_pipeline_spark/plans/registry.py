@@ -164,6 +164,7 @@ def load_all() -> None:
 #: rows on record, safe to clip.
 _EMIT_FIRST = (
     # --- new in round 6 ---
+    "sim_ivf_kmeans",
     "stream_sliding_drain",
     "stream_session_drain",
     "events_value_deciles",
@@ -216,12 +217,12 @@ _EMIT_FIRST = (
     "text_vocab_topk",
     # --- round-4 green, now two rounds old: fill the window ---
     "q1_pricing_summary",
-    "q6_forecast_revenue",
 )
 
 _EMIT_LAST = (
     # Round-4 green rows that did not fit the 50-row window — first in
     # line for the r7 rotation (ahead of everything r5/r6-green).
+    "q6_forecast_revenue",
     "q3_top_orders",
     "q5_region_revenue",
     "rel_agg_stats",

@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "sim_topk_cosine",
     "rel_asof_join",
     "sim_kmeans",  # broadcast k-centroid assignment, like sim_ivf_search
+    "sim_ivf_kmeans",  # same broadcast centroid folds inside kmeans_iterate
     "sim_ann_recall",  # composes sim_topk_cosine + sim_ivf_search
     "sim_ann_recall_nprobe2",  # same composition at nprobe=2
     "q22_dormant_customers",  # 1-row global-average broadcast, by design
