@@ -154,14 +154,14 @@ def load_all() -> None:
 #:
 #: The driver's correctness gate checks the first ~50 entries in emission
 #: order, so ordering is a verification-coverage decision, not cosmetics.
-#: Round-6 rotation: front of the list is (a) the three round-6 additions
-#: (never had a driver row), (b) every query whose builder changed in
-#: round 6 (the jaccard_verified refactor through shingle_sets /
-#: jaccard_verified_sets), (c) the 20 queries whose newest driver row is
-#: r3 — three rounds old, past the rotation contract's stated maximum —
-#: then (d) as many round-4-green rows (now two rounds old) as fit the
-#: window. Back of the list: the round-5 driver-green set — the freshest
-#: rows on record, safe to clip.
+#: Round-6 rotation: front of the list is (a) the 25 round-6 additions
+#: (never had a driver row), (b) the four queries whose builders went
+#: through the round-6 jaccard_verified refactor, (c) the 20 queries
+#: whose newest driver row is r3 — three rounds old, past the rotation
+#: contract's stated maximum — and the window's last slot goes to the
+#: oldest r4-green row. The other r4-green rows lead _EMIT_LAST as the
+#: r7 front-runners; the r5/r6-green sets follow as the freshest rows,
+#: safe to clip.
 _EMIT_FIRST = (
     # --- new in round 6 ---
     "sim_ivf_kmeans",
