@@ -713,3 +713,187 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: bigram lift (PMI without the log)
+# ---------------------------------------------------------------------------
+
+#: Minimum corpus occurrences for a bigram to be scored (noise floor).
+PMI_MIN_PAIR = 3
+PMI_TOP_K = 50
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT {TOKENS_DUCK} AS t FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+    ),
+    pc AS (
+        SELECT w1, w2, COUNT(*) AS pair_n FROM pairs GROUP BY w1, w2
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS n
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(pair_n) AS BIGINT) AS n_pairs FROM pc)
+    SELECT c.w1, c.w2, c.pair_n,
+           (CAST(c.pair_n AS DOUBLE) * CAST(t.n_pairs AS DOUBLE))
+           / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS lift
+    FROM pc c
+    JOIN uni a ON a.w = c.w1
+    JOIN uni b ON b.w = c.w2
+    CROSS JOIN tot t
+    WHERE c.pair_n >= {PMI_MIN_PAIR}
+    ORDER BY lift DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-K adjacent-bigram LIFT over the corpus —
+    ``p(ab) / (p(a)·p(b))``, the monotone core of pointwise mutual
+    information (the log is omitted deliberately: ``ln`` may differ in
+    the last ulp across engines, while lift is two multiplications and
+    one division over EXACTLY-represented integer counts — the same
+    IEEE754 op tree on identical operands in both engines, hence
+    bit-identical; the RANKING is identical to PMI's either way).
+    Collocations drive tokenizer-merge candidates and phrase-aware
+    dedup shingles in a training-data pipeline.
+
+    Shape: two map-side-combinable hash aggregates (bigram counts,
+    unigram counts — shuffle rows are vocab-sized, never corpus-sized),
+    two vocab-keyed joins to attach marginals (AQE broadcasts the
+    unigram side when it fits), one broadcast single-row total, then
+    ``orderBy().limit(K)`` which compiles to TakeOrderedAndProject —
+    each partition keeps its local top-K, so the full scored set never
+    lands anywhere.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tokens) >= 2 THEN transform("
+                "sequence(0, size(tokens) - 2),"
+                " i -> struct(tokens[i] AS w1, tokens[i+1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    uni = (
+        docs.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pc.agg(F.sum("pair_n").cast("bigint").alias("n_pairs"))
+    scored = (
+        pc.filter(F.col("pair_n") >= PMI_MIN_PAIR)
+        .join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            (
+                (F.col("pair_n").cast("double") * F.col("n_pairs").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(PMI_TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF relevance: top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_DOC_LIMIT = 200  # score this doc_id prefix (df still corpus-wide)
+TFIDF_TOP_TERMS = 3
+
+
+@register(
+    "docs_tfidf_topk",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks
+              WHERE doc_id < {TFIDF_DOC_LIMIT})
+        GROUP BY doc_id, w
+    ),
+    df AS (
+        SELECT w, COUNT(*) AS doc_freq
+        FROM (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks)
+        GROUP BY w
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w AS token, tf.tf, df.doc_freq,
+               (CAST(tf.tf AS DOUBLE) * CAST(nd.n_docs AS DOUBLE))
+               / CAST(df.doc_freq AS DOUBLE) AS score
+        FROM tf JOIN df ON df.w = tf.w CROSS JOIN nd
+    )
+    SELECT doc_id, token, tf, doc_freq, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, token) AS rn
+          FROM scored)
+    WHERE rn <= {TFIDF_TOP_TERMS}
+    """,
+)
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} most-distinctive terms per document by TF-IDF-style
+    relevance — ``tf · N / df`` (the log-free monotone form, for the
+    same cross-engine ulp reason as ``text_pmi_bigrams``; rankings are
+    identical). The per-doc distinctive-term profile feeds topic
+    bucketing, domain mixture tagging, and keyword-based decontamination
+    in a training-data pipeline.
+
+    Shape: document frequency is ONE corpus-wide aggregate over
+    per-doc DISTINCT tokens (``array_distinct`` before the explode —
+    shuffle rows are doc×vocab-distinct, with map-side combine); term
+    frequency is computed only for the scored slice; one vocab-keyed
+    join attaches df (AQE-broadcastable); the per-doc top-K window
+    partitions by doc_id over the scored slice only — each partition
+    is one document's vocab, so the window is corpus-size-independent.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    tf = (
+        docs.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .select("doc_id", F.explode("tokens").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = (
+        docs.select(F.explode(F.array_distinct("tokens")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "w")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("w").alias("token"),
+            "tf",
+            "doc_freq",
+            (
+                (F.col("tf").cast("double") * F.col("n_docs").cast("double"))
+                / F.col("doc_freq").cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_TERMS)
+        .drop("rn")
+    )

@@ -1,0 +1,288 @@
+"""Time-series operators over the ``events`` table.
+
+The reference pipeline's event handling stops at fixed-window batch
+aggregation (jobs/etl_job.py's hourly rollups); this module adds the
+time-series surface an analytics/feature pipeline needs on top of it:
+
+- **gap-fill / resample**: regularize an irregular event stream onto a
+  fixed hourly spine per key, forward-filling measure columns across
+  empty buckets (the "resample → ffill" shape every downstream
+  forecaster expects).
+- **sessionization**: split each user's stream into sessions at
+  inactivity gaps — the lag/flag/cumulative-sum idiom, producing
+  per-session ordinals that can be joined back onto events (unlike
+  ``F.session_window``, which only yields the window bounds; see
+  ``streaming/windows.py`` for that form).
+- **period-over-period**: daily grain totals with previous-period and
+  percent-change columns — the trend-table shape.
+
+Scale notes (100 TB): every operator here collapses the raw stream with
+one map-side-combinable hash aggregate FIRST (hourly/daily buckets,
+session member rows), so window passes run over bucket/session counts,
+never raw-event counts. The gap-fill spine is |keys| x |buckets| rows —
+independent of input volume. Sessionization's window is partitioned by
+user_id: per-user partitions parallelize across executors and a single
+user's history is the only sequential unit (a pathological hot user
+needs time-chunking, not a different operator).
+
+Cross-engine determinism: bucket sums use integer cents; inactivity
+gaps compare integer microseconds (``unix_micros`` / ``epoch_us`` —
+both engines read the same µs parquet values); percent change is a
+single IEEE754 division of exactly-represented integers; timestamps are
+emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.plans.registry import register, table
+
+#: Session inactivity gap: 30 minutes, in integer microseconds.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_CENTS = "cast(round(value * 100) as bigint)"
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill / resample onto a fixed hourly spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        FROM c GROUP BY event_type, h
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT s.event_type,
+           strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COALESCE(hr.n, 0) AS BIGINT) AS n_events,
+           CAST(hr.cents AS DOUBLE) / 100.0 AS amount,
+           CAST(last_value(hr.cents IGNORE NULLS) OVER (
+                    PARTITION BY s.event_type ORDER BY s.h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS filled_amount,
+           hr.n IS NULL AS is_gap
+    FROM spine s
+    LEFT JOIN hourly hr ON hr.event_type = s.event_type AND hr.h = s.h
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the irregular event stream onto a complete hourly spine
+    per event_type, forward-filling the revenue measure across empty
+    hours — the regularization step before any fixed-step time-series
+    model (forecasting, anomaly detection) can consume event data.
+
+    Shape: one hash aggregate collapses raw events to (key, hour)
+    buckets; a tiny per-key min/max aggregate bounds the spine;
+    ``sequence(h0, h1, interval 1 hour)`` + explode generates exactly
+    the missing grid rows (|keys| x |hours| — independent of event
+    volume); a left join marks gaps; one window pass per key
+    (``last(..., ignorenulls=True)`` over unbounded-preceding rows)
+    forward-fills. At 100 TB the raw stream is gone after the first
+    map-side-combinable aggregate — everything downstream is
+    grid-sized. The per-key window orders hours within one key only,
+    so keys parallelize; the spine join is broadcast-sized whenever
+    |keys| x |hours| is (AQE decides).
+    """
+    events = table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left")
+    return joined.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        (F.col("cents").cast("double") / 100.0).alias("amount"),
+        (
+            F.last("cents", ignorenulls=True).over(w).cast("double") / 100.0
+        ).alias("filled_amount"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization with per-session ordinals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tagged AS (
+        SELECT *,
+               CAST(SUM(new_s) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS amount,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_sec
+    FROM tagged
+    GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each user's event stream into sessions at >30-minute
+    inactivity gaps, assigning a per-user session ordinal — the
+    lag → boundary-flag → cumulative-sum idiom. Unlike
+    ``F.session_window`` (see ``stream_session_windows``), the ordinal
+    labels every EVENT with its session, so sessions can key
+    session-level splits, per-session sequence packing, or
+    session-grain negative sampling.
+
+    One window pass computes the lag and the running boundary sum
+    (same partition/order — Spark plans a single Window exchange on
+    user_id), then a hash aggregate rolls events up per session.
+    Inactivity is compared in integer microseconds (``unix_micros``):
+    both engines read identical µs parquet values, so the boundary
+    decision — and therefore every downstream row — is bit-identical.
+    Per-user partitions scale out; duration is exact integer µs math.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        # testdata `ts` may surface as TIMESTAMP_NTZ (µs parquet without
+        # UTC-adjustment); unix_micros requires LTZ. The session tz is
+        # pinned UTC, so the cast is value-preserving on both flavors.
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    marked = o.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    tagged = marked.withColumn(
+        "session_idx", F.sum("new_s").over(wrun).cast("bigint")
+    )
+    return tagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("cents").cast("double") / 100.0).alias("amount"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period trend table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_period_over_period",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           CAST(cents AS DOUBLE) / 100.0 AS amount,
+           CAST(lag(cents) OVER w AS DOUBLE) / 100.0 AS prev_amount,
+           CASE WHEN lag(cents) OVER w > 0
+                THEN CAST(cents - lag(cents) OVER w AS DOUBLE)
+                     / CAST(lag(cents) OVER w AS DOUBLE)
+                ELSE NULL END AS pct_change
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    """,
+)
+def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue per event_type with previous-day and day-over-day
+    percent-change columns — the period-over-period trend table behind
+    every growth dashboard.
+
+    One hash aggregate to daily grain (map-side combinable — the raw
+    stream never reaches the window), then one lag window per key over
+    |days| rows. Percent change divides exactly-represented integer
+    cents: ``(cur - prev) / prev`` is one IEEE754 division on identical
+    operands in both engines. The ``prev > 0`` guard pins the
+    zero-denominator case to NULL on both sides (Spark's Divide is
+    non-ANSI NULL-on-zero; DuckDB would return inf).
+    """
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    prev = F.lag("cents").over(w)
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        (F.col("cents").cast("double") / 100.0).alias("amount"),
+        (prev.cast("double") / 100.0).alias("prev_amount"),
+        F.when(
+            prev > 0,
+            (F.col("cents") - prev).cast("double") / prev.cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("pct_change"),
+    )

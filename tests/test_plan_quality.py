@@ -41,6 +41,8 @@ NESTED_LOOP_OK = {
     "q11_important_stock",  # 1-row global-total broadcast threshold, by design
     "events_heavy_hitters",  # 1-row global-count broadcast share, by design
     "events_value_deciles",  # 1-row decile-boundary broadcast, by design
+    "text_pmi_bigrams",  # 1-row total-bigram-count broadcast, by design
+    "docs_tfidf_topk",  # 1-row corpus-doc-count broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}

@@ -1,0 +1,108 @@
+"""Behavioral contracts for the time-series operators.
+
+Oracle parity (test_oracle_parity.py) proves Spark == DuckDB; these pin
+the SEMANTIC invariants both engines must share — a complete spine, a
+correct forward-fill, session boundaries that honor the gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.operators.timeseries import (
+    SESSION_GAP_US,
+    events_gap_fill,
+    events_period_over_period,
+    events_sessionize,
+)
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_gap_fill_spine_is_complete_and_filled(spark):
+    out = events_gap_fill(spark, SF_CORRECTNESS).cache()
+    try:
+        # Per key: row count == hours between min and max hour, inclusive —
+        # the spine has no holes and no extras.
+        spans = (
+            out.withColumn("h", F.to_timestamp("hour"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                (
+                    (F.expr("unix_micros(cast(max(h) as timestamp))")
+                     - F.expr("unix_micros(cast(min(h) as timestamp))"))
+                    / 3_600_000_000 + 1
+                ).cast("bigint").alias("expect"),
+            )
+            .collect()
+        )
+        assert spans and all(r.rows == r.expect for r in spans)
+        # Gap rows: no raw amount, but a forward-filled value (the spine
+        # starts at each key's first observed hour, so fill always exists).
+        assert out.filter("is_gap").count() > 0, "testdata produced no gaps"
+        bad = out.filter(
+            "is_gap AND (amount IS NOT NULL OR filled_amount IS NULL)"
+        ).count()
+        assert bad == 0
+        # Non-gap rows carry their own amount as the fill.
+        assert out.filter(
+            "NOT is_gap AND (amount IS NULL OR filled_amount != amount)"
+        ).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_sessionize_boundaries_honor_gap(spark):
+    sess = events_sessionize(spark, SF_CORRECTNESS).cache()
+    try:
+        # Every event lands in exactly one session.
+        from spark_etl_pipeline_spark.plans.registry import table
+
+        n_events = table(spark, SF_CORRECTNESS, "events").count()
+        assert sess.agg(F.sum("n_events")).collect()[0][0] == n_events
+        # Consecutive sessions of one user are separated by MORE than the
+        # gap; inside a session, the span/(n-1) mean inter-event gap can
+        # exceed it only if a single hop did — cheap necessary check: a
+        # session's total span is at most (n-1) * gap.
+        gap_s = SESSION_GAP_US // 1_000_000
+        s = sess.withColumn("st", F.to_timestamp("session_start")).withColumn(
+            "en", F.to_timestamp("session_end")
+        )
+        w_bad = s.filter(
+            F.col("duration_sec") > (F.col("n_events") - 1) * gap_s
+        ).count()
+        assert w_bad == 0
+        nxt = F.lead("st").over(
+            Window.partitionBy("user_id").orderBy("session_idx")
+        )
+        crossing = (
+            s.withColumn("next_start", nxt)
+            .filter(F.col("next_start").isNotNull())
+            .filter(
+                F.expr("unix_micros(cast(next_start as timestamp))")
+                - F.expr("unix_micros(cast(en as timestamp))")
+                <= SESSION_GAP_US
+            )
+            .count()
+        )
+        assert crossing == 0
+        # Ordinals are dense from 1 per user.
+        dense = sess.groupBy("user_id").agg(
+            F.min("session_idx").alias("lo"),
+            F.max("session_idx").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        assert dense.filter("lo != 1 OR hi != n").count() == 0
+    finally:
+        sess.unpersist()
+
+
+def test_period_over_period_identity(spark):
+    out = events_period_over_period(spark, SF_CORRECTNESS)
+    rows = out.filter("pct_change IS NOT NULL").collect()
+    assert rows
+    for r in rows:
+        # pct_change reconstructs the current amount from the previous one
+        # (both sides are exact cents, so the identity holds to 1 cent).
+        assert abs(r.prev_amount * (1 + r.pct_change) - r.amount) < 0.01
