@@ -136,6 +136,32 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tag_sessions(
+    df: DataFrame, gap_us: int = SESSION_GAP_US, ts_us_col: str = "us"
+) -> DataFrame:
+    """Add ``session_idx`` (dense per-user ordinal from 1) to an event
+    DataFrame carrying (user_id, event_id, ``ts_us_col`` integer-µs).
+
+    The lag → boundary-flag → cumulative-sum idiom in one window pass:
+    both window functions share the same partition/order spec, so Spark
+    plans a SINGLE exchange+sort on user_id. Factored out of the
+    registered query so property tests can drive it on arbitrary
+    generated streams.
+    """
+    w = Window.partitionBy("user_id").orderBy(ts_us_col, "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_us_col).over(w)
+    marked = df.withColumn(
+        "new_s",
+        F.when(
+            prev.isNull() | (F.col(ts_us_col) - prev > gap_us), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    return marked.withColumn(
+        "session_idx", F.sum("new_s").over(wrun).cast("bigint")
+    ).drop("new_s")
+
+
 # ---------------------------------------------------------------------------
 # Gap-based sessionization with per-session ordinals
 # ---------------------------------------------------------------------------
@@ -192,8 +218,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-user partitions scale out; duration is exact integer µs math.
     """
     events = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     o = events.select(
         "user_id",
         "event_id",
@@ -204,17 +228,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
         F.expr(_CENTS).alias("cents"),
     )
-    marked = o.withColumn(
-        "new_s",
-        F.when(
-            F.lag("us").over(w).isNull()
-            | (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    tagged = marked.withColumn(
-        "session_idx", F.sum("new_s").over(wrun).cast("bigint")
-    )
+    tagged = tag_sessions(o)
     return tagged.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("cents").cast("double") / 100.0).alias("amount"),

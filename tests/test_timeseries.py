@@ -106,3 +106,62 @@ def test_period_over_period_identity(spark):
         # pct_change reconstructs the current amount from the previous one
         # (both sides are exact cents, so the identity holds to 1 cent).
         assert abs(r.prev_amount * (1 + r.pct_change) - r.amount) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Property-based: tag_sessions == pure-Python reference on random streams
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_etl_pipeline_spark.operators.timeseries import tag_sessions
+
+GAP = 100  # µs, tiny so random draws produce both splits and merges
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=1000),   # ts (µs)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def reference_sessions(rows):
+    """Per (user, event order by (ts, event_id)): split when gap > GAP."""
+    out = {}
+    by_user = {}
+    for eid, (u, ts) in enumerate(rows):
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, evs in by_user.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for ts, eid in evs:
+            if prev is None or ts - prev > GAP:
+                idx += 1
+            out[eid] = (u, idx)
+            prev = ts
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=event_rows)
+def test_tag_sessions_matches_reference(spark, rows):
+    pdf = pd.DataFrame(
+        [(eid, u, ts) for eid, (u, ts) in enumerate(rows)],
+        columns=["event_id", "user_id", "us"],
+    ).astype("int64")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_idx"])
+        for r in tag_sessions(spark.createDataFrame(pdf), gap_us=GAP).collect()
+    }
+    assert got == reference_sessions(rows)
