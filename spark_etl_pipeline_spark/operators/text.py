@@ -790,7 +790,15 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = pc.agg(F.sum("pair_n").cast("bigint").alias("n_pairs"))
+    # Total bigrams == Σ max(len-1, 0) per doc: one scan-and-fold over the
+    # tokens column, no explode and no re-aggregation of pair counts —
+    # identical value to SUM(pair_n) (the oracle's formulation) at a
+    # fraction of the plan.
+    tot = docs.agg(
+        F.sum(F.greatest(F.size("tokens") - 1, F.lit(0)))
+        .cast("bigint")
+        .alias("n_pairs")
+    )
     scored = (
         pc.filter(F.col("pair_n") >= PMI_MIN_PAIR)
         .join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a")), "w1")
