@@ -65,6 +65,13 @@ def test_q3_topk_avoids_full_sort(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "q3_top_orders")
 
 
+def test_sessionize_single_exchange(spark):
+    # lag, the running boundary sum, AND the per-session rollup must all
+    # reuse ONE user_id exchange — the whole operator is a single shuffle.
+    plan = plan_of(spark, "events_sessionize")
+    assert plan.count("Exchange") == 1
+
+
 def test_q1_single_aggregate_exchange(spark):
     plan = plan_of(spark, "q1_pricing_summary")
     # partial agg before the exchange, final after — exactly one shuffle

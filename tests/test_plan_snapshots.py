@@ -44,6 +44,9 @@ HEADLINE = [
     "stream_tumbling_counts",
     "events_skew_salted_agg",
     "rel_partition_prune",
+    "events_sessionize",
+    "events_gap_fill",
+    "text_pmi_bigrams",
 ]
 
 _NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$")
