@@ -52,6 +52,10 @@ HEADLINE = [
     "q8_market_share",
     "q10_returned_items",
     "rel_scd2_history",
+    # round-6 additions: time-series + collocation mining
+    "events_sessionize",
+    "events_gap_fill",
+    "text_pmi_bigrams",
 ]
 
 

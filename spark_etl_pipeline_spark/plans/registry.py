@@ -135,6 +135,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view named after itself.
+
+    The raw-SQL entry point: after this, ``spark.sql("SELECT ... FROM
+    lineitem JOIN orders ...")`` works directly — the same table names
+    the DuckDB oracles use, so ad-hoc SQL can be cross-checked 1:1.
+    Views go through :func:`table`, so the nanos-timestamp repair and
+    every other load-path normalization apply to SQL users too.
+    """
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from spark_etl_pipeline_spark.operators import (  # noqa: F401

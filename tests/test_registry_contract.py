@@ -8,6 +8,7 @@ verification, so the lists themselves are tested.
 from __future__ import annotations
 
 from spark_etl_pipeline_spark.plans import registry
+from tests.conftest import SF_CORRECTNESS
 
 registry.load_all()
 
@@ -43,3 +44,21 @@ def test_every_query_has_an_oracle():
 
 def test_queries_and_oracles_expose_same_names():
     assert list(registry.queries()) == list(registry.oracles())
+
+
+def test_register_views_enables_raw_sql(spark, duck):
+    """register_views makes every table a temp view with oracle-matching
+    names — the same ad-hoc SQL runs on both engines unchanged."""
+    from spark_etl_pipeline_spark.plans.registry import TABLES, register_views
+
+    register_views(spark, SF_CORRECTNESS)
+    sql = (
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+        "JOIN customer ON c_custkey = o_custkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    got = [(r[0], r[1]) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in duck.sql(sql).fetchall()]
+    assert got == want
+    for t in TABLES:
+        assert spark.catalog.tableExists(t)
