@@ -1368,3 +1368,54 @@ def dedup_containment_onesided(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cont_a") >= CONTAINMENT_THRESHOLD)
         | (F.col("cont_b") >= CONTAINMENT_THRESHOLD)
     )
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM dup_pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e.dst AS v, r.label
+        FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (
+        SELECT v, MIN(label) AS component FROM reach GROUP BY v
+    ),
+    csizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster SIZE DISTRIBUTION — the diagnostic a curator
+    reads before deduplicating: many pairs (size 2) means boilerplate
+    noise; a few giant clusters mean templated spam or a mirror site,
+    and each giant cluster is also a skew risk for every downstream
+    per-cluster operation.
+
+    Two tiny hash aggregates over the component labels (cluster sizes,
+    then the size histogram) — both inputs are duplicate-cluster-count
+    sized, never corpus-sized. Shares the pair + connected-components
+    stages (and their oracle CTEs) with ``dedup_components``, so the
+    histogram cannot drift from the clustering it describes.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = _labels_to_components(connected_components(pairs, "doc_a", "doc_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+    )

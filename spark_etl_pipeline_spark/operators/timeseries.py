@@ -300,3 +300,224 @@ def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation (the lerp upgrade of forward fill)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_fill_lerp",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        FROM c GROUP BY event_type, h
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.event_type, s.h, hr.n, hr.cents,
+               row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS i
+        FROM spine s
+        LEFT JOIN hourly hr ON hr.event_type = s.event_type AND hr.h = s.h
+    ),
+    f AS (
+        SELECT *,
+               last_value(CASE WHEN n IS NOT NULL THEN i END IGNORE NULLS)
+                   OVER wb AS prev_i,
+               last_value(cents IGNORE NULLS) OVER wb AS prev_c,
+               first_value(CASE WHEN n IS NOT NULL THEN i END IGNORE NULLS)
+                   OVER wf AS next_i,
+               first_value(cents IGNORE NULLS) OVER wf AS next_c
+        FROM j
+        WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(cents AS DOUBLE) / 100.0 AS amount,
+           (CASE WHEN n IS NOT NULL THEN CAST(cents AS DOUBLE)
+                 WHEN next_i IS NULL THEN CAST(prev_c AS DOUBLE)
+                 ELSE CAST(prev_c AS DOUBLE)
+                      + CAST(next_c - prev_c AS DOUBLE)
+                        * (CAST(i - prev_i AS DOUBLE)
+                           / CAST(next_i - prev_i AS DOUBLE)) END
+           ) / 100.0 AS interp_amount,
+           CASE WHEN n IS NOT NULL THEN 'obs'
+                WHEN next_i IS NULL THEN 'ffill'
+                ELSE 'lerp' END AS fill_kind
+    FROM f
+    """,
+)
+def events_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION between the surrounding
+    observations (trailing gaps fall back to forward fill) — the lerp
+    upgrade of ``events_gap_fill`` for measures where a straight line
+    beats a step function (gauges, rates, prices).
+
+    Same spine construction as the forward-fill variant; the fill adds
+    a bidirectional ignore-nulls window pair (last-preceding and
+    first-following observation) over the SAME partition/order spec, so
+    all window functions share one exchange+sort per key. Because the
+    spine is dense hourly, the row ordinal doubles as the time axis:
+    ``frac = (i - prev_i) / (next_i - prev_i)`` is a division of small
+    exact integers, and the lerp is the identical IEEE754 op tree in
+    both engines — bit-exact, no epsilon anywhere.
+    """
+    events = table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    wseq = Window.partitionBy("event_type").orderBy("h")
+    wb = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = wseq.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    j = (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .withColumn("i", F.row_number().over(wseq))
+        .withColumn("obs_i", F.when(F.col("n").isNotNull(), F.col("i")))
+    )
+    prev_i = F.last("obs_i", ignorenulls=True).over(wb)
+    prev_c = F.last("cents", ignorenulls=True).over(wb)
+    next_i = F.first("obs_i", ignorenulls=True).over(wf)
+    next_c = F.first("cents", ignorenulls=True).over(wf)
+    frac = (F.col("i") - prev_i).cast("double") / (next_i - prev_i).cast("double")
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("cents").cast("double"))
+        .when(next_i.isNull(), prev_c.cast("double"))
+        .otherwise(prev_c.cast("double") + (next_c - prev_c).cast("double") * frac)
+    )
+    return j.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        (F.col("cents").cast("double") / 100.0).alias("amount"),
+        (interp / F.lit(100.0)).alias("interp_amount"),
+        F.when(F.col("n").isNotNull(), F.lit("obs"))
+        .when(next_i.isNull(), F.lit("ffill"))
+        .otherwise(F.lit("lerp"))
+        .alias("fill_kind"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (algebraic partial-aggregate merge)
+# ---------------------------------------------------------------------------
+
+#: Days strictly before this date form the materialized base rollup;
+#: the rest is the delta batch merged on top.
+ROLLUP_CUTOFF = "2024-01-25"
+
+
+def build_daily_rollup(events: DataFrame, store_path: str) -> None:
+    """Materialize (event_type, day, n, cents) partial aggregates.
+
+    The COMMUTATIVE-MONOID shape: counts and integer-cent sums merge by
+    addition, so tomorrow's rollup is yesterday's table plus one day of
+    partials — the raw history is never rescanned. At 100 TB this table
+    is |keys| × |days| rows standing in for the full event log.
+    """
+    (
+        events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .parquet(store_path)
+    )
+
+
+def merge_rollup(
+    spark: SparkSession, store_path: str, delta_events: DataFrame
+) -> DataFrame:
+    """Grand totals from the materialized base rollup ⊎ a delta batch.
+
+    The delta collapses to the same partial shape, the union re-sums —
+    sums of sums and counts of counts are exact (integer monoid), so
+    the merged result is bit-identical to a full recompute, which is
+    exactly what the registered query's oracle asserts.
+    """
+    base = spark.read.parquet(store_path)
+    delta = (
+        delta_events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    merged = base.unionByName(delta).groupBy("event_type")
+    total_cents = F.sum("cents").cast("bigint")
+    total_n = F.sum("n").cast("bigint")
+    return merged.agg(
+        total_n.alias("n_events"),
+        (total_cents.cast("double") / 100.0).alias("amount"),
+        (total_cents.cast("double") / 100.0 / total_n).alias("avg_amount"),
+    )
+
+
+@register(
+    "events_incremental_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 AS amount,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0 / COUNT(*)
+               AS avg_amount
+    FROM c GROUP BY event_type
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: materialize the pre-cutoff
+    history as a daily partial-aggregate rollup on disk, then produce
+    grand totals by merging ONE delta batch on top — without touching
+    the raw history again. The oracle is the full recompute over all
+    events: equality IS the proof that the algebraic merge loses
+    nothing (counts and integer-cent sums form a commutative monoid).
+
+    This is the daily-rollup twin of ``docs_dedup_store`` (dedup state)
+    and ``sim_embedding_store`` (vector state): the third materialized
+    ingest shape a 100-TB pipeline actually runs — append partials,
+    merge on read, never rescan.
+    """
+    import tempfile
+
+    events = table(spark, sf_dir, "events")
+    is_delta = F.to_date("ts") >= F.lit(ROLLUP_CUTOFF).cast("date")
+    store = tempfile.mkdtemp(prefix="spark_etl_rollup_")
+    build_daily_rollup(events.filter(~is_delta), store)
+    return merge_rollup(spark, store, events.filter(is_delta))

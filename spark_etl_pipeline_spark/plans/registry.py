@@ -241,9 +241,15 @@ _EMIT_FIRST = (
 )
 
 _EMIT_LAST = (
-    # r7 front-runners, in priority order: the three jaccard-refactor
-    # queries deferred behind their in-window representative, the one
-    # deferred r3 row, then the round-4 green rows.
+    # r7 front-runners, in priority order: the late round-6 additions
+    # that no longer fit the 50-row window (never driver-verified —
+    # locally parity-verified; they must OPEN the r7 window), the three
+    # jaccard-refactor queries deferred behind their in-window
+    # representative, the one deferred r3 row, then the round-4 green
+    # rows.
+    "events_gap_fill_lerp",
+    "events_incremental_rollup",
+    "dedup_cluster_sizes",
     "dedup_ngram_jaccard",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
