@@ -521,3 +521,150 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="spark_etl_rollup_")
     build_daily_rollup(events.filter(~is_delta), store)
     return merge_rollup(spark, store, events.filter(is_delta))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation correlogram over the bucketed hourly series
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 3)
+
+_ACF_LAGGED_DUCK = "\n        UNION ALL\n".join(
+    f"        SELECT event_type, {k} AS lag, c AS x, lag(c, {k}) OVER "
+    "(PARTITION BY event_type ORDER BY h) AS y FROM filled"
+    for k in ACF_LAGS
+)
+
+
+@register(
+    "events_autocorr",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hourly AS (
+        SELECT event_type, h, CAST(SUM(cents) AS BIGINT) AS cents
+        FROM c GROUP BY event_type, h
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ),
+    filled AS (
+        SELECT s.event_type, s.h, COALESCE(hr.cents, 0) AS c
+        FROM spine s
+        LEFT JOIN hourly hr ON hr.event_type = s.event_type AND hr.h = s.h
+    ),
+    lagged AS (
+{_ACF_LAGGED_DUCK}
+    ),
+    m AS (
+        SELECT event_type, lag,
+               COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM lagged WHERE y IS NOT NULL
+        GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0
+                 AND CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy > 0
+                THEN (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                     / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                        * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+                ELSE NULL END AS acf
+    FROM m
+    """,
+)
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of hourly revenue at lags 1–3 per event_type —
+    the correlogram, the first diagnostic a forecaster reads (is there
+    hour-over-hour momentum? daily seasonality shows at lag 24).
+    Computed over the ZERO-FILLED dense hourly series (missing hours
+    are genuine zeros of an event-volume measure, not unknowns).
+
+    ACF(k) is Pearson(x_t, x_{{t+k}}), so this reuses the
+    ``rel_corr_stats`` determinism discipline: exact integer moment
+    sums over lagged pairs (associative — any partition order), one
+    closed-form double evaluation — bit-identical across engines and
+    cluster sizes. All three lags come out of ONE window pass (three
+    lag columns share the per-key sort) and one moments aggregate
+    after an explode to (lag, x, y) rows. The series is bucket-sized
+    (|keys| × |hours|), independent of raw event volume; cents
+    products at bench scale stay far under 2^63 (hourly sums ≲1e6
+    cents → squares ≲1e12, ×1e4 buckets ≲1e16), and at larger scale
+    the sums switch to DECIMAL(38,0) unchanged in shape.
+    """
+    events = table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+        )
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cents", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = filled.select(
+        "event_type",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"y{k}") for k in ACF_LAGS],
+    )
+    pairs = lagged.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col("c").alias("x"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in ACF_LAGS
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.lag", "p.x", "p.y").filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return m.select(
+        "event_type",
+        "lag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (F.sqrt(vx) * F.sqrt(vy)),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("acf"),
+    )

@@ -250,6 +250,7 @@ _EMIT_LAST = (
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
+    "events_autocorr",
     "dedup_ngram_jaccard",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
