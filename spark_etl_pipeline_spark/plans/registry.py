@@ -251,6 +251,7 @@ _EMIT_LAST = (
     "events_incremental_rollup",
     "dedup_cluster_sizes",
     "events_autocorr",
+    "stream_dedup_drain",
     "dedup_ngram_jaccard",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
