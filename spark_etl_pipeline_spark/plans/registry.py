@@ -152,6 +152,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from spark_etl_pipeline_spark.operators import (  # noqa: F401
         dedup,
+        graph,
         multimodal,
         profile,
         similarity,
@@ -252,6 +253,7 @@ _EMIT_LAST = (
     "dedup_cluster_sizes",
     "events_autocorr",
     "stream_dedup_drain",
+    "graph_pagerank_suppliers",
     "dedup_ngram_jaccard",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
