@@ -668,3 +668,102 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection (trailing-window z-score flags)
+# ---------------------------------------------------------------------------
+
+ANOM_WINDOW = 20   # trailing events (excluding current) per user
+ANOM_MIN_N = 5     # need this many trailing events before flagging
+ANOM_SIGMA = 3.0
+
+
+@register(
+    "events_anomaly_rolling",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               COUNT(*) OVER wt AS tn,
+               CAST(SUM(cents) OVER wt AS BIGINT) AS ts,
+               CAST(SUM(cents * cents) OVER wt AS BIGINT) AS tss
+        FROM c
+        WINDOW wt AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, event_type,
+           CAST(cents AS DOUBLE) / 100.0 AS value,
+           CAST(tn AS BIGINT) AS trail_n,
+           CASE WHEN tn >= {ANOM_MIN_N}
+                 AND CAST(tss AS DOUBLE) / tn
+                     - (CAST(ts AS DOUBLE) / tn) * (CAST(ts AS DOUBLE) / tn) > 0
+                THEN (CAST(cents AS DOUBLE) - CAST(ts AS DOUBLE) / tn)
+                     / sqrt(CAST(tss AS DOUBLE) / tn
+                            - (CAST(ts AS DOUBLE) / tn) * (CAST(ts AS DOUBLE) / tn))
+                ELSE NULL END AS z,
+           COALESCE(abs(
+               CASE WHEN tn >= {ANOM_MIN_N}
+                     AND CAST(tss AS DOUBLE) / tn
+                         - (CAST(ts AS DOUBLE) / tn) * (CAST(ts AS DOUBLE) / tn) > 0
+                    THEN (CAST(cents AS DOUBLE) - CAST(ts AS DOUBLE) / tn)
+                         / sqrt(CAST(tss AS DOUBLE) / tn
+                                - (CAST(ts AS DOUBLE) / tn)
+                                  * (CAST(ts AS DOUBLE) / tn))
+                    ELSE NULL END) > {ANOM_SIGMA}, FALSE) AS is_anomaly
+    FROM m
+    """,
+)
+def events_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-calibrating anomaly flags: each event's spend is z-scored
+    against that USER'S OWN trailing 20-event window (current row
+    excluded — no self-contamination), flagged beyond ±3σ. The
+    per-entity trailing baseline is the fraud/abuse-detection shape;
+    global z-scores (``events_zscore``) miss users whose own normal is
+    unusual.
+
+    One window pass per user computes trailing count / sum /
+    sum-of-squares on integer cents (associative — exact under any
+    partition order), then the z closed form evaluates once in double:
+    identical operands and op tree in both engines, bit-exact, same
+    discipline as ``events_zscore`` with its var>0 and minimum-history
+    guards. Windows are per-user ROWS frames: user partitions scale
+    out; state per row is three integers.
+    """
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    c = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+    )
+    m = c.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("tn"),
+        F.sum("cents").over(w).alias("ts"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("tss"),
+    )
+    mean = F.col("ts").cast("double") / F.col("tn")
+    var = F.col("tss").cast("double") / F.col("tn") - mean * mean
+    z = F.when(
+        (F.col("tn") >= ANOM_MIN_N) & (var > 0),
+        (F.col("cents").cast("double") - mean) / F.sqrt(var),
+    ).otherwise(F.lit(None).cast("double"))
+    return m.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.col("cents").cast("double") / 100.0).alias("value"),
+        F.col("tn").cast("bigint").alias("trail_n"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > ANOM_SIGMA, F.lit(False)).alias("is_anomaly"),
+    )

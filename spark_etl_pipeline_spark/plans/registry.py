@@ -254,6 +254,7 @@ _EMIT_LAST = (
     "events_autocorr",
     "stream_dedup_drain",
     "graph_pagerank_suppliers",
+    "events_anomaly_rolling",
     "dedup_ngram_jaccard",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
