@@ -527,7 +527,7 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Autocorrelation correlogram over the bucketed hourly series
 # ---------------------------------------------------------------------------
 
-ACF_LAGS = (1, 2, 3)
+ACF_LAGS = (1, 2, 3, 24)
 
 _ACF_LAGGED_DUCK = "\n        UNION ALL\n".join(
     f"        SELECT event_type, {k} AS lag, c AS x, lag(c, {k}) OVER "
@@ -585,9 +585,10 @@ _ACF_LAGGED_DUCK = "\n        UNION ALL\n".join(
     """,
 )
 def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation of hourly revenue at lags 1–3 per event_type —
-    the correlogram, the first diagnostic a forecaster reads (is there
-    hour-over-hour momentum? daily seasonality shows at lag 24).
+    """Autocorrelation of hourly revenue at lags 1–3 and 24 per
+    event_type — the correlogram, the first diagnostic a forecaster
+    reads: lags 1–3 measure hour-over-hour momentum, lag 24 measures
+    daily seasonality.
     Computed over the ZERO-FILLED dense hourly series (missing hours
     are genuine zeros of an event-volume measure, not unknowns).
 

@@ -165,3 +165,58 @@ def test_tag_sessions_matches_reference(spark, rows):
         for r in tag_sessions(spark.createDataFrame(pdf), gap_us=GAP).collect()
     }
     assert got == reference_sessions(rows)
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup: merge-of-merges == full recompute (monoid law)
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_merge_is_associative(spark, tmp_path):
+    """Splitting history at ANY cutoff — or appending day partials one at
+    a time — must give the same grand totals as one full recompute: the
+    operational guarantee that lets a 100-TB pipeline maintain rollups
+    forever without rescans."""
+    from spark_etl_pipeline_spark.operators.timeseries import (
+        build_daily_rollup,
+        merge_rollup,
+    )
+    from spark_etl_pipeline_spark.plans.registry import table
+
+    events = table(spark, SF_CORRECTNESS, "events")
+    # base = days < 20, then merge the rest in two sequential appends
+    d20 = F.to_date("ts") < F.lit("2024-01-20").cast("date")
+    d25 = F.to_date("ts") < F.lit("2024-01-25").cast("date")
+    store = str(tmp_path / "rollup")
+    build_daily_rollup(events.filter(d20), store)
+    # append the 20..24 slice's partials to the SAME store (monoid append)
+    (
+        events.filter(~d20 & d25)
+        .select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .write.mode("append")
+        .parquet(store)
+    )
+    merged = {
+        r["event_type"]: (r["n_events"], r["amount"], r["avg_amount"])
+        for r in merge_rollup(spark, store, events.filter(~d25)).collect()
+    }
+    direct = {
+        r["event_type"]: (
+            r["n"],
+            float(r["s"]) / 100.0,
+            float(r["s"]) / 100.0 / r["n"],
+        )
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("s"),
+        )
+        .collect()
+    }
+    assert merged == direct
