@@ -36,11 +36,20 @@ def asof_join(
     tolerance: Column | None = None,
     tiebreak: list[str] | None = None,
     left_keys: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join ``left`` to ``right``.
 
     :param how: 'inner' (drop unmatched left rows) or 'left' (keep them
         with null right columns).
+    :param direction: 'backward' (latest right at-or-before, the
+        default and the standard as-of), 'forward' (earliest right
+        at-or-after), or 'nearest' (smallest absolute time distance;
+        exact-distance ties prefer the backward side — the pandas
+        ``merge_asof`` convention). 'nearest' joins on the key alone
+        and prunes by |distance| afterwards, so pass a ``tolerance``
+        whenever right keys carry many versions — it becomes a join
+        predicate that bounds the pre-rank multiplicity.
     :param tolerance: optional max age, e.g. ``F.expr("INTERVAL 7 DAYS")``
         — right rows older than ``left_ts - tolerance`` don't match.
     :param tiebreak: right-side columns ordered DESC after right_ts to make
@@ -56,16 +65,55 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join supports direction='backward'|'forward'|'nearest', "
+            f"got {direction!r}"
+        )
 
     keys = list(left_keys) if left_keys else list(left.columns)
 
-    cond = (left[left_on] == right[right_on]) & (right[right_ts] <= left[left_ts])
-    if tolerance is not None:
-        cond = cond & (right[right_ts] >= left[left_ts].cast("timestamp") - tolerance)
+    cond = left[left_on] == right[right_on]
+    if direction == "backward":
+        cond = cond & (right[right_ts] <= left[left_ts])
+        if tolerance is not None:
+            cond = cond & (
+                right[right_ts] >= left[left_ts].cast("timestamp") - tolerance
+            )
+    elif direction == "forward":
+        cond = cond & (right[right_ts] >= left[left_ts])
+        if tolerance is not None:
+            cond = cond & (
+                right[right_ts] <= left[left_ts].cast("timestamp") + tolerance
+            )
+    else:  # nearest: distance bounds only come from the tolerance
+        if tolerance is not None:
+            cond = (
+                cond
+                & (right[right_ts] >= left[left_ts].cast("timestamp") - tolerance)
+                & (right[right_ts] <= left[left_ts].cast("timestamp") + tolerance)
+            )
 
     joined = left.join(right, cond, "left" if how == "left" else "inner")
 
-    order = [F.col(right_ts).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    if direction == "backward":
+        primary = [F.col(right_ts).desc()]
+    elif direction == "forward":
+        primary = [F.col(right_ts).asc()]
+    else:
+        # smallest |distance| first; exact ties prefer the backward row
+        # (False < True sorts at-or-before rows ahead), then earlier ts
+        # for full determinism before the caller's tiebreak.
+        dist = F.abs(
+            F.unix_micros(F.col(right_ts).cast("timestamp"))
+            - F.unix_micros(F.col(left_ts).cast("timestamp"))
+        )
+        primary = [
+            dist.asc(),
+            (F.col(right_ts) > F.col(left_ts)).asc(),
+            F.col(right_ts).asc(),
+        ]
+    order = primary + [F.col(c).desc() for c in (tiebreak or [])]
     w = Window.partitionBy(*[left[k] for k in keys]).orderBy(*order)
     ranked = joined.withColumn("__asof_rn", F.row_number().over(w))
     return ranked.filter(F.col("__asof_rn") == 1).drop("__asof_rn")

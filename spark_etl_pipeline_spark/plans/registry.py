@@ -255,6 +255,11 @@ _EMIT_LAST = (
     "stream_dedup_drain",
     "graph_pagerank_suppliers",
     "events_anomaly_rolling",
+    "rel_asof_nearest",
+    # rel_asof_join's shared helper grew direction support in round 6
+    # (backward path restructured but expression-identical, parity- and
+    # hypothesis-pinned) — re-verify right behind the new queries.
+    "rel_asof_join",
     "dedup_ngram_jaccard",
     "docs_dedup_incremental",
     "docs_dedup_corpus",
@@ -301,7 +306,6 @@ _EMIT_LAST = (
     "rel_cube",
     "rel_pivot",
     "rel_sort_limit",
-    "rel_asof_join",
     "rel_range_join",
     "rel_percentiles",
     "rel_sql_exists",

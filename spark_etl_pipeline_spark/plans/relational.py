@@ -881,6 +881,56 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_asof_nearest",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE user_id <= 60),
+    cand AS (
+        SELECT e.event_id, e.user_id, o.o_orderdate,
+               abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts))
+                   AS dist,
+               CAST(o.o_orderdate AS TIMESTAMP) > e.ts AS fwd
+        FROM e JOIN orders o ON o.o_custkey = e.user_id
+    )
+    SELECT event_id, user_id,
+           strftime(o_orderdate, '%Y-%m-%d') AS nearest_orderdate
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+              ORDER BY dist, fwd, o_orderdate) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+)
+def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: each event matched to the order
+    CLOSEST in time, before or after, with exact-distance ties resolved
+    to the backward row (the pandas ``merge_asof`` convention,
+    hypothesis-pinned against it in ``tests/test_asof_properties.py``).
+    Backward-only as-of (``rel_asof_join``) answers "what was in effect";
+    nearest answers "what does this reading belong to" — sensor
+    alignment, trade-to-quote matching. Distance compares integer
+    microseconds, so the argmin is exact in both engines.
+    """
+    from spark_etl_pipeline_spark.operators.asof import asof_join
+
+    events = table(spark, sf_dir, "events").filter(F.col("user_id") <= 60)
+    orders = table(spark, sf_dir, "orders")
+    matched = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_keys=["event_id"],
+        direction="nearest",
+    )
+    return matched.select(
+        "event_id",
+        "user_id",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("nearest_orderdate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact percentiles + SQL-API subqueries (engine surface beyond reference)
 # ---------------------------------------------------------------------------

@@ -82,3 +82,55 @@ def test_asof_matches_pandas(spark, left, right):
         if pd.notna(r.rts)
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=left_rows, right=right_rows)
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_directions_match_pandas(spark, direction, left, right):
+    """forward and nearest directions agree with pandas merge_asof —
+    including the equal-distance tie (pandas resolves nearest ties to
+    the backward row, and so do we)."""
+    lpdf = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)],
+        columns=["lid", "key", "ts"],
+    )
+    rpdf = (
+        pd.DataFrame(right, columns=["rkey", "rts", "payload"])
+        .groupby(["rkey", "rts"], as_index=False)["payload"]
+        .max()
+    )
+    if len(lpdf) == 0 or len(rpdf) == 0:
+        return
+
+    ldf = spark.createDataFrame(lpdf.astype({"lid": "int64", "ts": "int64"}))
+    rdf = spark.createDataFrame(rpdf.astype({"rts": "int64", "payload": "int64"}))
+    got = {
+        (r["lid"]): (r["rts"], r["payload"])
+        for r in asof_join(
+            ldf, rdf,
+            left_on="key", right_on="rkey",
+            left_ts="ts", right_ts="rts",
+            left_keys=["lid"],
+            direction=direction,
+        ).collect()
+    }
+
+    want_df = pd.merge_asof(
+        lpdf.sort_values("ts", kind="mergesort"),
+        rpdf.sort_values("rts", kind="mergesort"),
+        left_on="ts", right_on="rts",
+        left_by="key", right_by="rkey",
+        direction=direction,
+    )
+    want = {
+        int(r.lid): (int(r.rts), int(r.payload))
+        for r in want_df.itertuples()
+        if pd.notna(r.rts)
+    }
+    assert got == want
