@@ -96,10 +96,17 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("snode").alias("src"), F.col("pnode").alias("dst"))
     )
+    # The edge list and degree table are loop-invariant: materialize them
+    # ONCE (same localCheckpoint pattern as connected_components) so each
+    # unrolled iteration joins the materialized tables instead of
+    # re-deriving them from the lineitem scan — without this the 3
+    # iterations plan 14 scans of the fact table; with it, one.
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
         .withColumnRenamed("src", "node")
+        .localCheckpoint(eager=True)
     )
     ranks = deg.select("node", F.lit(RANK_SCALE).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
