@@ -22,6 +22,7 @@ without a database; the parquet/CSV paths round-trip in the test suite.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_parquet(
@@ -283,3 +284,73 @@ def compact_parquet(
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
+
+
+ZORDER_BITS = 16
+
+
+def zorder_column(c1: Column, c2: Column, bits: int = ZORDER_BITS) -> Column:
+    """Morton (Z-order) interleave of two pre-binned non-negative ints.
+
+    Bit i of ``c1`` lands at position 2i+1 and bit i of ``c2`` at 2i, so
+    sorting by the result interleaves locality across BOTH dimensions —
+    the curve underlying multi-dimensional file clustering. Inputs must
+    already be binned to ``[0, 2^bits)`` (see :func:`write_zorder` for
+    min/max binning); pure JVM bit arithmetic, codegen-friendly.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(c1.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(c2.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def write_zorder(
+    df: DataFrame, path: str, col1: str, col2: str, num_files: int
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve of two
+    columns.
+
+    Single-column range clustering (``repartitionByRange + sort``)
+    narrows per-file min/max stats on ONE column; filters on the other
+    column still read every file. Z-ordering interleaves both key
+    spaces, so each file covers a small rectangle of the 2-D domain and
+    row-group/file skipping prunes on EITHER predicate — the layout
+    technique behind multi-dimensional OPTIMIZE in lakehouse table
+    formats. Binning is min/max-normalized to ``2^bits`` buckets per
+    dimension (one tiny stats aggregate, broadcast back); the z value
+    is computed per-row in JVM bit arithmetic, used only for layout,
+    and not written.
+    """
+    stats = df.agg(
+        F.min(col1).alias("mn1"),
+        F.max(col1).alias("mx1"),
+        F.min(col2).alias("mn2"),
+        F.max(col2).alias("mx2"),
+    )
+    scale = (1 << ZORDER_BITS) - 1
+    binned = (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            "__b1",
+            ((F.col(col1) - F.col("mn1")) * scale
+             / F.greatest(F.col("mx1") - F.col("mn1"), F.lit(1))).cast("long"),
+        )
+        .withColumn(
+            "__b2",
+            ((F.col(col2) - F.col("mn2")) * scale
+             / F.greatest(F.col("mx2") - F.col("mn2"), F.lit(1))).cast("long"),
+        )
+        .withColumn("__z", zorder_column(F.col("__b1"), F.col("__b2")))
+        .drop("mn1", "mx1", "mn2", "mx2", "__b1", "__b2")
+    )
+    (
+        binned.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -328,3 +328,60 @@ def test_parquet_bloom_filter_written(spark, tmp_path):
     # filter (~1 bit+overhead per distinct key — clearly nonzero for
     # 10k distinct event_ids)
     assert bloomed > plain + 1000, (plain, bloomed)
+
+
+def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
+    """Z-order clustering bounds per-file min/max spans on BOTH key
+    columns; single-column range clustering narrows one and leaves the
+    other at (almost) full domain — the difference that makes file
+    skipping work for predicates on either column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spark_etl_pipeline_spark.plans.registry import table
+    from spark_etl_pipeline_spark.sources import write_zorder
+
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+
+    def spans(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(len(md.schema.names))
+                if md.schema.column(i).name == col
+            )
+            st = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(li, zpath, "l_partkey", "l_suppkey", num_files=8)
+    onedim = str(tmp_path / "onedim")
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(onedim)
+    )
+
+    for col in ("l_partkey", "l_suppkey"):
+        sp = spans(zpath, col)
+        assert len(sp) >= 4
+        glo = min(s[0] for s in sp)
+        ghi = max(s[1] for s in sp)
+        # files cover proper sub-ranges of EACH dimension; one straddler
+        # is tolerated where a z-range boundary crosses the dimension's
+        # bit boundary (unavoidable on tiny domains like 10 suppliers)
+        narrow = [(hi - lo) <= 0.7 * (ghi - glo) for lo, hi in sp]
+        assert sum(narrow) >= len(sp) - 1, (col, sp)
+
+    # the single-column layout leaves the second dimension unclustered:
+    # (at least one, in practice every) file spans ~the whole suppkey domain
+    sp2 = spans(onedim, "l_suppkey")
+    glo2 = min(s[0] for s in sp2)
+    ghi2 = max(s[1] for s in sp2)
+    assert max(hi - lo for lo, hi in sp2) > 0.9 * (ghi2 - glo2)
