@@ -1507,3 +1507,78 @@ def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("vc").cast("double") / 100.0).alias("max_value"),
         )
     )
+
+
+FUNNEL_WINDOW_HOURS = 48
+
+
+@register(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= s1.t1
+          AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s2.t2
+          AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT '2_click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT '3_purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a BOUNDED conversion window: each step
+    counts only within 48 hours of the previous step's entry — the
+    semantics product analytics actually reports ("converted within
+    48h"), where the unbounded funnel (``events_funnel``) overstates
+    late conversions. Same co-partitioned chained-stage shape; the
+    window bound is one extra µs-exact predicate per stage, and at
+    scale it is also the state-expiry contract: a step's candidate set
+    ages out after the window, exactly like a stream-stream interval
+    join's watermark.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    bound = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + bound))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    steps = [("1_view", s1), ("2_click", s2), ("3_purchase", s3)]
+    out = None
+    for label, stage in steps:
+        row = stage.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

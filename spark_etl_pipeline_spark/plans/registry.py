@@ -256,6 +256,7 @@ _EMIT_LAST = (
     "graph_pagerank_suppliers",
     "events_anomaly_rolling",
     "rel_asof_nearest",
+    "events_funnel_windowed",
     # rel_asof_join's shared helper grew direction support in round 6
     # (backward path restructured but expression-identical, parity- and
     # hypothesis-pinned) — re-verify right behind the new queries.
