@@ -257,6 +257,8 @@ _EMIT_LAST = (
     "events_anomaly_rolling",
     "rel_asof_nearest",
     "events_funnel_windowed",
+    "rel_rfm_segmentation",
+    "rel_calendar_spine",
     # rel_asof_join's shared helper grew direction support in round 6
     # (backward path restructured but expression-identical, parity- and
     # hypothesis-pinned) — re-verify right behind the new queries.

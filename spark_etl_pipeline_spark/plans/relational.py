@@ -2491,3 +2491,137 @@ def rel_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_last_hour"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation + calendar dimension generation
+# ---------------------------------------------------------------------------
+
+RFM_RECENT_DAYS = (365, 1095)     # <=1y -> 3, <=3y -> 2, else 1
+RFM_FREQ = (13, 8)                # >=13 orders -> 3, >=8 -> 2, else 1
+RFM_MONETARY_CENTS = (200_000_00, 100_000_00)  # >= $200k -> 3, >= $100k -> 2
+
+
+@register(
+    "rel_rfm_segmentation",
+    oracle=f"""
+    WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders),
+    base AS (
+        SELECT o_custkey,
+               date_diff('day', max(o_orderdate), (SELECT refd FROM ref))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           frequency,
+           CAST(monetary_cents AS DOUBLE) / 100.0 AS monetary,
+           CASE WHEN recency_days <= {RFM_RECENT_DAYS[0]} THEN 3
+                WHEN recency_days <= {RFM_RECENT_DAYS[1]} THEN 2
+                ELSE 1 END AS r_score,
+           CASE WHEN frequency >= {RFM_FREQ[0]} THEN 3
+                WHEN frequency >= {RFM_FREQ[1]} THEN 2
+                ELSE 1 END AS f_score,
+           CASE WHEN monetary_cents >= {RFM_MONETARY_CENTS[0]} THEN 3
+                WHEN monetary_cents >= {RFM_MONETARY_CENTS[1]} THEN 2
+                ELSE 1 END AS m_score
+    FROM base
+    """,
+)
+def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing-analytics scoring: days since last order, order
+    count, lifetime spend, each banded 1–3 by fixed business
+    thresholds. Fixed thresholds (not ntile) keep scores meaningful
+    across reruns and data growth AND keep the plan window-free: one
+    map-side-combinable aggregate per customer plus a broadcast scalar
+    reference date; banding is per-row CASE arithmetic. Recency
+    differences are integer days on µs-identical timestamps; spend
+    accumulates integer cents.
+    """
+    orders = table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("refd"))
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents("o_totalprice")).alias("monetary_cents"),
+    )
+    rec = F.datediff(F.col("refd"), F.col("last_order"))
+    return (
+        base.crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            rec.cast("bigint").alias("recency_days"),
+            "frequency",
+            (F.col("monetary_cents").cast("double") / 100.0).alias("monetary"),
+            F.when(rec <= RFM_RECENT_DAYS[0], 3)
+            .when(rec <= RFM_RECENT_DAYS[1], 2)
+            .otherwise(1)
+            .alias("r_score"),
+            F.when(F.col("frequency") >= RFM_FREQ[0], 3)
+            .when(F.col("frequency") >= RFM_FREQ[1], 2)
+            .otherwise(1)
+            .alias("f_score"),
+            F.when(F.col("monetary_cents") >= RFM_MONETARY_CENTS[0], 3)
+            .when(F.col("monetary_cents") >= RFM_MONETARY_CENTS[1], 2)
+            .otherwise(1)
+            .alias("m_score"),
+        )
+    )
+
+
+@register(
+    "rel_calendar_spine",
+    oracle="""
+    WITH b AS (
+        SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
+    ),
+    days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CAST(weekofyear(d) AS BIGINT) AS iso_week,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           CAST(year(d) AS BIGINT) AS year,
+           isodow(d) >= 6 AS is_weekend,
+           d = date_trunc('month', d) AS is_month_start,
+           d = last_day(d)::TIMESTAMP AS is_month_end
+    FROM days
+    """,
+)
+def rel_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation: one row per day spanning the fact
+    table's date domain, with the derived attributes (ISO day-of-week
+    and week, month/quarter/year, weekend and month-boundary flags)
+    every warehouse join needs. Generated IN-PLAN from the fact table's
+    min/max (``sequence`` + explode over a single aggregated row) — no
+    hand-maintained CSV, and the spine tracks the data automatically.
+    Output is |days| rows regardless of fact volume; the bounds
+    aggregate is map-side combinable.
+    """
+    orders = table(spark, sf_dir, "orders")
+    days = (
+        orders.agg(
+            F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+        )
+        .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"))
+    )
+    iso_dow = F.expr("weekday(d) + 1")
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        iso_dow.cast("bigint").alias("iso_dow"),
+        F.weekofyear("d").cast("bigint").alias("iso_week"),
+        F.month("d").cast("bigint").alias("month"),
+        F.quarter("d").cast("bigint").alias("quarter"),
+        F.year("d").cast("bigint").alias("year"),
+        (iso_dow >= 6).alias("is_weekend"),
+        (F.col("d") == F.date_trunc("month", F.col("d"))).alias("is_month_start"),
+        (F.col("d") == F.expr("cast(last_day(d) as timestamp)")).alias(
+            "is_month_end"
+        ),
+    )

@@ -43,6 +43,7 @@ NESTED_LOOP_OK = {
     "events_value_deciles",  # 1-row decile-boundary broadcast, by design
     "text_pmi_bigrams",  # 1-row total-bigram-count broadcast, by design
     "docs_tfidf_topk",  # 1-row corpus-doc-count broadcast, by design
+    "rel_rfm_segmentation",  # 1-row reference-date broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
