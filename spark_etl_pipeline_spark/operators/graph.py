@@ -135,3 +135,103 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "s_suppkey")
         .limit(PR_TOP_K)
     )
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented, the O(m^1.5) wedge bound)
+# ---------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON y.ok = x.ok AND y.pk > x.pk
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT n FROM tri)      AS n_triangles
+    """
+
+
+@register("graph_triangles", oracle=_TRIANGLES_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the part co-purchase graph (two parts are
+    adjacent when some order contains both): the clustering-coefficient
+    numerator, the standard community-density probe.
+
+    The oracle counts triangles the naive way (a<b<c triple self-join
+    of the canonical edge list) — correct, but its wedge intermediate
+    is Sum deg(v)^2, which a few high-degree hub parts turn into a
+    quadratic blowup at scale. The Spark plan instead uses DEGREE
+    ORIENTATION: each undirected edge is directed from its lower-rank
+    endpoint under the total order (degree, id), so every node's
+    out-degree is O(sqrt(m)) and the wedge table is bounded by m^1.5
+    regardless of hubs — the distributed-triangle-counting standard
+    (Suri & Vassilvitskii's MR model). Each triangle is then counted
+    exactly once: from its lowest-rank corner, closed by one hash
+    semi-style join against the canonical edge set. Both counts are
+    method-independent, so the two engines agree exactly.
+
+    Scale shape: edge derivation is one self-join of the per-order part
+    list co-partitioned on l_orderkey (wedges within an order are
+    bounded by order size, ~7 in TPC-H); the edge list is materialized
+    once (``localCheckpoint``) because degrees, orientation, and
+    closure all reuse it; wedge generation and closure are plain hash
+    joins on node keys.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    op = op.distinct()
+    edges = (
+        op.alias("x")
+        .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return triangle_count(edges)
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle count over a CANONICAL edge list
+    (columns ``a`` < ``b``, no duplicates). Returns one row
+    (n_edges, n_triangles). See :func:`graph_triangles` for the
+    orientation argument; this helper is the unit-testable core."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient each edge from the (deg, id)-smaller endpoint to the larger.
+    ranked = (
+        edges.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    # Wedges at each lowest-rank corner; canonical (id-ordered) closure pair.
+    wedges = (
+        oriented.alias("o1")
+        .join(oriented.alias("o2"), (F.col("o2.src") == F.col("o1.src")) & (F.col("o2.dst") > F.col("o1.dst")))
+        .select(
+            F.least(F.col("o1.dst"), F.col("o2.dst")).alias("wa"),
+            F.greatest(F.col("o1.dst"), F.col("o2.dst")).alias("wb"),
+        )
+    )
+    tri = wedges.join(
+        edges, (F.col("wa") == F.col("a")) & (F.col("wb") == F.col("b"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")

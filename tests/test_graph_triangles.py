@@ -1,0 +1,57 @@
+"""Unit tests for the degree-oriented triangle counter on known graphs.
+
+The oracle-parity test proves the lineitem-derived query matches DuckDB's
+naive triple-join; these pin the COUNTING CORE on graphs whose triangle
+counts are known by inspection, including the hub shape the orientation
+exists for.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_etl_pipeline_spark.operators.graph import triangle_count
+
+
+def canonical_edges(spark, pairs):
+    rows = [(min(a, b), max(a, b)) for a, b in pairs]
+    return spark.createDataFrame(sorted(set(rows)), "a long, b long")
+
+
+CASES = [
+    # K4: every 3-subset is a triangle -> C(4,3) = 4
+    ("k4", [(i, j) for i in range(4) for j in range(i + 1, 4)], 4),
+    # 4-cycle: no triangles
+    ("square", [(0, 1), (1, 2), (2, 3), (3, 0)], 0),
+    # 4-cycle + one diagonal: two triangles
+    ("square_diag", [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], 2),
+    # star: hub with 5 leaves, no leaf-leaf edges -> 0 (the skew case
+    # orientation handles: all wedges would otherwise pile on the hub)
+    ("star", [(0, i) for i in range(1, 6)], 0),
+    # wheel: hub + 5-cycle rim -> 5 triangles
+    (
+        "wheel",
+        [(0, i) for i in range(1, 6)]
+        + [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)],
+        5,
+    ),
+    # two disjoint triangles
+    ("two_tris", [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)], 2),
+]
+
+
+@pytest.mark.parametrize("name,pairs,expected", CASES, ids=[c[0] for c in CASES])
+def test_triangle_count_known_graphs(spark, name, pairs, expected):
+    edges = canonical_edges(spark, pairs)
+    row = triangle_count(edges).collect()[0]
+    assert row.n_edges == len(set((min(a, b), max(a, b)) for a, b in pairs))
+    assert row.n_triangles == expected, name
+
+
+def test_triangle_count_ignores_edge_input_order(spark):
+    # Same wheel graph fed in reversed declaration order: identical count
+    # (the algorithm's total order is (degree, id), never input order).
+    pairs = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]
+    fwd = triangle_count(canonical_edges(spark, pairs)).collect()[0]
+    rev = triangle_count(canonical_edges(spark, list(reversed(pairs)))).collect()[0]
+    assert fwd == rev

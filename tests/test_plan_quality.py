@@ -44,6 +44,7 @@ NESTED_LOOP_OK = {
     "text_pmi_bigrams",  # 1-row total-bigram-count broadcast, by design
     "docs_tfidf_topk",  # 1-row corpus-doc-count broadcast, by design
     "rel_rfm_segmentation",  # 1-row reference-date broadcast, by design
+    "graph_triangles",  # 1-row edge-count x 1-row triangle-count broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
