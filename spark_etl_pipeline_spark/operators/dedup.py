@@ -1419,3 +1419,130 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (sub-document) dedup
+# ---------------------------------------------------------------------------
+
+#: Non-overlapping passage width, in tokens. Non-overlap (stride ==
+#: width) is what makes "drop the repeat, keep the rest" reassembly
+#: well-defined — overlapping chunks (text_chunking) can't be removed
+#: independently.
+PASSAGE_TOKENS = 25
+
+_PASSAGE_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    pidx AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(ceil(len(t) / {PASSAGE_TOKENS}.0) AS INTEGER) - 1)) AS idx,
+               t
+        FROM toks WHERE len(t) > 0
+    ),
+    passages AS (
+        SELECT doc_id, idx,
+               array_to_string(t[idx * {PASSAGE_TOKENS} + 1 :
+                                 idx * {PASSAGE_TOKENS} + {PASSAGE_TOKENS}],
+                               ' ') AS ptext
+        FROM pidx
+    ),
+    ranked AS (
+        SELECT doc_id, idx, ptext,
+               row_number() OVER (PARTITION BY md5(ptext)
+                                  ORDER BY doc_id, idx) AS rn
+        FROM passages
+    ),
+    kept AS (SELECT doc_id, idx, ptext FROM ranked WHERE rn = 1),
+    stats AS (
+        SELECT doc_id, COUNT(*) AS n_passages FROM passages GROUP BY doc_id
+    ),
+    ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(ptext, ' ' ORDER BY idx) AS kept_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_passages,
+           COALESCE(ka.n_kept, 0) AS n_kept,
+           COALESCE(ka.kept_text, '') AS kept_text
+    FROM stats s LEFT JOIN ka USING (doc_id)
+    """
+
+
+@register("docs_dedup_passages", oracle=_PASSAGE_ORACLE)
+def docs_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE-level dedup: drop repeated sub-document spans, keep the
+    rest of each document. Document-level dedup misses the dominant web
+    duplication mode — boilerplate (headers, license blocks, navigation,
+    quoted posts) repeated inside otherwise-unique pages; passage dedup
+    is the standard counter (C4's three-sentence dedup, RefinedWeb's
+    line-level pass).
+
+    Shape: split each doc into NON-overlapping {PASSAGE_TOKENS}-token
+    passages; the global first occurrence of each distinct passage
+    (min (doc_id, idx) — deterministic first-wins, same tiebreak rule
+    as every survivor choice in this module) survives, later repeats are
+    dropped; each doc is reassembled from its surviving passages in
+    order.
+
+    Scale: one shuffle on the passage md5 (map-side-combinable MIN of
+    a (doc_id, idx) struct — no window over the corpus), an AQE-sized
+    join back to tag survivors, and a per-doc reassembly aggregate
+    whose state is bounded by document length. Passage rows are
+    corpus-token-sized but never self-joined — this is exact hashing,
+    not similarity: near-duplicate passages need the MinHash path
+    (:func:`dedup_minhash_lsh`).
+    """
+    from spark_etl_pipeline_spark.operators.text import with_tokens
+
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    n_pass = F.expr(
+        f"CAST(ceil(size(tokens) / {PASSAGE_TOKENS}.0) AS INT) - 1"
+    )
+    passages = (
+        docs.filter(F.size("tokens") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_pass)).alias("idx"),
+            "tokens",
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.expr(
+                f"concat_ws(' ', slice(tokens, idx * {PASSAGE_TOKENS} + 1,"
+                f" {PASSAGE_TOKENS}))"
+            ).alias("ptext"),
+        )
+    )
+    first = passages.groupBy(F.md5("ptext").alias("h")).agg(
+        F.min(F.struct("doc_id", "idx")).alias("f")
+    )
+    kept = (
+        passages.withColumn("h", F.md5("ptext"))
+        .join(first, "h")
+        .filter(
+            (F.col("doc_id") == F.col("f.doc_id")) & (F.col("idx") == F.col("f.idx"))
+        )
+        .select("doc_id", "idx", "ptext")
+    )
+    stats = passages.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_passages"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list(struct(idx, ptext))),"
+            " x -> x.ptext))"
+        ).alias("kept_text"),
+    )
+    return (
+        stats.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
