@@ -96,3 +96,167 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     return profile(orders, ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint audit (Deequ-style "unit tests for
+# data": each rule is a boolean predicate; the audit reports how many rows
+# fail each rule, in ONE pass per table).
+# ---------------------------------------------------------------------------
+
+
+def audit_rules(
+    df: DataFrame, table_name: str, rules: list[tuple[str, F.Column]]
+) -> DataFrame:
+    """One-pass rule audit: conditional-sum every rule in a single
+    aggregate over a single scan (same n-rules-one-pass shape as
+    :func:`profile`). A row VIOLATES a rule when the predicate is not
+    true — NULL predicates count as violations, the conservative DQ
+    convention (an unknown is not a pass).
+
+    Output: table_name, rule, n_checked, n_violations.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_checked")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1)).cast("bigint").alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    per_rule = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"__v_{name}").alias("n_violations"),
+                )
+                for name, _ in rules
+            ]
+        )
+    ).alias("r")
+    return one.select("n_checked", per_rule).select(
+        F.lit(table_name).alias("table_name"),
+        F.col("r.rule").alias("rule"),
+        "n_checked",
+        F.col("r.n_violations").alias("n_violations"),
+    )
+
+
+def audit_unique(df: DataFrame, table_name: str, col: str) -> DataFrame:
+    """Uniqueness rule: violations = n_rows - n_distinct (0 when the
+    column is a true key). Exact distinct is one shuffle on the key;
+    at 100 TB swap in approx_count_distinct exactly as :func:`profile`
+    does."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct(col)).cast("bigint").alias("n_violations"),
+    ).select(
+        F.lit(table_name).alias("table_name"),
+        F.lit(f"unique_{col}").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+
+
+def audit_referential(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, rule: str
+) -> DataFrame:
+    """Referential-integrity rule: count child rows whose key has no
+    parent. LEFT JOIN against the DISTINCT parent keys + conditional
+    count — one scan of each side, the parent key set broadcast/AQE
+    sized, and (unlike an anti-join + separate total count) n_checked
+    and n_violations come out of the same aggregate."""
+    parent_keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    joined = child.join(
+        parent_keys, child[child_key] == F.col("__pk"), "left_outer"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit(rule.split(".")[0]).alias("table_name"),
+        F.lit(rule).alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+
+
+_DQ_ORACLE = """
+    SELECT 'lineitem' AS table_name, 'quantity_in_1_50' AS rule,
+           COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer', 'acctbal_nonnegative', COUNT(*),
+           CAST(SUM(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'documents', 'min_100_chars', COUNT(*),
+           CAST(SUM(CASE WHEN n_chars >= 100 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'lang_allowlisted', COUNT(*),
+           CAST(SUM(CASE WHEN lang IN ('en', 'de', 'fr', 'es') THEN 0 ELSE 1 END)
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'customer', 'unique_c_custkey', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'orders', 'orders.custkey_references_customer', COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+           ON c.c_custkey = o.o_custkey
+    """
+
+
+@register("dq_audit", oracle=_DQ_ORACLE)
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit across four tables: range, policy, allowlist,
+    uniqueness, and referential-integrity rules, each reporting
+    (n_checked, n_violations) — the admission gate a pipeline runs on
+    every new data drop before letting it downstream (the rules with
+    nonzero counts here are the POLICY tier: report-and-route, not
+    reject).
+
+    Scale: per-table predicate rules share ONE scan each (conditional
+    sums, map-side combinable); uniqueness is one distinct-aggregate
+    shuffle; the referential check joins orders against the distinct
+    customer key set (AQE broadcasts it when bounded). Nothing is
+    row-expanded and no rule adds a pass over the data it checks.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+    docs = table(spark, sf_dir, "documents")
+    orders = table(spark, sf_dir, "orders")
+    parts = [
+        audit_rules(
+            li,
+            "lineitem",
+            [("quantity_in_1_50", F.col("l_quantity").between(1, 50))],
+        ),
+        audit_rules(
+            cust, "customer", [("acctbal_nonnegative", F.col("c_acctbal") >= 0)]
+        ),
+        audit_rules(
+            docs,
+            "documents",
+            [
+                ("min_100_chars", F.col("n_chars") >= 100),
+                ("lang_allowlisted", F.col("lang").isin("en", "de", "fr", "es")),
+            ],
+        ),
+        audit_unique(cust, "customer", "c_custkey"),
+        audit_referential(
+            orders, cust, "o_custkey", "c_custkey",
+            "orders.custkey_references_customer",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
