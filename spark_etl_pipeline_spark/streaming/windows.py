@@ -703,3 +703,51 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
         )
     )
+
+
+@register(
+    "stream_join_drain",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.event_id) AS n_purchases_with_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <  p.ts
+    """,
+)
+def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream join execution (the last streaming surface
+    with only a batch twin): :func:`stream_stream_join`'s two
+    watermarked file streams joined inside the micro-batch engine,
+    drained with an ``availableNow`` trigger in APPEND mode — the only
+    output mode stream-stream joins support, because a matched pair is
+    emitted exactly once when both sides have arrived. The join's
+    time-range condition plus the 1-hour watermarks are what let the
+    state store evict buffered rows (each side is held only until the
+    watermark proves no more matches can arrive). The drained pair
+    table is then aggregated to the SAME oracle as the batch twin
+    (:func:`stream_interval_join`), so the driver gate verifies the
+    streaming engine's join itself, not a re-used batch plan.
+    """
+    sink = "stream_join_drain_sink"
+    for active in spark.streams.active:
+        if active.name == sink:
+            active.stop()
+    q = (
+        stream_stream_join(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return spark.table(sink).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("purchase_id").alias("n_purchases_with_click"),
+    )
