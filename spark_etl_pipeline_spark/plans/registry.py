@@ -248,6 +248,10 @@ _EMIT_LAST = (
     # jaccard-refactor queries deferred behind their in-window
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
+    "graph_triangles",
+    "docs_dedup_passages",
+    "dq_audit",
+    "stream_join_drain",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
