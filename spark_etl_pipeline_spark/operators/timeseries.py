@@ -768,3 +768,146 @@ def events_anomaly_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.coalesce(F.abs(z) > ANOM_SIGMA, F.lit(False)).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+               c.ts AS cts, c.event_id AS click_id
+        FROM p
+        LEFT JOIN c ON c.user_id = p.user_id
+                   AND c.ts >= p.ts - INTERVAL 1 HOUR
+                   AND c.ts <  p.ts
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY purchase_id
+                      ORDER BY cts DESC NULLS LAST, click_id DESC) AS rn
+        FROM j
+    )
+    SELECT purchase_id, user_id,
+           strftime(pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           click_id,
+           CASE WHEN click_id IS NULL THEN NULL
+                ELSE epoch_us(pts) - epoch_us(cts) END AS us_since_click
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("events_attribution", oracle=_ATTRIBUTION_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase credited to the same
+    user's most recent click in the preceding hour (ties broken by the
+    higher click event_id — every survivor choice is total-ordered).
+    Purchases with no qualifying click keep a row with NULL credit —
+    the "direct conversion" bucket an attribution report must not drop.
+
+    Shape: the interval join (equi on user_id, range on ts — one
+    shuffle each side) followed by a per-purchase argmax, computed as
+    a MAP-SIDE-COMBINABLE ``max(struct(ts, id))`` aggregate rather
+    than a row_number window: candidate clicks per purchase collapse
+    inside each partition before the exchange, so the shuffle carries
+    one row per (purchase, partition), not one per candidate. The
+    struct is built only for MATCHED rows (``when`` guards the
+    unmatched side), so NULL semantics stay engine-portable — a
+    struct of NULL fields is NOT a NULL struct, and letting one into
+    MAX would make the argmax ordering engine-specific.
+    """
+    events = table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").alias("p")
+    c = events.filter(F.col("event_type") == "click").alias("c")
+    j = p.join(
+        c,
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") < F.col("p.ts")),
+        "left_outer",
+    )
+    best = F.max(
+        F.when(
+            F.col("c.event_id").isNotNull(),
+            F.struct(F.col("c.ts").alias("cts"), F.col("c.event_id").alias("cid")),
+        )
+    ).alias("best")
+    out = j.groupBy(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("pts"),
+    ).agg(best)
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("best.cid").alias("click_id"),
+        # cast: pts/cts may infer NTZ from µs-unadjusted parquet;
+        # unix_micros requires LTZ. Session tz is UTC — value-preserving.
+        F.when(
+            F.col("best.cid").isNotNull(),
+            F.expr("unix_micros(cast(pts as timestamp))")
+            - F.expr("unix_micros(cast(best.cts as timestamp))"),
+        ).alias("us_since_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE) /
+               SUM(n) OVER (PARTITION BY prev_type) AS share
+    FROM pairs
+    """
+
+
+@register("events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user:
+    P(next | prev) estimated from consecutive event pairs — the
+    journey-model input for next-action prediction and for spotting
+    broken flows (a purchase→purchase self-loop spike means double
+    submits).
+
+    Shape: one per-user window pass to pair each event with its
+    predecessor (deterministic order: ts then event_id), one hash
+    aggregate to type-pair counts — everything after that operates on
+    a |types|^2-row table, where the share division (two exact bigints,
+    one IEEE division — bit-identical cross-engine) and its tiny
+    window are free.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total)).alias("share"),
+    )

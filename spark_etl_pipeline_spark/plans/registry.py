@@ -252,6 +252,8 @@ _EMIT_LAST = (
     "docs_dedup_passages",
     "dq_audit",
     "stream_join_drain",
+    "events_attribution",
+    "events_transition_matrix",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
