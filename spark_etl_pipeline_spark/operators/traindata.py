@@ -1582,3 +1582,67 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "events_value_winsorized",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events
+    ),
+    b AS (
+        SELECT quantile_disc(vc, 0.05) AS lo, quantile_disc(vc, 0.95) AS hi
+        FROM v
+    ),
+    clipped AS (
+        SELECT v.event_type, v.vc,
+               least(greatest(v.vc, b.lo), b.hi) AS wc
+        FROM v, b
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN wc <> vc THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(SUM(vc) AS DOUBLE)/100.0 AS sum_raw,
+           CAST(SUM(wc) AS DOUBLE)/100.0 AS sum_winsorized
+    FROM clipped
+    GROUP BY event_type
+    """,
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) per-type value totals: the robust
+    preprocessing that keeps a handful of fat-finger outliers from
+    dominating a trained model's target or a revenue report — clip,
+    don't drop, so row counts and joins stay intact.
+
+    Same scale shape as :func:`events_value_deciles`: the two clip
+    boundaries are exact order statistics (``percentile_disc`` over
+    integer cents) reduced in ONE aggregate, broadcast as a single
+    row, applied per-row (least/greatest — no window, no sort of the
+    fact table), then one map-side-combinable integer aggregate. The
+    raw-vs-winsorized sum pair quantifies what clipping moved.
+    """
+    from spark_etl_pipeline_spark.functions import cents
+
+    events = table(spark, sf_dir, "events")
+    v = events.select("event_type", cents("value").alias("vc"))
+    bounds = v.agg(
+        F.expr(
+            "cast(percentile_disc(0.05) WITHIN GROUP (ORDER BY vc) as bigint)"
+        ).alias("lo"),
+        F.expr(
+            "cast(percentile_disc(0.95) WITHIN GROUP (ORDER BY vc) as bigint)"
+        ).alias("hi"),
+    )
+    clipped = v.join(F.broadcast(bounds)).select(
+        "event_type",
+        "vc",
+        F.least(F.greatest(F.col("vc"), F.col("lo")), F.col("hi")).alias("wc"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("wc") != F.col("vc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped"),
+        (F.sum("vc").cast("double") / 100.0).alias("sum_raw"),
+        (F.sum("wc").cast("double") / 100.0).alias("sum_winsorized"),
+    )

@@ -254,6 +254,8 @@ _EMIT_LAST = (
     "stream_join_drain",
     "events_attribution",
     "events_transition_matrix",
+    "events_value_winsorized",
+    "stream_enrich_drain",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",

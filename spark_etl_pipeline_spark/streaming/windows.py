@@ -751,3 +751,48 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("purchase_id").alias("n_purchases_with_click"),
     )
+
+
+@register(
+    "stream_enrich_drain",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS DOUBLE)/100.0
+               AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL STREAM-STATIC join drain — the one streaming join family
+    the registry didn't yet execute on the micro-batch engine: each
+    streamed event enriched with its customer's market segment from a
+    STATIC dimension DataFrame, then aggregated per (segment, type).
+
+    Stream-static inner joins are stateless on the stream side — the
+    static dim is (re)planned into every micro-batch as a broadcast
+    hash join, no watermark required and no state store involvement —
+    which is exactly why this is THE recommended enrichment shape at
+    scale: a 100 TB/day stream joins a bounded dimension without a
+    shuffle. The downstream global aggregate holds one state row per
+    (segment, type) and drains complete-mode, same contract as the
+    other drains; the batch-SQL oracle proves the enriched aggregate,
+    not a re-used batch plan. (No distinct aggregate here: streaming
+    grouped state must be mergeable across micro-batches, which exact
+    COUNT(DISTINCT) is not — Spark rejects it on streams.)
+    """
+    stream = events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = enriched.groupBy("mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("value")).cast("double") / 100.0).alias("sum_value"),
+    )
+    return _drain_to_table(spark, agg, "stream_enrich_drain_sink")
