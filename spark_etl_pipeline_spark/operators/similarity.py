@@ -1129,3 +1129,187 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + int8 candidate scoring + exact rerank (the full production ANN
+# read path: coarse quantizer -> compressed-domain scan -> exact top-k)
+# ---------------------------------------------------------------------------
+
+RERANK_CANDIDATES = 10  # int8-scored shortlist per query
+RERANK_TOP_K = 3
+
+
+def _duck_idot(a: str, b: str) -> str:
+    """Exact INTEGER dot product, DuckDB flavor."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(generate_series(1, {DIM}), i -> {a}[i] * {b}[i])), "
+        "(s, x) -> s + x)"
+    )
+
+
+_SCALE_DUCK = (
+    "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 0.0 "
+    f"ELSE {QUANT_LEVELS}.0 / list_max(list_transform(v, x -> abs(x))) END"
+)
+
+
+@register(
+    "sim_ivf_quantized_rerank",
+    oracle=f"""
+    {_KMEANS_CTES},
+    qz AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> CAST(round(x * ({_SCALE_DUCK})) AS BIGINT))
+                   AS q
+        FROM e
+    ),
+    qn AS (SELECT vec_id, v, q, {_duck_idot('q', 'q')} AS qq FROM qz),
+    qside AS (
+        SELECT a2.vec_id AS query_id, a2.cell, qn.q, qn.qq, qn.v
+        FROM a2 JOIN qn ON qn.vec_id = a2.vec_id
+        WHERE a2.vec_id < {N_QUERIES}
+    ),
+    nside AS (
+        SELECT a2.vec_id AS neighbor_id, a2.cell, qn.q, qn.qq, qn.v
+        FROM a2 JOIN qn ON qn.vec_id = a2.vec_id
+    ),
+    approx AS (
+        SELECT qside.query_id, nside.neighbor_id, qside.v AS vq, nside.v AS vn,
+               CAST({_duck_idot('qside.q', 'nside.q')} AS DOUBLE)
+                   / (sqrt(CAST(qside.qq AS DOUBLE))
+                      * sqrt(CAST(nside.qq AS DOUBLE))) AS approx_cos
+        FROM qside
+        JOIN nside ON nside.cell = qside.cell
+                  AND nside.neighbor_id <> qside.query_id
+        WHERE qside.qq > 0 AND nside.qq > 0
+    ),
+    shortlist AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY approx_cos DESC, neighbor_id) AS rn
+            FROM approx)
+        WHERE rn <= {RERANK_CANDIDATES}
+    ),
+    reranked AS (
+        SELECT query_id, neighbor_id, approx_cos,
+               {_duck_cos('vq', 'vn')} AS cos
+        FROM shortlist
+    )
+    SELECT query_id, neighbor_id, approx_cos, cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS rn2
+          FROM reranked)
+    WHERE rn2 <= {RERANK_TOP_K}
+    """,
+)
+def sim_ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production ANN read path in one plan: k-means coarse
+    quantizer (cells = inverted lists), candidate scan scored in the
+    COMPRESSED int8 domain, exact-cosine rerank of a short list.
+
+    Why this shape at 100 TB: the cell scan touches ~N/k vectors per
+    query, and scoring them on int8 codes costs 4× less memory
+    bandwidth than doubles — full-precision vectors are only fetched
+    for the {RERANK_CANDIDATES}-row shortlist. Scale cancellation makes
+    the compressed score engine-portable: approx_cos =
+    qdot / sqrt(qq_a · qq_b) — the per-vector quantization scales
+    divide out, so the score is one IEEE division over EXACT integer
+    dot products (|qdot| ≤ 64·127² ≪ 2⁵³: the double cast is lossless,
+    sqrt is correctly rounded — bit-identical in both engines, so both
+    engines shortlist the SAME candidates).
+
+    Plan: per-row quantization (JVM expressions, no shuffle) on the
+    k-means assignment table, broadcast |Q| queries into the cell
+    equi-join, one window per query over ~N/k candidates for the
+    shortlist, exact cosine only for |Q|·{RERANK_CANDIDATES} rows.
+    Composes :func:`kmeans_iterate` (bit-exact cells) and
+    :func:`sim_embed_quantize`'s quantizer (checksum-oracled).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    assign, _cents = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
+    mx = "array_max(transform(v, x -> abs(x)))"
+    scale = (
+        f"CASE WHEN {mx} = 0.0D THEN 0.0D ELSE {QUANT_LEVELS}.0D / {mx} END"
+    )
+    quantized = assign.select(
+        "vec_id",
+        "cell",
+        "v",
+        F.expr(
+            f"transform(v, x -> cast(round(x * ({scale})) as bigint))"
+        ).alias("q"),
+    ).withColumn(
+        "qq",
+        F.expr(
+            "aggregate(zip_with(q, q, (x, y) -> x * y), "
+            "cast(0 as bigint), (s, x) -> s + x)"
+        ),
+    )
+    qside = quantized.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("qq") > 0)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("q").alias("q_q"),
+        F.col("qq").alias("qq_q"),
+        F.col("v").alias("vq"),
+    )
+    nside = quantized.filter(F.col("qq") > 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("q").alias("q_n"),
+        F.col("qq").alias("qq_n"),
+        F.col("v").alias("vn"),
+    )
+    idot = (
+        "aggregate(zip_with(q_q, q_n, (x, y) -> x * y), "
+        "cast(0 as bigint), (s, x) -> s + x)"
+    )
+    approx = (
+        F.broadcast(qside)
+        .join(nside, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "vq",
+            "vn",
+            (
+                F.expr(idot).cast("double")
+                / (
+                    F.sqrt(F.col("qq_q").cast("double"))
+                    * F.sqrt(F.col("qq_n").cast("double"))
+                )
+            ).alias("approx_cos"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= RERANK_CANDIDATES)
+        .drop("rn")
+    )
+    reranked = shortlist.select(
+        "query_id",
+        "neighbor_id",
+        "approx_cos",
+        (
+            F.expr(dot_expr("vq", "vn"))
+            / (
+                F.sqrt(F.expr(dot_expr("vq", "vq")))
+                * F.sqrt(F.expr(dot_expr("vn", "vn")))
+            )
+        ).alias("cos"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= RERANK_TOP_K)
+        .drop("rn2")
+    )

@@ -256,6 +256,7 @@ _EMIT_LAST = (
     "events_transition_matrix",
     "events_value_winsorized",
     "stream_enrich_drain",
+    "sim_ivf_quantized_rerank",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
