@@ -235,3 +235,86 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(F.broadcast(tri)).select("n_edges", "n_triangles")
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient (triangles / wedges)
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_ORACLE = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON y.ok = x.ok AND y.pk > x.pk
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY node
+    ),
+    wedges AS (SELECT SUM(d * (d - 1) / 2) AS nw FROM deg),
+    tri AS (
+        SELECT COUNT(*) AS nt
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg)       AS n_nodes,
+           (SELECT COUNT(*) FROM e)         AS n_edges,
+           CAST((SELECT nw FROM wedges) AS BIGINT) AS n_wedges,
+           (SELECT nt FROM tri)             AS n_triangles,
+           CAST(3 * (SELECT nt FROM tri) AS DOUBLE)
+               / CAST((SELECT nw FROM wedges) AS DOUBLE) AS global_cc
+    """
+
+
+@register("graph_clustering_coeff", oracle=_CLUSTERING_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the part co-purchase graph:
+    3·triangles / wedges — the standard one-number answer to "is this
+    graph clumpy or random?", and the sanity denominator for any
+    community-detection result on it.
+
+    Wedges are CLOSED-FORM from the degree table (Σ d(d-1)/2 — one
+    node-sized aggregate, no path enumeration); triangles reuse the
+    degree-oriented counter (:func:`triangle_count`). Both counts are
+    exact integers, so the coefficient is one IEEE division of exact
+    operands — bit-identical cross-engine. Everything downstream of
+    the edge list operates on node-scale or single-row tables.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    op = op.distinct()
+    edges = (
+        op.alias("x")
+        .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    tri = triangle_count(edges)  # (n_edges, n_triangles)
+    return (
+        node_stats.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("global_cc"),
+        )
+    )

@@ -257,6 +257,8 @@ _EMIT_LAST = (
     "events_value_winsorized",
     "stream_enrich_drain",
     "sim_ivf_quantized_rerank",
+    "graph_clustering_coeff",
+    "rel_basket_rules",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",

@@ -2625,3 +2625,94 @@ def rel_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_month_end"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / lift over co-ordered parts)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_PAIR = 3  # minimum co-occurrence count for a candidate rule
+BASKET_TOP_K = 20
+
+
+_BASKET_ORACLE = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+    item AS (SELECT pk, COUNT(*) AS n_item FROM op GROUP BY pk),
+    pair AS (
+        SELECT x.pk AS part_a, y.pk AS part_b, COUNT(*) AS n_pair
+        FROM op x JOIN op y ON y.ok = x.ok AND y.pk > x.pk
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+    )
+    SELECT p.part_a, p.part_b, p.n_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(p.n_pair AS DOUBLE) / t.n_orders AS support,
+           CAST(p.n_pair * t.n_orders AS DOUBLE)
+               / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+    FROM pair p
+    JOIN item ia ON ia.pk = p.part_a
+    JOIN item ib ON ib.pk = p.part_b
+    CROSS JOIN tot t
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """
+
+
+@register("rel_basket_rules", oracle=_BASKET_ORACLE)
+def rel_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: top-{BASKET_TOP_K} part pairs by LIFT
+    (co-occurrence enrichment over independence) with a minimum
+    co-occurrence support — the recommendation/assortment primitive.
+
+    Exactness across engines: support and lift are single IEEE
+    divisions whose operands are exact integer products
+    (n_pair·n_orders and n_a·n_b fit bigint at any realistic scale),
+    so the ranking is bit-deterministic; ties break on the part ids.
+
+    Scale: pair generation self-joins the per-order part list
+    CO-PARTITIONED on l_orderkey (candidates bounded by order size²,
+    ~7² in TPC-H — never a catalog cross product); the HAVING
+    threshold prunes the pair table before the item-count joins
+    (node-scale sides, AQE-broadcastable); the single-row order total
+    broadcasts; the final ranking compiles to TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    tot = op.agg(F.countDistinct("ok").alias("n_orders"))
+    item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    pair = (
+        op.alias("x")
+        .join(
+            op.alias("y"),
+            (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")),
+        )
+        .groupBy(F.col("x.pk").alias("part_a"), F.col("y.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_PAIR)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (F.col("n_pair").cast("double") / F.col("n_orders")).alias("support"),
+            (
+                (F.col("n_pair") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )

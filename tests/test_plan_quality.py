@@ -47,6 +47,8 @@ NESTED_LOOP_OK = {
     "graph_triangles",  # 1-row edge-count x 1-row triangle-count broadcast, by design
     "events_value_winsorized",  # 1-row clip-boundary broadcast, by design
     "sim_ivf_quantized_rerank",  # k-means centroid-array single-row broadcast, by design
+    "graph_clustering_coeff",  # 1-row wedge x triangle count broadcast, by design
+    "rel_basket_rules",  # 1-row order-total broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
