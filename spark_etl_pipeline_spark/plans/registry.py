@@ -162,7 +162,7 @@ def load_all() -> None:
         traindata,
     )
     from spark_etl_pipeline_spark.plans import etl, relational  # noqa: F401
-    from spark_etl_pipeline_spark.streaming import windows  # noqa: F401
+    from spark_etl_pipeline_spark.streaming import incremental, windows  # noqa: F401
 
 
 #: Driver-facing emission order for ``queries()`` / ``oracles()``.
@@ -259,6 +259,7 @@ _EMIT_LAST = (
     "sim_ivf_quantized_rerank",
     "graph_clustering_coeff",
     "rel_basket_rules",
+    "stream_upsert_drain",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
