@@ -187,7 +187,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    op = op.distinct()
+    # materialize the distinct (order, part) list once: the self-join
+    # otherwise plans TWO lineitem scans + distinct exchanges
+    op = op.distinct().localCheckpoint(eager=True)
     edges = (
         op.alias("x")
         .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
@@ -286,7 +288,9 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    op = op.distinct()
+    # materialize the distinct (order, part) list once: the self-join
+    # otherwise plans TWO lineitem scans + distinct exchanges
+    op = op.distinct().localCheckpoint(eager=True)
     edges = (
         op.alias("x")
         .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
