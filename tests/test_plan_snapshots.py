@@ -47,6 +47,12 @@ HEADLINE = [
     "events_sessionize",
     "events_gap_fill",
     "text_pmi_bigrams",
+    "docs_dedup_passages",
+    "dq_audit",
+    "events_attribution",
+    "events_transition_matrix",
+    "sim_ivf_quantized_rerank",
+    "events_value_winsorized",
 ]
 
 _NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$")
