@@ -322,3 +322,119 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core extraction (bounded-round peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 80
+KCORE_ROUNDS = 6
+
+
+def _kcore_round_sql(r: int) -> str:
+    prev = f"a{r - 1}"
+    return f"""
+    a{r} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, COUNT(*) AS cd FROM (
+                SELECT e.a AS node FROM e
+                JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
+                UNION ALL
+                SELECT e.b FROM e
+                JOIN {prev} x ON x.node = e.a JOIN {prev} y ON y.node = e.b
+            ) GROUP BY node
+        ) WHERE cd >= {KCORE_K}
+    )"""
+
+
+_KCORE_ORACLE = f"""
+    WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON y.ok = x.ok AND y.pk > x.pk
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e UNION SELECT b FROM e),
+    {",".join(_kcore_round_sql(r) for r in range(1, KCORE_ROUNDS + 1))},
+    fe AS (
+        SELECT e.a, e.b FROM e
+        JOIN a{KCORE_ROUNDS} x ON x.node = e.a
+        JOIN a{KCORE_ROUNDS} y ON y.node = e.b
+    ),
+    fd AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT a AS node FROM fe UNION ALL SELECT b FROM fe
+        ) GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM fd GROUP BY degree
+    """
+
+
+@register("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the part co-purchase graph by iterative
+    peeling: repeatedly drop nodes with (induced) degree below k until
+    stable — the densest-region extractor used to find the "always
+    bought together" backbone and, in dedup/community pipelines, to
+    separate template clusters from incidental co-occurrence.
+
+    The spec is BOUNDED-ROUND: exactly {KCORE_ROUNDS} peeling rounds,
+    in both engines. Peeling is idempotent at the fixpoint, so when it
+    converges earlier (it does here: 5 rounds at sf0.01) extra rounds
+    are no-ops and the result IS the exact k-core; if a graph needs
+    more rounds the output is still a well-defined (and identical)
+    intermediate, never an engine-dependent one. Output is the degree
+    histogram of the induced subgraph — any row with degree < k would
+    prove non-convergence, so the result self-certifies.
+
+    Scale: each round is two semi-joins of the edge list against the
+    node-scale survivor set plus one degree aggregate; survivors are
+    ``localCheckpoint``-ed per round (same bounded-lineage discipline
+    as connected components), the edge list once. Peeling rounds
+    needed grow with core depth, not graph size — the 100 TB story is
+    the same joins at bigger parallelism.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    op = op.distinct().localCheckpoint(eager=True)
+    edges = (
+        op.alias("x")
+        .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    def induced(alive_df: DataFrame) -> DataFrame:
+        return edges.join(
+            alive_df.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(alive_df.withColumnRenamed("node", "b"), "b", "left_semi")
+
+    for _ in range(KCORE_ROUNDS):
+        ee = induced(alive)
+        deg = (
+            ee.select(F.col("a").alias("node"))
+            .unionByName(ee.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("cd"))
+        )
+        alive = (
+            deg.filter(F.col("cd") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    fe = induced(alive)
+    fd = (
+        fe.select(F.col("a").alias("node"))
+        .unionByName(fe.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return fd.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -260,6 +260,7 @@ _EMIT_LAST = (
     "graph_clustering_coeff",
     "rel_basket_rules",
     "stream_upsert_drain",
+    "graph_kcore",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
