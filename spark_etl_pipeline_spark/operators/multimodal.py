@@ -417,3 +417,108 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     return audio_windows(attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (dHash) over binary payloads
+# ---------------------------------------------------------------------------
+
+#: 57 stride-samples -> 56 adjacent-gradient bits (fits signed bigint).
+PHASH_SAMPLES = 57
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(payloads: DataFrame) -> DataFrame:
+    """Difference-hash (dHash) per payload: stride-sample
+    ``PHASH_SAMPLES`` bytes, set bit i when sample i > sample i+1.
+
+    The byte-domain stand-in for image dHash (which downscales to a
+    9x8 grid and compares adjacent PIXELS — with real decode available,
+    swap the sampler for the pixel grid and keep everything else): the
+    hash survives local edits that leave most of the payload's coarse
+    "gradient profile" intact, which cryptographic hashes by design do
+    not. Arrow-batched ``mapInPandas``, partition-preserving, one pass.
+    """
+
+    def hash_batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                if n == 0:
+                    continue
+                stride = max(-(-n // PHASH_SAMPLES), 1)
+                vals = [
+                    b[min(i * stride, n - 1)] for i in range(PHASH_SAMPLES)
+                ]
+                ph = 0
+                for i in range(PHASH_SAMPLES - 1):
+                    if vals[i] > vals[i + 1]:
+                        ph |= 1 << i
+                ids.append(doc_id)
+                hashes.append(ph)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return payloads.mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+_PHASH_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               greatest(CAST(ceil(length(text) / {PHASH_SAMPLES}.0) AS BIGINT), 1)
+                   AS stride
+        FROM documents WHERE length(text) > 0
+    ),
+    v AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, {PHASH_SAMPLES - 1}),
+                   i -> ascii(substr(text,
+                       CAST(least(i * stride + 1, n) AS INTEGER), 1))) AS vals
+        FROM s
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, {PHASH_SAMPLES - 1}),
+                       i -> CASE WHEN vals[i] > vals[i + 1]
+                                 THEN CAST(1 AS BIGINT) << (i - 1)
+                                 ELSE CAST(0 AS BIGINT) END)),
+                   (a, x) -> a | x) AS phash
+        FROM v
+    )
+    SELECT doc_id, phash,
+           COUNT(*) OVER (PARTITION BY phash) AS n_bucket
+    FROM h
+    """
+
+
+@register("mm_phash_buckets", oracle=_PHASH_ORACLE)
+def mm_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash table over the payload corpus, each row tagged
+    with its hash-bucket population — the blocking stage of multimodal
+    near-dup detection (identical dHash = re-encoded/trivially-edited
+    copy candidate; hamming-close = near-dup, handled downstream
+    exactly like :func:`~...dedup.dedup_simhash_pairs` byte-bands).
+
+    Python computes ONLY the per-row hash (Arrow-batched, no shuffle);
+    bucket sizes come from a JVM groupBy + broadcast join-back — the
+    same no-Window shape the hyperplane-LSH bucket sizing uses (a
+    corpus-wide count window would single-partition nothing here, but
+    at 100 TB the join-back form lets AQE size each side honestly).
+    """
+    docs = table(spark, sf_dir, "documents")
+    hashed = perceptual_hash(attach_payload(docs))
+    buckets = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return hashed.join(F.broadcast(buckets), "phash").select(
+        "doc_id", "phash", "n_bucket"
+    )

@@ -261,6 +261,7 @@ _EMIT_LAST = (
     "rel_basket_rules",
     "stream_upsert_drain",
     "graph_kcore",
+    "mm_phash_buckets",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
