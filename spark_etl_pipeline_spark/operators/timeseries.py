@@ -911,3 +911,55 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(total)).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top user-journey paths (length-3 event-type sequences)
+# ---------------------------------------------------------------------------
+
+PATHS_TOP_K = 20
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type, 2) OVER w AS t1,
+               lag(event_type, 1) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, event_type AS t3, COUNT(*) AS n
+    FROM ordered WHERE t1 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT {PATHS_TOP_K}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PATHS_TOP_K} length-3 user journeys (consecutive event-type
+    triples): the path-mining view of the same per-user sequence the
+    transition matrix summarizes — second-order structure (view→click→
+    purchase vs view→view→view) that a first-order Markov model
+    provably cannot distinguish.
+
+    One window pass (BOTH lags share the per-user frame — Spark plans
+    a single sort+Window), one hash aggregate over |types|³ keys,
+    TakeOrdered for the final ranking. Deterministic order: the same
+    (ts, event_id) total order every sequence operator in this module
+    uses."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    return (
+        ordered.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(PATHS_TOP_K)
+    )

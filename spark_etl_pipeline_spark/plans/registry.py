@@ -262,6 +262,7 @@ _EMIT_LAST = (
     "stream_upsert_drain",
     "graph_kcore",
     "mm_phash_buckets",
+    "events_top_paths",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
