@@ -354,3 +354,40 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dirty-ingest CSV scan: (clean_rows, quarantined_rows).
+
+    PERMISSIVE mode with ``columnNameOfCorruptRecord`` keeps the whole
+    malformed line in a ``_corrupt`` column instead of silently nulling
+    fields (the default) or failing the load (FAILFAST) — the
+    production contract for 100 TB ingest, where a 0.001% bad-line
+    rate is thousands of lines a day that must be ROUTED (re-parsed,
+    alerted on, replayed), never dropped on the floor and never able
+    to kill the job. The clean frame drops the marker column; the
+    quarantine frame carries the raw line for forensics.
+
+    Note Spark requires the corrupt-record column to be PRESENT in the
+    declared schema, and quarantined rows must be materialized from the
+    same scan the filter runs on (SPARK-21610: a bare
+    ``filter(_corrupt.isNotNull).count()`` over a pruned scan is
+    undefined) — hence the explicit select of data columns + marker.
+    """
+    full_schema = f"{schema}, _corrupt string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()  # one scan serves both splits (and SPARK-21610)
+    )
+    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    quarantine = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+    return clean, quarantine

@@ -385,3 +385,24 @@ def test_zorder_write_narrows_both_dimensions(spark, tmp_path):
     glo2 = min(s[0] for s in sp2)
     ghi2 = max(s[1] for s in sp2)
     assert max(hi - lo for lo, hi in sp2) > 0.9 * (ghi2 - glo2)
+
+
+def test_csv_quarantine_routes_malformed_rows(spark, tmp_path):
+    from spark_etl_pipeline_spark.sources import read_csv_quarantine
+
+    csv = tmp_path / "dirty.csv"
+    csv.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,notanumber,beta\n"   # qty fails int parse -> quarantined
+        "3,30,gamma\n"
+        "4,40\n"                # short row: CSV treats as malformed too
+    )
+    clean, quarantine = read_csv_quarantine(
+        spark, str(csv), "id int, qty int, name string"
+    )
+    assert clean.count() == 2
+    assert {r.id for r in clean.collect()} == {1, 3}
+    bad = sorted(r._corrupt for r in quarantine.collect())
+    # forensics contract: quarantined rows are the RAW lines, intact
+    assert bad == ["2,notanumber,beta", "4,40"]
