@@ -244,7 +244,9 @@ _EMIT_FIRST = (
 _EMIT_LAST = (
     # r7 front-runners, in priority order: the late round-6 additions
     # that no longer fit the 50-row window (never driver-verified —
-    # locally parity-verified; they must OPEN the r7 window), the three
+    # locally parity-verified; they must OPEN the r7 window; the
+    # third-wave additions — triangles through top-paths — lead even
+    # the second-wave ones because they are the newest code), the three
     # jaccard-refactor queries deferred behind their in-window
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
