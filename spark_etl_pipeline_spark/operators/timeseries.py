@@ -963,3 +963,63 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(PATHS_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonality",
+    oracle="""
+    WITH base AS (
+        SELECT isodow(ts) AS dow, hour(ts) AS hod,
+               CAST(ts AS DATE) AS d,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cell AS (
+        SELECT dow, hod, COUNT(*) AS n,
+               COUNT(DISTINCT d) AS n_days,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM base GROUP BY dow, hod
+    )
+    SELECT CAST(dow AS INTEGER) AS dow, CAST(hod AS INTEGER) AS hod, n,
+           CAST(n AS DOUBLE) / n_days AS events_per_day,
+           CAST(cents AS DOUBLE) / 100.0 AS sum_value
+    FROM cell
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality profile: for each (ISO weekday, hour)
+    cell, total events, events per OBSERVED day, and exact-cents value —
+    the heatmap behind staffing/capacity curves and the seasonal prior a
+    forecaster subtracts before modeling residuals.
+
+    One map-side-combinable aggregate over the raw stream collapses to
+    at most 7x24 cells; normalizing by distinct observed DATES (not a
+    fixed day count) keeps partial first/last days honest. The division
+    is one IEEE op on exact integers."""
+    events = table(spark, sf_dir, "events")
+    base = events.select(
+        F.expr("weekday(ts) + 1").cast("int").alias("dow"),  # ISO: Mon=1
+        F.hour("ts").cast("int").alias("hod"),
+        F.to_date("ts").alias("d"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    return (
+        base.groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("d").alias("n_days"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "dow",
+            "hod",
+            "n",
+            (F.col("n").cast("double") / F.col("n_days")).alias("events_per_day"),
+            (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+        )
+    )

@@ -265,6 +265,8 @@ _EMIT_LAST = (
     "graph_kcore",
     "mm_phash_buckets",
     "events_top_paths",
+    "events_seasonality",
+    "rel_pareto_customers",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",

@@ -2718,3 +2718,82 @@ def rel_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / revenue-concentration curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_pareto_customers",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_cust FROM rev),
+    ranked AS (
+        SELECT o_custkey, cents,
+               row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT r.rnk, r.o_custkey,
+           CAST(r.cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(r.cum_cents AS DOUBLE) / t.total_cents AS cum_share,
+           CAST(r.rnk AS DOUBLE) / t.n_cust AS cust_share
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk <= 25
+    ORDER BY r.rnk
+    """,
+)
+def rel_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: customers ranked by total
+    spend with cumulative revenue share and cumulative customer share —
+    the "what fraction of customers drives 80% of revenue" table.
+
+    Exactness: per-customer revenue and the running total are integer
+    cents (associative), shares are single IEEE divisions against the
+    broadcast single-row totals. The ranking window is GLOBAL — the
+    honest cost of an exact cumulative distribution — but it sorts the
+    CUSTOMER-level aggregate (|customers| rows, not |orders|), and only
+    the top-25 rows survive. At 100 TB with billions of customers,
+    compute the same curve banded: repartitionByRange on revenue, per-
+    partition partial sums, then a driver-size prefix-sum of partition
+    totals — the two-phase distributed cumsum (documented here, not
+    needed at this row count).
+    """
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("cents")
+    )
+    tot = rev.agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    w = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = rev.select(
+        "o_custkey",
+        "cents",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cents").over(wrun).cast("bigint").alias("cum_cents"),
+    ).filter(F.col("rnk") <= 25)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            "o_custkey",
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
+            (F.col("cum_cents").cast("double") / F.col("total_cents")).alias(
+                "cum_share"
+            ),
+            (F.col("rnk").cast("double") / F.col("n_cust")).alias("cust_share"),
+        )
+        .orderBy("rnk")
+    )

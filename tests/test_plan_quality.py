@@ -49,6 +49,7 @@ NESTED_LOOP_OK = {
     "sim_ivf_quantized_rerank",  # k-means centroid-array single-row broadcast, by design
     "graph_clustering_coeff",  # 1-row wedge x triangle count broadcast, by design
     "rel_basket_rules",  # 1-row order-total broadcast, by design
+    "rel_pareto_customers",  # 1-row grand-total broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
