@@ -59,6 +59,14 @@ def get_spark(
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # In local[N] mode the driver JVM heap IS the whole executor
+        # memory pool; Spark's 1g default GC-thrashes a 32-thread local
+        # run the moment any shuffle holds tens of millions of rows
+        # (measured: the triangle-count wedge join at sf0.1). 8g is
+        # still a fraction of the host and matches ~256m/thread — on a
+        # real cluster this knob is per-executor and set by the
+        # submitter, so it only takes effect when the JVM starts here.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
