@@ -83,3 +83,32 @@ def test_stream_upsert_is_restart_idempotent(spark, tmp_path):
     assert latest_snapshot_path(snap) == first, "re-run re-processed old data"
     rows = read_snapshot(spark, snap).collect()
     assert [(r.user_id, r.status) for r in rows] == [(1, "new")]
+
+
+def test_latest_state_sink_is_batch_order_independent(spark, tmp_path):
+    """CDC compaction: feeding the same event batches in either order
+    must converge to the identical latest-per-key snapshot (the sink
+    re-argmaxes snapshot ∪ batch — file-listing order is NOT event
+    order, so order-independence is the correctness contract)."""
+    import datetime as dt
+
+    from spark_etl_pipeline_spark.streaming.incremental import latest_state_sink
+
+    eschema = "user_id long, ts timestamp, event_id long, event_type string, value double"
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    newer = [(1, t.replace(hour=14), 103, "purchase", 9.0)]
+    older = [(1, t, 101, "view", 1.0), (2, t, 102, "click", 2.0)]
+
+    def run(order):
+        snap = str(tmp_path / f"snap_{order}")
+        sink = latest_state_sink("user_id", snap)
+        batches = [newer, older] if order == "no" else [older, newer]
+        for i, rows in enumerate(batches):
+            sink(spark.createDataFrame(rows, eschema), i)
+        from spark_etl_pipeline_spark.streaming.incremental import read_snapshot
+
+        return sorted(
+            (r.user_id, r.event_id, r.event_type) for r in read_snapshot(spark, snap).collect()
+        )
+
+    assert run("fwd") == run("no") == [(1, 103, "purchase"), (2, 102, "click")]
