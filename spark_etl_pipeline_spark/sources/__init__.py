@@ -391,3 +391,26 @@ def read_csv_quarantine(
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     quarantine = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
     return clean, quarantine
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines twin of :func:`read_csv_quarantine`: (clean,
+    quarantined) with the raw malformed line preserved. JSON adds a
+    failure mode CSV doesn't have — a syntactically valid line whose
+    TYPE mismatches the schema (e.g. a string where a long is declared)
+    also routes to quarantine rather than silently nulling."""
+    full_schema = f"{schema}, _corrupt string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        .cache()
+    )
+    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    quarantine = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
+    return clean, quarantine

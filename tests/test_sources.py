@@ -406,3 +406,19 @@ def test_csv_quarantine_routes_malformed_rows(spark, tmp_path):
     bad = sorted(r._corrupt for r in quarantine.collect())
     # forensics contract: quarantined rows are the RAW lines, intact
     assert bad == ["2,notanumber,beta", "4,40"]
+
+
+def test_json_quarantine_routes_malformed_rows(spark, tmp_path):
+    from spark_etl_pipeline_spark.sources import read_json_quarantine
+
+    jl = tmp_path / "dirty.jsonl"
+    jl.write_text(
+        '{"id": 1, "qty": 10}\n'
+        "{not json at all\n"
+        '{"id": 3, "qty": "notanumber"}\n'
+        '{"id": 4}\n'  # missing field -> null, NOT corrupt (JSON semantics)
+    )
+    clean, quarantine = read_json_quarantine(spark, str(jl), "id long, qty long")
+    assert {r.id for r in clean.collect()} == {1, 4}
+    bad = sorted(r._corrupt for r in quarantine.collect())
+    assert bad == sorted(["{not json at all", '{"id": 3, "qty": "notanumber"}'])
