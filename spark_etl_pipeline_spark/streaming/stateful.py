@@ -86,3 +86,77 @@ def dedup_events_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+SESSION_SUMMARY_SCHEMA = "user_id bigint, n_events bigint, closed boolean"
+
+
+def idle_session_summaries(
+    stream: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session summaries emitted on INACTIVITY, via
+    ``applyInPandasWithState`` + ``EventTimeTimeout``: each batch
+    updates the user's running count and re-arms a timeout at
+    (max seen event time + gap); when the WATERMARK passes that mark
+    with no new events, Spark calls the function one last time with
+    ``state.hasTimedOut`` — the flush-on-idle branch — and the closed
+    summary is emitted exactly once as state is removed.
+
+    This is the custom-session-close pattern the built-in
+    ``session_window`` can't express when the close action is
+    side-effectful or the summary needs arbitrary state (last page,
+    funnel stage, model features). State is O(active users) and the
+    timeout is what bounds it — an idle key cannot linger past
+    watermark + gap.
+
+    The caller must ``withWatermark`` the stream on ``ts`` BEFORE
+    calling (event-time timeouts require a watermark).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "closed": [True]}
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_max = int(pdf["ts"].max().value // 1000)  # ns -> µs
+            last_us = max(last_us, batch_max)
+        state.update((n, last_us))
+        # re-arm: flush when the watermark passes last event + gap.
+        # CLAMP to the current watermark: with multiple micro-batches a
+        # key's desired timeout can already lie behind the watermark
+        # (a late-ish key in a stream whose watermark other keys advanced)
+        # — Spark rejects a timeout in the past, and the correct
+        # semantics is "flush at the next opportunity".
+        gap_ms = _gap_to_ms(gap)
+        desired = last_us // 1000 + gap_ms
+        state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "closed": [False]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SUMMARY_SCHEMA,
+        stateStructType="n bigint, last_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _gap_to_ms(gap: str) -> int:
+    qty, unit = gap.split()
+    scale = {"minute": 60_000, "minutes": 60_000, "hour": 3_600_000,
+             "hours": 3_600_000, "second": 1_000, "seconds": 1_000}[unit]
+    return int(qty) * scale

@@ -61,3 +61,55 @@ def test_streaming_dedup_within_watermark(spark):
         table(spark, SF_SMOKE, "events").select("event_id").distinct().count()
     )
     assert got == want > 0
+
+
+def test_idle_session_timeout_flushes_exactly_idle_users(spark, tmp_path):
+    """EventTimeTimeout contract on a CONTROLLED stream: users idle for
+    >gap before end-of-stream flush a closed summary once; a user active
+    at stream end stays open (state alive, no closed row)."""
+    import datetime as dt
+
+    from spark_etl_pipeline_spark.streaming.stateful import idle_session_summaries
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two events, long idle afterwards -> must close (n=2)
+        (1, t0, 101, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=5), 102, "click", 1.0, "{}"),
+        # user 2: single event near the end -> watermark never passes
+        # its timeout; stays open
+        (2, t0 + dt.timedelta(hours=6), 201, "view", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "events_src")
+    schema = (
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string"
+    )
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = idle_session_summaries(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("idle_sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    rows_out = spark.sql(
+        "SELECT user_id, n_events, closed FROM idle_sessions_test"
+    ).collect()
+    closed = {(r.user_id, r.n_events) for r in rows_out if r.closed}
+    open_updates = {(r.user_id, r.n_events) for r in rows_out if not r.closed}
+    assert closed == {(1, 2)}  # idle user flushed once, with full count
+    assert (2, 1) in open_updates  # active-at-end user emitted only updates
+    assert not any(u == 2 for (u, _) in closed)
