@@ -1646,3 +1646,55 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("vc").cast("double") / 100.0).alias("sum_raw"),
         (F.sum("wc").cast("double") / 100.0).alias("sum_winsorized"),
     )
+
+
+SOURCE_CAP = 15  # max documents kept per source
+
+
+@register(
+    "docs_cap_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, lang,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_source
+        FROM documents
+    )
+    SELECT doc_id, source, lang,
+           CAST(n_source AS BIGINT) AS n_source
+    FROM ranked WHERE rn <= {SOURCE_CAP}
+    """,
+)
+def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-source document cap ({SOURCE_CAP} docs/source): the
+    anti-domination guard of a web-scale training mix — one crawler
+    bug, one mirror site, one SEO farm cannot contribute more than its
+    quota no matter how many documents it lands. Complements the
+    rate-based temperature mixture (:func:`docs_mixture_sample`):
+    rates rebalance, caps bound the worst case.
+
+    Selection within a source is ordered by md5(doc_id) — the module's
+    standard deterministic-uniform device (no rand(), replayable on
+    any cluster), with doc_id as the total-order tiebreak. The window
+    partitions by source, so the sort is per-source-sized; at 100 TB
+    with a pathological mega-source, cap selection degrades gracefully
+    to a per-source TakeOrdered (top-K by hash) rather than a full
+    sort — same result, bounded memory.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("n_source"),
+        )
+        .filter(F.col("rn") <= SOURCE_CAP)
+        .drop("rn")
+    )

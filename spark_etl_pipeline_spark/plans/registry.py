@@ -267,6 +267,7 @@ _EMIT_LAST = (
     "events_top_paths",
     "events_seasonality",
     "rel_pareto_customers",
+    "docs_cap_per_source",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",

@@ -222,3 +222,38 @@ def _register_drain() -> None:
 
 
 _register_drain()
+
+
+def vacuum_snapshots(snapshot_dir: str, keep: int = 2) -> list[str]:
+    """Delete all but the newest ``keep`` snapshot generations.
+
+    Every upsert batch writes a full new generation, so the store grows
+    by one table-copy per batch until vacuumed — the retention loop
+    Delta's ``VACUUM`` automates. The CURRENT generation (per the
+    ``_LATEST`` pointer) is always preserved regardless of age, and
+    deletion happens strictly newest-to-oldest AFTER the pointer is
+    known, so a concurrent reader holding an older-but-kept generation
+    is safe and a reader of a just-deleted one can only be one retry
+    away from the pointer. Returns the deleted generation names.
+    """
+    import re
+    import shutil
+
+    current = latest_snapshot_path(snapshot_dir)
+    gens = sorted(
+        (
+            d
+            for d in os.listdir(snapshot_dir)
+            if re.fullmatch(r"v\d+", d)
+        ),
+        key=lambda d: int(d[1:]),
+    )
+    keep_set = set(gens[-keep:]) if keep > 0 else set()
+    if current is not None:
+        keep_set.add(os.path.basename(current))
+    deleted = []
+    for d in gens:
+        if d not in keep_set:
+            shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
+            deleted.append(d)
+    return deleted

@@ -112,3 +112,29 @@ def test_latest_state_sink_is_batch_order_independent(spark, tmp_path):
         )
 
     assert run("fwd") == run("no") == [(1, 103, "purchase"), (2, 102, "click")]
+
+
+def test_vacuum_keeps_latest_and_n_newest(spark, tmp_path):
+    from spark_etl_pipeline_spark.streaming.incremental import (
+        _commit_pointer,
+        vacuum_snapshots,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    os.makedirs(snap)
+    for i in range(5):
+        d = os.path.join(snap, f"v{i}")
+        spark.createDataFrame([(i,)], "x int").write.mode("overwrite").parquet(d)
+    _commit_pointer(snap, "v4")
+    deleted = vacuum_snapshots(snap, keep=2)
+    assert deleted == ["v0", "v1", "v2"]
+    assert sorted(d for d in os.listdir(snap) if d.startswith("v")) == ["v3", "v4"]
+    # the pointed-to generation must survive even if older than keep-window
+    _commit_pointer(snap, "v3")
+    spark.createDataFrame([(9,)], "x int").write.mode("overwrite").parquet(
+        os.path.join(snap, "v9")
+    )
+    deleted = vacuum_snapshots(snap, keep=1)
+    assert "v3" not in deleted  # current pointer protected
+    assert "v9" not in deleted  # newest kept
+    assert deleted == ["v4"]
