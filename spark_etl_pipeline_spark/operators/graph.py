@@ -1,5 +1,8 @@
 """Graph analytics beyond connected components (which live with their
-consumer in ``operators/dedup.py``).
+consumer in ``operators/dedup.py``): exact-integer PageRank,
+degree-oriented triangle counting (edge-iterator form), the global
+clustering coefficient, and bounded-round k-core peeling — all over
+graphs derived in-plan from the TPC-H fact tables, all oracle-backed.
 
 PageRank here is EXACT-INTEGER: ranks are scaled bigints, each
 iteration is ``reset + (85 · Σ (rank div degree)) div 100`` — integer

@@ -53,6 +53,10 @@ HEADLINE = [
     "events_transition_matrix",
     "sim_ivf_quantized_rerank",
     "events_value_winsorized",
+    "events_top_paths",
+    "events_seasonality",
+    "rel_pareto_customers",
+    "docs_cap_per_source",
 ]
 
 _NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$")
