@@ -192,3 +192,47 @@ def test_incremental_dedup_prunes_to_delta_probe(spark):
     plan = plan_of(spark, "docs_dedup_incremental")
     assert "(doc_id" in plan and "% 4)" in plan, "delta predicate missing"
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Row-level runtime filtering (SPARK-32268): when a selective
+    dimension side feeds a shuffle join, Spark can inject a
+    bloom-filter aggregate on the dim side and a ``might_contain``
+    filter on the fact side — rows that cannot join die at the fact
+    SCAN instead of riding the shuffle. This is a first-order 100 TB
+    lever (the shuffle is the cost), so pin that the optimizer
+    actually injects it on this engine's join shape when enabled.
+
+    The scan-size threshold is lowered because the default (10GB)
+    assumes production scans; the conf set is exactly what a cluster
+    submit would carry.
+    """
+    from spark_etl_pipeline_spark.plans.registry import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_CORRECTNESS, "lineitem")
+        o = table(spark, SF_CORRECTNESS, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
