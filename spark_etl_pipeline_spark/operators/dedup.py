@@ -1517,6 +1517,9 @@ def docs_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" {PASSAGE_TOKENS}))"
             ).alias("ptext"),
         )
+        # three consumers (first-wins agg, survivor join probe, per-doc
+        # stats) — materialize the corpus-token-sized explode ONCE
+        .localCheckpoint(eager=True)
     )
     first = passages.groupBy(F.md5("ptext").alias("h")).agg(
         F.min(F.struct("doc_id", "idx")).alias("f")

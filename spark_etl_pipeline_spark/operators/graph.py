@@ -139,6 +139,33 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP_K)
     )
 
+
+def copurchase_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) incidence list, materialized once
+    (``localCheckpoint``) — the shared base of every co-purchase
+    derivation (a bare self-join would otherwise plan two lineitem
+    scans + distinct exchanges per consumer)."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    return op.distinct().localCheckpoint(eager=True)
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) co-purchase edge list over parts, materialized
+    once — shared by the triangle, clustering-coefficient, and k-core
+    operators. Pair generation self-joins the incidence list
+    CO-PARTITIONED on the order key (candidates bounded by order
+    size², ~7² in TPC-H — never a catalog cross product)."""
+    op = copurchase_items(spark, sf_dir)
+    return (
+        op.alias("x")
+        .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
+        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting (degree-oriented, the O(m^1.5) wedge bound)
 # ---------------------------------------------------------------------------
@@ -190,18 +217,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure all reuse it; wedge generation and closure are plain hash
     joins on node keys.
     """
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    # materialize the distinct (order, part) list once: the self-join
-    # otherwise plans TWO lineitem scans + distinct exchanges
-    op = op.distinct().localCheckpoint(eager=True)
-    edges = (
-        op.alias("x")
-        .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
-        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = copurchase_edges(spark, sf_dir)
     return triangle_count(edges)
 
 
@@ -309,18 +325,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands — bit-identical cross-engine. Everything downstream of
     the edge list operates on node-scale or single-row tables.
     """
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    # materialize the distinct (order, part) list once: the self-join
-    # otherwise plans TWO lineitem scans + distinct exchanges
-    op = op.distinct().localCheckpoint(eager=True)
-    edges = (
-        op.alias("x")
-        .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
-        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
@@ -419,16 +424,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed grow with core depth, not graph size — the 100 TB story is
     the same joins at bigger parallelism.
     """
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-    op = op.distinct().localCheckpoint(eager=True)
-    edges = (
-        op.alias("x")
-        .join(op.alias("y"), (F.col("y.ok") == F.col("x.ok")) & (F.col("y.pk") > F.col("x.pk")))
-        .select(F.col("x.pk").alias("a"), F.col("y.pk").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = copurchase_edges(spark, sf_dir)
     alive = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))

@@ -473,17 +473,18 @@ def perceptual_hash(payloads: DataFrame) -> DataFrame:
 
 _PHASH_ORACLE = f"""
     WITH s AS (
-        SELECT doc_id, text,
-               CAST(length(text) AS BIGINT) AS n,
-               greatest(CAST(ceil(length(text) / {PHASH_SAMPLES}.0) AS BIGINT), 1)
-                   AS stride
-        FROM documents WHERE length(text) > 0
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               greatest(CAST(ceil(octet_length(encode(text))
+                   / {PHASH_SAMPLES}.0) AS BIGINT), 1) AS stride
+        FROM documents WHERE octet_length(encode(text)) > 0
     ),
     v AS (
         SELECT doc_id,
                list_transform(generate_series(0, {PHASH_SAMPLES - 1}),
-                   i -> ascii(substr(text,
-                       CAST(least(i * stride + 1, n) AS INTEGER), 1))) AS vals
+                   i -> CAST(('0x' || substr(hx,
+                       CAST(least(i * stride, n - 1) AS INTEGER) * 2 + 1, 2))
+                       AS INTEGER)) AS vals
         FROM s
     ),
     h AS (
@@ -519,6 +520,7 @@ def mm_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     hashed = perceptual_hash(attach_payload(docs))
     buckets = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n_bucket"))
-    return hashed.join(F.broadcast(buckets), "phash").select(
-        "doc_id", "phash", "n_bucket"
-    )
+    # No broadcast hint: near-unique hashes make the bucket table
+    # corpus-sized, so AQE must pick the strategy (a forced broadcast
+    # would collect the corpus to the driver at scale).
+    return hashed.join(buckets, "phash").select("doc_id", "phash", "n_bucket")

@@ -2679,12 +2679,11 @@ def rel_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node-scale sides, AQE-broadcastable); the single-row order total
     broadcasts; the final ranking compiles to TakeOrderedAndProject.
     """
-    li = table(spark, sf_dir, "lineitem")
+    from spark_etl_pipeline_spark.operators.graph import copurchase_items
+
     # one materialization feeds all four consumers (pair self-join x2,
     # item counts, order total) — otherwise four lineitem scans
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct().localCheckpoint(eager=True)
+    op = copurchase_items(spark, sf_dir)
     tot = op.agg(F.countDistinct("ok").alias("n_orders"))
     item = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
     pair = (

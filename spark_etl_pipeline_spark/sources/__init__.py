@@ -386,7 +386,12 @@ def read_csv_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
-        .cache()  # one scan serves both splits (and SPARK-21610)
+        # one scan serves both splits (and satisfies SPARK-21610's
+        # materialize-before-filtering requirement); localCheckpoint
+        # rather than cache() so the backing blocks are released by
+        # GC when the caller drops the frames — an explicit unpersist
+        # hook isn't part of this API's contract
+        .localCheckpoint(eager=True)
     )
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     quarantine = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
@@ -409,7 +414,7 @@ def read_json_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
-        .cache()
+        .localCheckpoint(eager=True)  # same one-scan/GC-release contract
     )
     clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     quarantine = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")

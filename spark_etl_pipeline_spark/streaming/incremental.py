@@ -239,6 +239,8 @@ def vacuum_snapshots(snapshot_dir: str, keep: int = 2) -> list[str]:
     import re
     import shutil
 
+    if not os.path.isdir(snapshot_dir):
+        return []
     current = latest_snapshot_path(snapshot_dir)
     gens = sorted(
         (
@@ -252,7 +254,10 @@ def vacuum_snapshots(snapshot_dir: str, keep: int = 2) -> list[str]:
     if current is not None:
         keep_set.add(os.path.basename(current))
     deleted = []
-    for d in gens:
+    # delete newest-first: a reader holding an old generation then sees
+    # deletions approach it from above, so by the time ITS generation
+    # vanishes the pointer has long moved — one retry reaches it
+    for d in reversed(gens):
         if d not in keep_set:
             shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
             deleted.append(d)

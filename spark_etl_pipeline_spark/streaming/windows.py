@@ -533,15 +533,17 @@ def stream_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-def _drain_to_table(spark: SparkSession, df: DataFrame, sink: str) -> DataFrame:
-    """Shared availableNow → memory-sink drain (complete mode)."""
+def _drain_to_table(
+    spark: SparkSession, df: DataFrame, sink: str, mode: str = "complete"
+) -> DataFrame:
+    """Shared availableNow → memory-sink drain."""
     for active in spark.streams.active:
         if active.name == sink:
             active.stop()
     q = (
         df.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -731,23 +733,11 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`stream_interval_join`), so the driver gate verifies the
     streaming engine's join itself, not a re-used batch plan.
     """
-    sink = "stream_join_drain_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    q = (
-        stream_stream_join(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    pairs = _drain_to_table(
+        spark, stream_stream_join(spark, sf_dir),
+        "stream_join_drain_sink", mode="append",
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
-    return spark.table(sink).agg(
+    return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("purchase_id").alias("n_purchases_with_click"),
     )

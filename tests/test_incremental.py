@@ -127,7 +127,9 @@ def test_vacuum_keeps_latest_and_n_newest(spark, tmp_path):
         spark.createDataFrame([(i,)], "x int").write.mode("overwrite").parquet(d)
     _commit_pointer(snap, "v4")
     deleted = vacuum_snapshots(snap, keep=2)
-    assert deleted == ["v0", "v1", "v2"]
+    # deletion walks newest-to-oldest (reader-safety: deletions approach
+    # an old reader from above, never strand it with the pointer far off)
+    assert deleted == ["v2", "v1", "v0"]
     assert sorted(d for d in os.listdir(snap) if d.startswith("v")) == ["v3", "v4"]
     # the pointed-to generation must survive even if older than keep-window
     _commit_pointer(snap, "v3")
