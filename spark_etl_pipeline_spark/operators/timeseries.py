@@ -1023,3 +1023,57 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents").cast("double") / 100.0).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative reach (distinct users to date, without distinct-over-window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cumulative_reach",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+        SELECT event_type, first_day AS day, COUNT(*) AS new_users
+        FROM firsts GROUP BY event_type, first_day
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user reach per event type by day — the user
+    acquisition curve. The naive form is COUNT(DISTINCT user) OVER an
+    expanding window, which Spark (correctly) refuses: distinct-over-
+    window state is unmergeable and quadratic. The scalable identity:
+    a user enters the distinct set exactly once, on their FIRST day —
+    so reach = running SUM of first-appearance counts. One hash
+    aggregate to (type, user) firsts (map-side combinable MIN), one to
+    daily new-user counts, and a running sum over the DAY-GRAIN table
+    (per-type partitions, |days| rows each). The same rewrite is how
+    cumulative-distinct metrics ship at 100 TB.
+    """
+    events = table(spark, sf_dir, "events")
+    firsts = events.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

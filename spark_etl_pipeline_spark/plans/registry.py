@@ -268,6 +268,8 @@ _EMIT_LAST = (
     "events_seasonality",
     "rel_pareto_customers",
     "docs_cap_per_source",
+    "events_cumulative_reach",
+    "rel_gini_revenue",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",

@@ -2796,3 +2796,65 @@ def rel_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@register(
+    "rel_gini_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM rev
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(SUM(i * cents) AS BIGINT) AS weighted
+        FROM ranked
+    )
+    SELECT n,
+           CAST(total AS DOUBLE) / 100.0 AS total_revenue,
+           (2.0 * weighted - (n + 1.0) * total) / (n * CAST(total AS DOUBLE))
+               AS gini
+    FROM s
+    """,
+)
+def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality complement to the Pareto curve
+    (:func:`rel_pareto_customers`): 0 = every customer spends alike,
+    →1 = one whale carries the book.
+
+    Exact-rank formula G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x) over
+    integer cents: both Σ terms are exact bigints (associative, any
+    partitioning), so the whole statistic is ONE double expression
+    over exact operands — bit-identical cross-engine, ties broken by
+    customer key. The rank window sorts the customer-level aggregate
+    (same honest global-sort cost and same banded-cumsum scale-out
+    note as the Pareto curve).
+    """
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = rev.select("cents", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("weighted"),
+    )
+    return s.select(
+        "n",
+        (F.col("total").cast("double") / 100.0).alias("total_revenue"),
+        (
+            (2.0 * F.col("weighted") - (F.col("n") + 1.0) * F.col("total"))
+            / (F.col("n") * F.col("total").cast("double"))
+        ).alias("gini"),
+    )
