@@ -1313,3 +1313,73 @@ def sim_ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn2") <= RERANK_TOP_K)
         .drop("rn2")
     )
+
+
+@register(
+    "sim_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sigs AS (
+        {_DUCK_TABLE_SIGS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a
+        JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE {_duck_cos('ea.v', 'eb.v')} >= {COS_DUP_THRESHOLD}
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e2.dst AS v, r.label
+        FROM reach r JOIN edges e2 ON e2.src = r.v
+    ),
+    comp AS (SELECT v, MIN(label) AS component FROM reach GROUP BY v),
+    csizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_vecs
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTER-SIZE distribution: the vector-side
+    twin of ``dedup_cluster_sizes`` — hyperplane-LSH cosine pairs
+    (:func:`dedup_embedding_cosine`) resolved into transitive clusters
+    by connected components, then histogrammed. This is the diagnostic
+    that separates "pairwise near-dups" from "one giant semantic
+    template cluster" before an embedding-level dedup sweep commits to
+    drop decisions.
+
+    Reuses the pair plan verbatim (same bucketed candidates, AQE-gated
+    verify) and the shared iterative-CC operator (per-round
+    localCheckpoint, star fallback); both downstream aggregates are
+    cluster-count-sized. The oracle chains the SAME pair CTEs into the
+    SAME recursive min-label fixpoint the text-side CC oracles use, so
+    neither pair semantics nor clustering can drift between surfaces.
+    """
+    from spark_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    sizes = labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_vecs"),
+    )

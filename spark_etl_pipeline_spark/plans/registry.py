@@ -270,6 +270,7 @@ _EMIT_LAST = (
     "docs_cap_per_source",
     "events_cumulative_reach",
     "rel_gini_revenue",
+    "sim_embedding_clusters",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
