@@ -1077,3 +1077,76 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_common
+        FROM tu a JOIN tu b
+          ON b.user_id = a.user_id AND b.event_type > a.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    exact user-set intersection and Jaccard similarity — the "do my
+    purchasers also browse?" cross-segment view that sizes funnels,
+    lookalike seeds, and cannibalization questions.
+
+    Shape: one distinct pass to (type, user) incidence, then a
+    self-join CO-PARTITIONED ON user_id — per-user work is bounded by
+    |types|² (a constant), so the join output is at most
+    |users|·|types|²/2 rows feeding a |types|²-key aggregate; per-type
+    sizes join onto the tiny pair table. Jaccard is one IEEE division
+    of exact integers. Never materializes per-type user sets (a
+    collect_set would put whole audiences in single rows).
+    """
+    events = table(spark, sf_dir, "events")
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.event_type") > F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

@@ -271,6 +271,7 @@ _EMIT_LAST = (
     "events_cumulative_reach",
     "rel_gini_revenue",
     "sim_embedding_clusters",
+    "events_audience_overlap",
     "events_gap_fill_lerp",
     "events_incremental_rollup",
     "dedup_cluster_sizes",
