@@ -457,3 +457,101 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return fd.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS reachability (recall blast-radius)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 3
+BFS_SEED_BRAND = "Brand#11"
+
+
+def _bfs_levels_sql() -> str:
+    rounds = ",\n    ".join(
+        f"r{k} AS (SELECT DISTINCT ed.dst AS node "
+        f"FROM ed JOIN r{k - 1} ON ed.src = r{k - 1}.node)"
+        for k in range(1, BFS_HOPS + 1)
+    )
+    levels = "\n        UNION ALL ".join(
+        f"SELECT node, {k} AS d FROM r{k}" for k in range(BFS_HOPS + 1)
+    )
+    return f"{rounds},\n    lv AS ({levels})"
+
+
+_REACHABILITY_ORACLE = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON y.ok = x.ok AND y.pk > x.pk
+    ),
+    ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+    r0 AS (
+        SELECT p_partkey AS node FROM part WHERE p_brand = '{BFS_SEED_BRAND}'
+    ),
+    {_bfs_levels_sql()},
+    dist AS (SELECT node, MIN(d) AS hop FROM lv GROUP BY node)
+    SELECT CAST(hop AS INTEGER) AS hop,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS retail_cents
+    FROM dist JOIN part p ON p.p_partkey = dist.node
+    GROUP BY hop
+    """
+
+
+@register("graph_reachability", oracle=_REACHABILITY_ORACLE)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall blast-radius: min-hop BFS distance from every part of a
+    recalled brand ({BFS_SEED_BRAND}) through the co-purchase graph,
+    bounded at {BFS_HOPS} hops — "how much of the catalog is within N
+    degrees of the recall" is the standard contamination / exposure
+    question, summarized as (hop, n_parts, exact-cents retail value).
+
+    Frontier-expansion BFS, unrolled: frontier_k = distinct neighbors
+    of frontier_{{k-1}} via one join against the materialized
+    bidirectional edge list; distance = MIN(k) over the stacked
+    (node, k) levels — a node at true distance d provably first
+    appears in frontier_d (its distance-(d-1) neighbor is in the
+    previous frontier), so the min IS the BFS distance, with no
+    visited-set state to synchronize. Each round is one hash join
+    (shuffle on node key) + distinct; the frontier table is node-scale,
+    never edge-scale. At deeper horizons each frontier would be
+    ``localCheckpoint``-ed like connected components; {BFS_HOPS}
+    unrolled rounds keep lineage trivially bounded. Everything output
+    is exact-integer (counts, cents), so the oracle hash-matches with
+    zero float tolerance.
+
+    No reference twin — extension surface (the reference has no graph
+    operators); follows the same unrolled message-passing shape as
+    :func:`graph_pagerank_suppliers`.
+    """
+    part = table(spark, sf_dir, "part")
+    edges = copurchase_edges(spark, sf_dir)
+    ed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    frontier = part.filter(F.col("p_brand") == BFS_SEED_BRAND).select(
+        F.col("p_partkey").alias("node")
+    )
+    levels = frontier.select("node", F.lit(0).alias("d"))
+    for k in range(1, BFS_HOPS + 1):
+        frontier = (
+            ed.join(frontier, ed["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels = levels.unionByName(frontier.select("node", F.lit(k).alias("d")))
+    dist = levels.groupBy("node").agg(F.min("d").alias("hop"))
+    return (
+        dist.join(part, part["p_partkey"] == dist["node"])
+        .groupBy(F.col("hop").cast("int").alias("hop"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.expr("cast(round(p_retailprice * 100) as bigint)")).alias(
+                "retail_cents"
+            ),
+        )
+    )

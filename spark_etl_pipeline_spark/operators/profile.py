@@ -260,3 +260,90 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence profile (categorical association audit)
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+    WITH cells AS (
+        SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+        FROM events GROUP BY event_type, isodow(ts)
+    ),
+    rt AS (SELECT event_type, SUM(o) AS rtot FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS ctot FROM cells GROUP BY dow),
+    g  AS (SELECT SUM(o) AS gtot FROM cells),
+    contrib AS (
+        SELECT c.event_type,
+               c.o,
+               CAST(round(
+                   power(CAST(c.o AS DOUBLE)
+                         - CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)
+                           / CAST(g.gtot AS DOUBLE), 2)
+                   / (CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)
+                      / CAST(g.gtot AS DOUBLE))
+                   * 1000000) AS BIGINT) AS chi2_micro
+        FROM cells c
+        JOIN rt ON rt.event_type = c.event_type
+        JOIN ct ON ct.dow = c.dow
+        CROSS JOIN g
+    )
+    SELECT event_type,
+           CAST(SUM(o) AS BIGINT) AS n,
+           CAST(SUM(chi2_micro) AS BIGINT) AS chi2_micro
+    FROM contrib GROUP BY event_type
+    """
+
+
+@register("events_chi2_independence", oracle=_CHI2_ORACLE)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between event type and ISO
+    weekday — the drift/association audit a profiling pass runs to
+    answer "does event mix depend on day of week, and which event type
+    drives it?". Output: per-type row count and that type's summed
+    chi-squared contribution.
+
+    Determinism discipline (the ``rel_corr_stats`` pattern): the
+    contingency table is EXACT integer counts from one map-side-
+    combinable aggregate (collapses to |types|x7 cells regardless of
+    input volume); expected counts and per-cell (o-e)^2/e are then
+    evaluated in double on identical exact-integer operands — written
+    as the SAME expression tree in both engines — and each cell's
+    contribution is rounded to integer micro-units BEFORE the final
+    sum, so the cross-cell sum is associative integer addition, never
+    order-dependent float accumulation. Row/column totals and the
+    grand total join back onto the cell table as broadcasts
+    (cell table is tiny by construction; at 100 TB only the first
+    aggregate sees data-scale rows).
+    """
+    events = table(spark, sf_dir, "events")
+    cells = (
+        events.select(
+            "event_type", F.expr("weekday(ts) + 1").alias("dow")  # ISO: Mon=1
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rtot"))
+    ct = cells.groupBy("dow").agg(F.sum("o").alias("ctot"))
+    g = cells.agg(F.sum("o").alias("gtot"))
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "o",
+            F.expr(
+                "cast(round(power(cast(o as double) - cast(rtot as double) * "
+                "cast(ctot as double) / cast(gtot as double), 2) / "
+                "(cast(rtot as double) * cast(ctot as double) / "
+                "cast(gtot as double)) * 1000000) as bigint)"
+            ).alias("chi2_micro"),
+        )
+    )
+    return contrib.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.sum("chi2_micro").cast("bigint").alias("chi2_micro"),
+    )

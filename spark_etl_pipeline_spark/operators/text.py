@@ -905,3 +905,124 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_TERMS)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (docs_bm25_topk)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "window", "merge", "stream")
+BM25_K1 = "1.2"  # SQL literal: both engines parse to the identical double
+BM25_B = "0.75"
+BM25_TOP_DOCS = 15
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+#: Per-(doc,term) BM25 partial in integer micro-units. The whole score
+#: expression is ONE shared SQL string evaluated by both engines on
+#: identical exact-integer operands (tf, dl, doc_freq, n_docs, sum_dl) —
+#: identical parse tree, identical IEEE-754 ops, identical rounding.
+#: idf is the log-free Robertson form (N - df + 0.5)/(df + 0.5): strictly
+#: monotone in df like the ln() form, so rankings are identical, but free
+#: of cross-libm ln() ulp skew (same trade documented at docs_tfidf_topk).
+_BM25_MICRO = f"""cast(round(
+    ((cast(n_docs as double) - cast(doc_freq as double) + 0.5)
+     / (cast(doc_freq as double) + 0.5))
+    * (cast(tf as double) * ({BM25_K1} + 1.0))
+      / (cast(tf as double)
+         + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * (cast(dl as double)
+                                      / (cast(sum_dl as double)
+                                         / cast(n_docs as double)))))
+    * 1000000) as bigint)"""
+
+
+@register(
+    "docs_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS sum_dl
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        WHERE w IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(*) AS doc_freq FROM tf GROUP BY w),
+    scored AS (
+        SELECT tf.doc_id,
+               {_BM25_MICRO} AS micro
+        FROM tf
+        JOIN df ON df.w = tf.w
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(micro) AS BIGINT) AS score_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {BM25_TOP_DOCS}
+    """,
+)
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-{K} documents for a fixed query-term
+    set — the lexical half of every retrieval / RAG-corpus pipeline
+    (Robertson-Sparck Jones BM25 with k1={K1}, b={B}; log-free idf, see
+    the score constant's comment).
+
+    Determinism: every input to the float score is an exact integer
+    (tf, doc length, df, N, Σdl) reduced by associative integer
+    aggregates; the score itself is one shared SQL expression string
+    rounded to micro-units per (doc, term) BEFORE the per-doc sum, so
+    cross-term accumulation is integer addition — bit-identical on any
+    partitioning.
+
+    Scale shape: tokens are filtered to the query vocabulary INSIDE the
+    per-row array (higher-order ``filter``) before the explode, so the
+    exploded relation is |matches|, not |corpus tokens|; df comes off
+    the tf table (term-keyed, vocabulary-sized, broadcast); doc length
+    joins on doc_id (co-partitioned with tf); the corpus-wide (N, Σdl)
+    scalar crosses in as a broadcast single row. Final top-K is
+    orderBy+limit → TakeOrderedAndProject, never a global sort.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    terms_arr = "array(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("tokens")).alias("sum_dl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"filter(tokens, t -> array_contains({terms_arr}, t))")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_MICRO).alias("micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(BM25_TOP_DOCS)
+    )

@@ -1698,3 +1698,80 @@ def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= SOURCE_CAP)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure delete propagation (compliance audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_delete_propagation",
+    oracle="""
+    WITH last AS (
+        SELECT user_id, event_type
+        FROM (SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    ),
+    tomb AS (SELECT user_id FROM last WHERE event_type = 'error')
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_deleted,
+           CAST(COUNT(*) - SUM(CASE WHEN t.user_id IS NOT NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS rows_after,
+           CAST(COUNT(DISTINCT CASE WHEN t.user_id IS NOT NULL
+                                    THEN e.user_id END) AS BIGINT)
+               AS users_deleted
+    FROM events e LEFT JOIN tomb t ON t.user_id = e.user_id
+    GROUP BY e.event_type
+    """,
+)
+def events_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure propagation audit: users whose LATEST event is
+    an ``error`` (the stand-in deletion-request signal) are tombstoned,
+    every one of their events is purged from the fact table, and the
+    audit reports per event type how many rows the purge removes —
+    the before/after evidence a GDPR/CCPA deletion job has to emit.
+
+    The tombstone list is derived with ``max_by(event_type,
+    struct(ts, event_id))`` — ONE map-side-combinable aggregate per
+    user (associative argmax on the unique (ts, event_id) total order:
+    deterministic, no per-user window sort). Propagation is a single
+    scan of the fact table LEFT-joined against the tombstone list —
+    user-count-bounded, exactly the "broadcast the delete list" shape a
+    100 TB purge wants (AQE picks broadcast vs shuffle-hash by its
+    actual size; deleted and surviving rows are counted from the same
+    flagged scan rather than two anti-/semi-join passes). In a real
+    deployment the surviving rows stream straight to the rewritten
+    partitions; here the audit IS the output so the oracle can
+    hash-verify both sides of the ledger.
+    """
+    ev = table(spark, sf_dir, "events")
+    tomb = (
+        ev.groupBy("user_id")
+        .agg(F.expr("max_by(event_type, struct(ts, event_id))").alias("last_type"))
+        .filter(F.col("last_type") == "error")
+        .select("user_id", F.lit(1).alias("__del"))
+    )
+    flagged = ev.join(tomb, "user_id", "left")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+        F.sum(F.when(F.col("__del").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_deleted"),
+        (
+            F.count(F.lit(1))
+            - F.sum(F.when(F.col("__del").isNotNull(), 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("rows_after"),
+        F.countDistinct(
+            F.when(F.col("__del").isNotNull(), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("users_deleted"),
+    )

@@ -250,6 +250,12 @@ _EMIT_LAST = (
     # jaccard-refactor queries deferred behind their in-window
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
+    # --- fourth wave (newest round-6 code, leads everything) ---
+    "graph_reachability",
+    "docs_bm25_topk",
+    "events_chi2_independence",
+    "events_delete_propagation",
+    # --- third wave ---
     "graph_triangles",
     "docs_dedup_passages",
     "dq_audit",
