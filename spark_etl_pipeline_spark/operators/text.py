@@ -1026,3 +1026,97 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(BM25_TOP_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source domain-shift score (total-variation distance from corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_source_divergence",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({TOKENS_DUCK}) AS w FROM documents
+    ),
+    cells AS (
+        SELECT source, w, COUNT(*) AS tf FROM toks GROUP BY source, w
+    ),
+    ns AS (SELECT source, SUM(tf) AS n_s FROM cells GROUP BY source),
+    ct AS (SELECT w, SUM(tf) AS tf_c FROM cells GROUP BY w),
+    nc AS (SELECT SUM(tf) AS n_c FROM cells),
+    terms AS (
+        SELECT c.source,
+               CAST(round(abs(CAST(c.tf AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
+                              - CAST(ct.tf_c AS DOUBLE)
+                                / CAST(nc.n_c AS DOUBLE))
+                          * 1000000) AS BIGINT) AS d_micro,
+               CAST(round(CAST(ct.tf_c AS DOUBLE) / CAST(nc.n_c AS DOUBLE)
+                          * 1000000) AS BIGINT) AS q_micro
+        FROM cells c
+        JOIN ns ON ns.source = c.source
+        JOIN ct ON ct.w = c.w
+        CROSS JOIN nc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(SUM(d_micro) + 1000000 - SUM(q_micro) AS DOUBLE)
+               / 2000000.0 AS tv_distance
+    FROM terms GROUP BY source
+    """,
+)
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift score per source: total-variation distance between
+    each source's token distribution and the corpus-wide distribution —
+    the "which sources are unlike the rest" ranking a mixture designer
+    uses to weight (or quarantine) domains before training. TV is the
+    log-free divergence (0.5·Σ|p−q|), chosen over KL for the same
+    cross-libm-ulp reason as ``text_pmi_bigrams``.
+
+    Tokens ABSENT from a source still contribute |0−q| = q; rather than
+    materializing the source×vocab dense grid, the identity
+    Σ_all |p−q| = Σ_present |p−q| + (1 − Σ_present q) folds the absent
+    mass into two sums over PRESENT cells only — the sparse relation
+    that already exists. Per-cell doubles are rounded to micro-units
+    before the per-source sum (associative integer addition), and the
+    final halving is one identical double division.
+
+    Scale shape: one explode → (source, token) aggregate with map-side
+    combine; corpus token totals are a token-keyed aggregate of the
+    SAME cell table (never a second corpus scan) joined back on token —
+    co-partitioned, AQE-broadcastable while vocabularies are small; the
+    per-source and grand totals are broadcast scalars.
+    """
+    docs = with_tokens(table(spark, sf_dir, "documents"))
+    cells = (
+        docs.select("source", F.explode("tokens").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ns = cells.groupBy("source").agg(F.sum("tf").alias("n_s"))
+    ct = cells.groupBy("w").agg(F.sum("tf").alias("tf_c"))
+    nc = cells.agg(F.sum("tf").alias("n_c"))
+    terms = (
+        cells.join(F.broadcast(ns), "source")
+        .join(ct, "w")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "source",
+            F.expr(
+                "cast(round(abs(cast(tf as double) / cast(n_s as double) - "
+                "cast(tf_c as double) / cast(n_c as double)) * 1000000) "
+                "as bigint)"
+            ).alias("d_micro"),
+            F.expr(
+                "cast(round(cast(tf_c as double) / cast(n_c as double) "
+                "* 1000000) as bigint)"
+            ).alias("q_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        (
+            (F.sum("d_micro") + 1000000 - F.sum("q_micro")).cast("double")
+            / 2000000.0
+        ).alias("tv_distance"),
+    )

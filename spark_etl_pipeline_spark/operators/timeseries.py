@@ -1150,3 +1150,90 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD-robust outlier audit (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+MAD_K = "3.0"  # flag beyond k·MAD — shared SQL literal, identical double
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, {_CENTS} AS cents FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM base GROUP BY event_type
+    ),
+    dev AS (
+        SELECT b.event_type, b.cents, abs(CAST(b.cents AS DOUBLE) - m.med) AS ad
+        FROM base b JOIN med m ON m.event_type = b.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.ad > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           m.mad / 100.0 AS mad_value
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.mad
+    """,
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit: per event type, how many values sit more
+    than {MAD_K}x the median absolute deviation from the median — the
+    heavy-tail-safe complement to the z-score detectors
+    (``events_zscore``, ``events_anomaly_rolling``), whose mean/stddev
+    are themselves dragged by the very outliers they hunt.
+
+    Exactness: values are exact cents; Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the sort-and-interpolate definition
+    (bit-identical on doubles — same pairing as ``rel_percentiles``),
+    midpoints of integer cents are exactly representable, and the
+    deviation/threshold comparisons are identical-operand double ops.
+
+    Shape: medians force a per-group sort, and MAD is inherently TWO
+    dependent passes (median of deviations needs the median first) —
+    so the plan is two group-sorted aggregates plus one counting
+    aggregate, with the |types|-row median/MAD tables broadcast back
+    onto the stream. At 100 TB the same plan runs with
+    ``approx_percentile`` (t-digest, map-side combinable, single pass
+    per stage) — kept exact here so the oracle can hash-check it.
+    """
+    events = table(spark, sf_dir, "events")
+    base = events.select("event_type", F.expr(_CENTS).alias("cents"))
+    med = base.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("ad") > F.expr(f"{MAD_K} * mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            (F.col("mad") / 100.0).alias("mad_value"),
+        )
+    )

@@ -251,6 +251,8 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "events_mad_outliers",
+    "docs_source_divergence",
     "graph_reachability",
     "docs_bm25_topk",
     "events_chi2_independence",
