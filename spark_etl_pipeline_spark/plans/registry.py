@@ -251,6 +251,8 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "rel_recursive_month_spine",
+    "rel_variant_props",
     "events_mad_outliers",
     "docs_source_divergence",
     "graph_reachability",

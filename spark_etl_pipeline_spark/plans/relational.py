@@ -2858,3 +2858,126 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("total").cast("double"))
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE spine AS (
+        SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+        FROM orders
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE m < mx
+    ),
+    monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.m, '%Y-%m') AS month,
+           CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(mo.cents, 0) AS DOUBLE) / 100.0 AS revenue,
+           CAST(SUM(COALESCE(mo.cents, 0))
+                    OVER (ORDER BY s.m) AS DOUBLE) / 100.0
+               AS cumulative_revenue
+    FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+    """,
+)
+def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free monthly revenue on a NATIVELY RECURSIVE month spine
+    (Spark 4 ``WITH RECURSIVE``): the anchor row carries (first month,
+    last month), each recursion step advances one month until the
+    bound — so empty months appear as genuine zero rows and the running
+    total is continuous. Same business answer as the
+    ``sequence()``-generated ``rel_calendar_spine``, deliberately built
+    through the OTHER front door: the recursive-CTE engine surface the
+    reference era (Spark 2.4) lacked, exercised end to end against
+    DuckDB's recursive CTE.
+
+    Scale: recursion depth = number of months (engine-bounded by
+    ``spark.sql.cteRecursionLevelLimit``, default 100 — fine for any
+    sane calendar span; a multi-century spine belongs to sequence()).
+    The spine is rows-per-month tiny; monthly revenue is one map-side-
+    combinable cents aggregate; the join is spine-sized and the
+    cumulative window orders months only.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_rec_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine AS (
+            SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m,
+                   CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+            FROM v_rec_orders
+            UNION ALL
+            SELECT add_months(m, 1), mx FROM spine WHERE m < mx
+        ),
+        monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM v_rec_orders GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(mo.cents, 0) AS DOUBLE) / 100.0 AS revenue,
+               CAST(SUM(COALESCE(mo.cents, 0))
+                        OVER (ORDER BY s.m) AS DOUBLE) / 100.0
+                   AS cumulative_revenue
+        FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured extraction (Spark 4 open variant type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+                                    AS INTEGER)) AS BIGINT) AS n_distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def rel_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property aggregation through Spark 4's VARIANT
+    type: ``parse_json`` once into the binary variant encoding, then
+    typed ``variant_get`` extraction — the schema-on-read path for
+    payloads whose shape isn't known at write time, superseding the
+    string-re-parse-per-access ``get_json_object`` pattern the
+    reference pipeline used (reference `jobs/etl_jobs.py:61-67`'s
+    json_tuple cascade). Shredding happens ONCE per row at scan time;
+    every downstream access is a binary field lookup, not a JSON parse.
+
+    The oracle reaches the same numbers through DuckDB's JSON
+    extraction, pinning that the variant path is semantically plain
+    JSON access. One map-side-combinable aggregate; the variant column
+    never shuffles (extraction projects it away before the exchange).
+    """
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        )
+    )
