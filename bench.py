@@ -56,6 +56,10 @@ HEADLINE = [
     "events_sessionize",
     "events_gap_fill",
     "text_pmi_bigrams",
+    # round-6 third leg: graph BFS + lexical retrieval + domain shift
+    "graph_reachability",
+    "docs_bm25_topk",
+    "docs_source_divergence",
 ]
 
 

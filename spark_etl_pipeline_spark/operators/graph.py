@@ -510,19 +510,26 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees of the recall" is the standard contamination / exposure
     question, summarized as (hop, n_parts, exact-cents retail value).
 
-    Frontier-expansion BFS, unrolled: frontier_k = distinct neighbors
-    of frontier_{{k-1}} via one join against the materialized
-    bidirectional edge list; distance = MIN(k) over the stacked
-    (node, k) levels — a node at true distance d provably first
-    appears in frontier_d (its distance-(d-1) neighbor is in the
-    previous frontier), so the min IS the BFS distance, with no
-    visited-set state to synchronize. Each round is one hash join
-    (shuffle on node key) + distinct; the frontier table is node-scale,
-    never edge-scale. At deeper horizons each frontier would be
-    ``localCheckpoint``-ed like connected components; {BFS_HOPS}
-    unrolled rounds keep lineage trivially bounded. Everything output
-    is exact-integer (counts, cents), so the oracle hash-matches with
-    zero float tolerance.
+    Frontier-expansion BFS with a SHRINKING frontier, unrolled:
+    frontier_k = distinct neighbors of frontier_{{k-1}} ANTI-joined
+    against the visited set — a node's FIRST appearance is at its true
+    BFS distance (its distance-(k-1) neighbor is in the previous
+    frontier), and pruning re-visits changes nothing about first
+    appearances, so stacking the per-round frontiers with their round
+    number IS the distance map, no MIN aggregate needed. The pruning is
+    what makes the plan scale: on a dense graph the naive cumulative
+    frontier goes catalog-sized after one hop and rounds 2..H each pay
+    a full edge-table join; the anti-join keeps later rounds
+    proportional to the NEW nodes only. (At sf0.1 both forms measure
+    ~3.6s in a same-session A/B — the shared co-purchase edge
+    derivation dominates — the pruning is the asymptotic insurance for
+    deeper horizons and denser graphs, not a bench win here.) Each
+    round is one hash join + distinct + node-scale
+    anti-join; frontiers are ``localCheckpoint``-ed per round (the
+    visited set is reused by two consumers per round — same bounded-
+    lineage discipline as connected components). Everything output is
+    exact-integer (counts, cents), so the oracle hash-matches with zero
+    float tolerance.
 
     No reference twin — extension surface (the reference has no graph
     operators); follows the same unrolled message-passing shape as
@@ -533,18 +540,23 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    frontier = part.filter(F.col("p_brand") == BFS_SEED_BRAND).select(
-        F.col("p_partkey").alias("node")
+    frontier = (
+        part.filter(F.col("p_brand") == BFS_SEED_BRAND)
+        .select(F.col("p_partkey").alias("node"))
+        .localCheckpoint(eager=True)
     )
-    levels = frontier.select("node", F.lit(0).alias("d"))
+    seen = frontier
+    dist = frontier.select("node", F.lit(0).alias("hop"))
     for k in range(1, BFS_HOPS + 1):
         frontier = (
             ed.join(frontier, ed["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
+            .join(seen, "node", "left_anti")
+            .localCheckpoint(eager=True)
         )
-        levels = levels.unionByName(frontier.select("node", F.lit(k).alias("d")))
-    dist = levels.groupBy("node").agg(F.min("d").alias("hop"))
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        dist = dist.unionByName(frontier.select("node", F.lit(k).alias("hop")))
     return (
         dist.join(part, part["p_partkey"] == dist["node"])
         .groupBy(F.col("hop").cast("int").alias("hop"))
