@@ -57,6 +57,14 @@ HEADLINE = [
     "events_seasonality",
     "rel_pareto_customers",
     "docs_cap_per_source",
+    "graph_reachability",
+    "docs_bm25_topk",
+    "docs_source_divergence",
+    "events_mad_outliers",
+    "events_chi2_independence",
+    "events_delete_propagation",
+    "rel_recursive_month_spine",
+    "rel_variant_props",
 ]
 
 _NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$")
