@@ -162,6 +162,7 @@ def load_all() -> None:
         traindata,
     )
     from spark_etl_pipeline_spark.plans import etl, relational  # noqa: F401
+    from spark_etl_pipeline_spark.sources import pysource  # noqa: F401
     from spark_etl_pipeline_spark.streaming import incremental, windows  # noqa: F401
 
 
@@ -251,6 +252,7 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "src_python_datasource",
     "rel_recursive_month_spine",
     "rel_variant_props",
     "events_mad_outliers",

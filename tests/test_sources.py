@@ -422,3 +422,35 @@ def test_json_quarantine_routes_malformed_rows(spark, tmp_path):
     assert {r.id for r in clean.collect()} == {1, 4}
     bad = sorted(r._corrupt for r in quarantine.collect())
     assert bad == sorted(["{not json at all", '{"id": 3, "qty": "notanumber"}'])
+
+
+def test_python_datasource_partition_plan(spark):
+    # partitions() must drive real split parallelism: 8 declared
+    # InputPartitions -> 8 scan tasks, and the union of ranges must
+    # reconstruct the full id space exactly (no loss, no duplication).
+    from spark_etl_pipeline_spark.sources.pysource import (
+        SYNTH_PARTS,
+        SYNTH_ROWS,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", SYNTH_ROWS)
+        .option("parts", SYNTH_PARTS)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == SYNTH_PARTS
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("id").alias("d"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    ).collect()[0]
+    assert (row["n"], row["d"], row["lo"], row["hi"]) == (
+        SYNTH_ROWS,
+        SYNTH_ROWS,
+        0,
+        SYNTH_ROWS - 1,
+    )
