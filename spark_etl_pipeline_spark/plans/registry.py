@@ -252,6 +252,7 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "stream_pysource_drain",
     "src_python_datasource",
     "rel_recursive_month_spine",
     "rel_variant_props",

@@ -23,7 +23,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from spark_etl_pipeline_spark.plans.registry import register
 
@@ -120,3 +125,124 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("bigint").alias("first_id"),
         F.max("id").cast("bigint").alias("last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming read path (SimpleDataSourceStreamReader) + exactly-once drain
+# ---------------------------------------------------------------------------
+
+STREAM_ROWS = 600
+STREAM_BATCH = 250
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-paged micro-batch reader over the same deterministic
+    generator: each trigger advances ``pos`` by ``batch`` rows; the
+    engine checkpoints the offset, so a restarted query resumes at the
+    committed position — the contract every offset-based connector
+    (queue consumers, CDC cursors, paginated APIs) must honor."""
+
+    def __init__(self, options: dict):
+        self.batch = int(options.get("batch", STREAM_BATCH))
+        self.limit = int(options.get("limit", STREAM_ROWS))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        # A LIST, not a generator: the engine pickles the prefetched
+        # rows alongside the offset when planning the micro-batch.
+        return [
+            (
+                i,
+                i % SYNTH_BUCKETS,
+                int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+                % SYNTH_MOD,
+            )
+            for i in range(start, end)
+        ]
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.limit)
+        # iter(list): the engine's prefetch cache requires an iterator
+        # over materialized rows (a bare list fails next(); a bare
+        # generator fails pickling).
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+def _stream_reader(self, schema) -> SyntheticEventsStreamReader:
+    return SyntheticEventsStreamReader(self.options)
+
+
+SyntheticEventsSource.simpleStreamReader = _stream_reader
+
+
+@register(
+    "stream_pysource_drain",
+    oracle=f"""
+    WITH gen AS (
+        SELECT i AS id,
+               i % {SYNTH_BUCKETS} AS bucket,
+               CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 6))
+                    AS BIGINT) % {SYNTH_MOD} AS cents
+        FROM generate_series(0, {STREAM_ROWS - 1}) t(i)
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM gen GROUP BY bucket
+    """,
+)
+def stream_pysource_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL micro-batch drive of the custom Python STREAMING source:
+    the offset-paged generator is drained through
+    ``readStream → parquet sink`` across MULTIPLE ``availableNow``
+    restarts sharing one checkpoint — each restart resumes from the
+    committed offset, and the final per-bucket aggregate hash-matching
+    the oracle proves the connector+checkpoint contract delivers every
+    row exactly once across restarts (a duplicated or dropped
+    micro-batch would shift counts and cent sums). One extra restart
+    past exhaustion pins that a fully-consumed source is a no-op. The
+    sink parquet is re-read and eagerly materialized before the temp
+    dirs are removed (``sf_dir`` unused — the source IS the data).
+    """
+    import math
+    import shutil
+    import tempfile
+
+    register_python_sources(spark)
+    tmp = tempfile.mkdtemp(prefix="pystream_drain_")
+    out, ck = f"{tmp}/out", f"{tmp}/ck"
+    try:
+        for _ in range(math.ceil(STREAM_ROWS / STREAM_BATCH) + 1):
+            q = (
+                spark.readStream.format("synthetic_events")
+                .option("batch", STREAM_BATCH)
+                .option("limit", STREAM_ROWS)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+            finally:
+                q.stop()
+        drained = (
+            spark.read.parquet(out)
+            .groupBy(F.col("bucket").cast("int").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return drained

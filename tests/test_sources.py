@@ -454,3 +454,37 @@ def test_python_datasource_partition_plan(spark):
         0,
         SYNTH_ROWS - 1,
     )
+
+
+def test_python_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    # Each availableNow restart must consume exactly one `batch` page
+    # from the committed offset: sink row count goes 250 -> 500 -> 600
+    # -> 600 (exhausted source is a no-op, never a re-read).
+    from spark_etl_pipeline_spark.sources.pysource import (
+        STREAM_BATCH,
+        STREAM_ROWS,
+        register_python_sources,
+    )
+
+    register_python_sources(spark)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    expected = [
+        min((r + 1) * STREAM_BATCH, STREAM_ROWS) for r in range(3)
+    ] + [STREAM_ROWS]
+    for want in expected:
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("batch", STREAM_BATCH)
+            .option("limit", STREAM_ROWS)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+        assert spark.read.parquet(out).count() == want
