@@ -1120,3 +1120,68 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2000000.0
         ).alias("tv_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF chunker (Spark 4 user-defined table function)
+# ---------------------------------------------------------------------------
+
+UDTF_CHUNK = 32
+
+
+@register(
+    "text_chunks_udtf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(ceil(len(t) / {UDTF_CHUNK}.0) AS INTEGER) - 1))
+                   AS chunk_idx,
+               t
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(least(len(t) - chunk_idx * {UDTF_CHUNK}, {UDTF_CHUNK})
+                AS INTEGER) AS n_tokens,
+           t[chunk_idx * {UDTF_CHUNK} + 1] AS first_token
+    FROM chunks
+    """,
+)
+def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping document chunking through a PYTHON UDTF (Spark
+    4 user-defined table function), applied per row with ``LATERAL`` —
+    the 1→N surface for Python logic that genuinely needs imperative
+    control flow (real uses: sentence segmenters, tokenizer-aware
+    splitters). Declared ``useArrow=True`` so rows batch through Arrow
+    rather than pickling one at a time — the same discipline as the
+    ``mapInPandas`` operators; and unlike them, the UDTF composes
+    directly in SQL. The chunk spec (fixed {UDTF_CHUNK}-token blocks,
+    no overlap) is deliberately SQL-replicable so the oracle verifies
+    the whole Python 1→N path row-for-row — the sliding-window JVM twin
+    is ``text_chunking``.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, first_token string",
+          useArrow=True)
+    class _Chunks:
+        def eval(self, text: str, size: int):
+            toks = (text or "").strip()
+            if not toks:
+                return
+            parts = __import__("re").split(r"\s+", toks)
+            for i in range(0, len(parts), size):
+                yield i // size, min(size, len(parts) - i), parts[i]
+
+    spark.udtf.register("engine_chunks_udtf", _Chunks)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("v_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_token
+        FROM v_udtf_docs d, LATERAL engine_chunks_udtf(d.text, {UDTF_CHUNK}) c
+        """
+    )

@@ -252,6 +252,8 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "rel_lateral_topn",
+    "text_chunks_udtf",
     "stream_pysource_drain",
     "src_python_datasource",
     "rel_recursive_month_spine",

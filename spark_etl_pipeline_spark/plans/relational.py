@@ -2981,3 +2981,62 @@ def rel_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL top-N (per-group top-k via lateral subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.revenue
+    FROM nation n,
+    LATERAL (
+        SELECT c.c_name,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue,
+               c.c_custkey
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_name, c.c_custkey
+        ORDER BY SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC,
+                 c.c_custkey
+        LIMIT 2
+    ) t
+    """,
+)
+def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 revenue customers PER NATION through a correlated LATERAL
+    subquery — the SQL front door for per-group top-k (the DataFrame
+    twin is a rank window, e.g. ``docs_cap_per_source``). Registered
+    because LATERAL is the form analysts write and the decorrelation
+    is Catalyst's job: the optimizer rewrites the correlated aggregate
+    + LIMIT into a join + per-key ranking, so the executed plan never
+    re-runs the subquery per outer row (nation count × customer scan
+    would be the naive cost). Exact-cents revenue, c_custkey tiebreak —
+    deterministic top-2 on both engines.
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.revenue
+        FROM v_lat_nation n,
+        LATERAL (
+            SELECT c.c_name,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue,
+                   c.c_custkey
+            FROM v_lat_customer c
+            JOIN v_lat_orders o ON o.o_custkey = c.c_custkey
+            WHERE c.c_nationkey = n.n_nationkey
+            GROUP BY c.c_name, c.c_custkey
+            ORDER BY SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC,
+                     c.c_custkey
+            LIMIT 2
+        ) t
+        """
+    )
