@@ -1237,3 +1237,72 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mad") / 100.0).alias("mad_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU rolling active users (bounded-window explode)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_active_users",
+    oracle="""
+    WITH presence AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM presence)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT CASE WHEN p.day = s.day
+                                    THEN p.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN p.day >= s.day - 6
+                                    THEN p.user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS mau
+    FROM spine s
+    JOIN presence p ON p.day BETWEEN s.day - 29 AND s.day
+    GROUP BY s.day
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: per calendar day, distinct users active that
+    day, in the trailing 7 days, and in the trailing 30 — the
+    product-health dashboard triple.
+
+    Distinct-over-sliding-window has no map-side-combinable form, and a
+    range join (presence × spine on BETWEEN) plans as a nested-loop at
+    scale. Instead each (user, day) presence row EXPLODES to the ≤30
+    spine days it can influence (``sequence(day, day+29)`` — the
+    bounded-window-explode rewrite, same family as the cumulative-reach
+    first-appearance trick): the result is a plain equi-join-free hash
+    aggregate on the observation day, with conditional distincts
+    picking the 1-, 7-, and 30-day horizons out of ONE relation. Work
+    is |presence| × 30 — day-grain-bounded, independent of raw event
+    volume; the semi-join to the real spine drops phantom days past the
+    horizon.
+    """
+    events = table(spark, sf_dir, "events")
+    presence = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    spine = presence.select("day").distinct()
+    influenced = presence.select(
+        "user_id",
+        F.col("day").alias("p_day"),
+        F.explode(
+            F.expr("sequence(day, date_add(day, 29))")
+        ).alias("s_day"),
+    ).join(spine.withColumnRenamed("day", "s_day"), "s_day", "left_semi")
+    return influenced.groupBy(
+        F.date_format("s_day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.countDistinct(
+            F.when(F.col("p_day") == F.col("s_day"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct(
+            F.when(F.col("p_day") >= F.date_sub("s_day", 6), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("wau"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    )

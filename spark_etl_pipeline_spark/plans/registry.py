@@ -252,6 +252,8 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "events_active_users",
+    "rel_like_filter",
     "rel_lateral_topn",
     "text_chunks_udtf",
     "stream_pysource_drain",

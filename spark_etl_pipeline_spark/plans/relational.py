@@ -3040,3 +3040,48 @@ def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# LIKE / string-predicate pushdown
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_like_filter",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_retail
+    FROM part
+    WHERE p_name LIKE '%widget%' AND p_type LIKE 'ECO%'
+    GROUP BY p_brand
+    """,
+)
+def rel_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-pattern filtering: contains (``LIKE '%widget%'``) and
+    prefix (``LIKE 'ECO%'``) predicates — the filter family the
+    relational surface was missing an explicit row for. Both compile
+    to data-source-pushable filters (``StringContains`` /
+    ``StringStartsWith`` in the parquet scan's PushedFilters, gated in
+    ``tests/test_plan_quality.py``), so at 100 TB non-matching row
+    groups are skipped by footer statistics before any decompression.
+    One map-side-combinable cents aggregate after the scan.
+    """
+    part = table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").contains("widget")
+            & F.col("p_type").startswith("ECO")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                F.sum(F.expr("cast(round(p_retailprice * 100) as bigint)"))
+                .cast("double")
+                / 100.0
+            ).alias("total_retail"),
+        )
+    )

@@ -239,3 +239,11 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_like_filters_reach_the_scan(spark):
+    # contains + prefix predicates must appear in PushedFilters so
+    # parquet row-group stats can skip before decompression.
+    plan = plan_of(spark, "rel_like_filter")
+    assert "StringContains" in plan
+    assert "StringStartsWith" in plan
