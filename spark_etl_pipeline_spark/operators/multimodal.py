@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -524,3 +525,97 @@ def mm_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-sized, so AQE must pick the strategy (a forced broadcast
     # would collect the corpus to the driver at scale).
     return hashed.join(buckets, "phash").select("doc_id", "phash", "n_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Byte-impurity corruption probe (log-free entropy proxy)
+# ---------------------------------------------------------------------------
+
+IMPURITY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("distinct_bytes", LongType()),
+        StructField("impurity", DoubleType()),
+    ]
+)
+
+
+def payload_impurity(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched 1→1 byte-level Gini impurity: 1 − Σ (c_b/n)².
+
+    The corruption / padding / truncation probe of a multimodal ingest:
+    well-compressed media bytes look near-uniform (impurity → 1),
+    zero-padded or constant-filled payloads collapse toward 0 —
+    a one-pass screen before expensive decode. Gini impurity is the
+    LOG-FREE diversity measure (Shannon entropy's ln() is not
+    bit-portable across libms; the ranking is equivalent), computed
+    from EXACT integer byte counts with one double division on
+    identical operands — hash-comparable across engines.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                if n == 0:
+                    continue
+                counts = np.bincount(
+                    np.frombuffer(data, dtype=np.uint8), minlength=256
+                )
+                sumsq = int((counts.astype(np.int64) ** 2).sum())
+                nd = float(n)
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int((counts > 0).sum()),
+                        1.0 - (float(sumsq) / (nd * nd)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMPURITY_SCHEMA])
+
+    return payloads.mapInPandas(batches, IMPURITY_SCHEMA)
+
+
+@register(
+    "mm_payload_impurity",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    b AS (
+        SELECT doc_id, n, substr(hx, i * 2 + 1, 2) AS byte
+        FROM s, LATERAL unnest(generate_series(0, CAST(n AS INTEGER) - 1)) t(i)
+    ),
+    c AS (
+        SELECT doc_id, byte, any_value(n) AS n, COUNT(*) AS cnt
+        FROM b GROUP BY doc_id, byte
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
+           1.0 - (CAST(SUM(cnt * cnt) AS DOUBLE)
+                  / (CAST(any_value(n) AS DOUBLE)
+                     * CAST(any_value(n) AS DOUBLE))) AS impurity
+    FROM c GROUP BY doc_id
+    """,
+)
+def mm_payload_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-impurity screen over the payload corpus (see
+    :func:`payload_impurity`): Python computes only the per-row byte
+    histogram inside Arrow batches — no shuffle, no driver data; the
+    oracle replays the histogram byte-for-byte from the hex rendering
+    of the same payload bytes, so the whole mapInPandas path is
+    value-verified. At 100 TB this runs as a map-only pass colocated
+    with the payload scan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return payload_impurity(attach_payload(docs))
