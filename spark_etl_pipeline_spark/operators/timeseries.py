@@ -1306,3 +1306,72 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wau"),
         F.countDistinct("user_id").cast("bigint").alias("mau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (exact, bounded window frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(cents AS DOUBLE) / 100.0 AS day_value,
+           quantile_cont(CAST(cents AS DOUBLE), 0.5) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS rolling_median
+    FROM daily
+    """,
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-observation rolling MEDIAN of daily totals per event type —
+    the robust trend line operations dashboards overlay on spiky
+    series (a rolling mean follows every outlier; the rolling median
+    ignores them — the windowed complement to ``events_mad_outliers``).
+
+    Spark has no percentile-over-window, so the frame's values are
+    gathered with ``collect_list`` OVER the same 6-PRECEDING frame —
+    bounded at 7 elements by construction, never data-scale — then the
+    interpolated median is computed by a JVM expression over the
+    sorted array (midpoint of the two middle elements for even
+    counts, matching ``quantile_cont``'s definition on DuckDB's side).
+    All inputs are exact integer cents; the interpolation midpoint of
+    integers is exactly representable, so the window reduction is
+    hash-exact. One day-grain aggregate (map-side combinable), one
+    per-type window over |days| rows.
+    """
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list(F.col("cents").cast("double")).over(w))
+    med = F.expr(
+        "CASE WHEN size(__frame) % 2 = 1 "
+        "THEN element_at(__frame, cast(size(__frame) div 2 + 1 as int)) "
+        "ELSE (element_at(__frame, cast(size(__frame) div 2 as int)) "
+        "      + element_at(__frame, cast(size(__frame) div 2 + 1 as int))"
+        ") / 2.0 END"
+    )
+    return (
+        daily.withColumn("__frame", frame)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("cents").cast("double") / 100.0).alias("day_value"),
+            (med / 100.0).alias("rolling_median"),
+        )
+    )

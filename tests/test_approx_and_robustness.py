@@ -123,3 +123,28 @@ def test_int8_quantization_error_bound(spark):
         (F.col("max_err") > F.col("bound")) | (F.col("max_q") > QUANT_LEVELS)
     )
     assert bad.count() == 0
+
+
+def test_hll_sketch_merge_stays_in_error_bound(spark):
+    # The datasketches HLL surface must be MERGEABLE: per-group sketch
+    # buffers union into a global estimate (the map-side-combine shape a
+    # 1000-executor distinct rollup relies on). Union is NOT bit-equal to
+    # a single global sketch (hll_union_agg promotes the register
+    # representation), so the contract is the ERROR BOUND, not equality:
+    # both paths must land within the configured rsd of the exact count.
+    from spark_etl_pipeline_spark.plans.registry import table
+    from tests.conftest import SF_CORRECTNESS
+
+    li = table(spark, SF_CORRECTNESS, "lineitem")
+    direct = li.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("hll_sketch_agg(l_partkey)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()[0]["est"]
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("n")).collect()[0]["n"]
+    assert abs(direct - exact) / exact < 0.05
+    assert abs(merged - exact) / exact < 0.05
