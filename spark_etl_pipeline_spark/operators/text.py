@@ -1170,10 +1170,12 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
           useArrow=True)
     class _Chunks:
         def eval(self, text: str, size: int):
+            import re
+
             toks = (text or "").strip()
             if not toks:
                 return
-            parts = __import__("re").split(r"\s+", toks)
+            parts = re.split(r"\s+", toks)
             for i in range(0, len(parts), size):
                 yield i // size, min(size, len(parts) - i), parts[i]
 
