@@ -537,26 +537,10 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = table(spark, sf_dir, "part")
     edges = copurchase_edges(spark, sf_dir)
-    ed = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    frontier = (
-        part.filter(F.col("p_brand") == BFS_SEED_BRAND)
-        .select(F.col("p_partkey").alias("node"))
-        .localCheckpoint(eager=True)
+    seeds = part.filter(F.col("p_brand") == BFS_SEED_BRAND).select(
+        F.col("p_partkey").alias("node")
     )
-    seen = frontier
-    dist = frontier.select("node", F.lit(0).alias("hop"))
-    for k in range(1, BFS_HOPS + 1):
-        frontier = (
-            ed.join(frontier, ed["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(seen, "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
-        dist = dist.unionByName(frontier.select("node", F.lit(k).alias("hop")))
+    dist = bfs_hops(edges, seeds, BFS_HOPS)
     return (
         dist.join(part, part["p_partkey"] == dist["node"])
         .groupBy(F.col("hop").cast("int").alias("hop"))
@@ -567,3 +551,29 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Min-hop BFS distance over a CANONICAL undirected edge list
+    (columns ``a`` < ``b``) from a ``seeds(node)`` set, bounded at
+    ``max_hops``. Returns ``(node, hop)`` — the unit-testable core of
+    :func:`graph_reachability`; see there for the shrinking-frontier
+    argument.
+    """
+    ed = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
+    seen = frontier
+    dist = frontier.select("node", F.lit(0).alias("hop"))
+    for k in range(1, max_hops + 1):
+        frontier = (
+            ed.join(frontier, ed["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        dist = dist.unionByName(frontier.select("node", F.lit(k).alias("hop")))
+    return dist

@@ -1,0 +1,145 @@
+"""Property tests for the round-6 third-leg operators: each Spark
+implementation is compared against an independent pure-Python/pandas
+reference on deterministic pseudo-random inputs — a second verification
+axis beside the DuckDB oracles (which share the SQL formulation and so
+could in principle share a formulation bug).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from spark_etl_pipeline_spark.operators.graph import bfs_hops
+
+
+def _random_graph(seed: int, n_nodes: int, n_edges: int):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a == b:
+            continue
+        edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def _python_bfs(edges, seeds, max_hops):
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_hops_matches_python_bfs(spark):
+    for seed in (0, 1, 2):
+        edges = _random_graph(seed, n_nodes=60, n_edges=90)
+        seeds = [seed, seed + 10, seed + 20]
+        expected = _python_bfs(edges, seeds, max_hops=3)
+        edges_df = spark.createDataFrame(edges, "a bigint, b bigint")
+        seeds_df = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+        got = {
+            r["node"]: r["hop"]
+            for r in bfs_hops(edges_df, seeds_df, max_hops=3).collect()
+        }
+        assert got == expected, f"seed {seed}: {got} != {expected}"
+
+
+def test_rolling_median_matches_pandas(spark):
+    # Same frame spec as events_rolling_median: 7 rows, 6 preceding.
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 10_000) for _ in range(40)]
+    sdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("i").rowsBetween(-6, Window.currentRow)
+    frame = F.sort_array(F.collect_list("v").over(w))
+    med = F.expr(
+        "CASE WHEN size(__f) % 2 = 1 "
+        "THEN element_at(__f, cast(size(__f) div 2 + 1 as int)) "
+        "ELSE (element_at(__f, cast(size(__f) div 2 as int)) "
+        "      + element_at(__f, cast(size(__f) div 2 + 1 as int))) / 2.0 END"
+    )
+    got = (
+        sdf.withColumn("__f", frame)
+        .select("i", med.alias("m"))
+        .orderBy("i")
+        .toPandas()["m"]
+        .tolist()
+    )
+    expected = (
+        pd.Series([float(v) for v in vals])
+        .rolling(7, min_periods=1)
+        .median()
+        .tolist()
+    )
+    assert got == expected
+
+
+def test_active_users_matches_pandas(spark, tmp_path):
+    # DAU/WAU/MAU brute force in pandas vs the bounded-window-explode
+    # rewrite, on a synthetic presence table with gaps.
+    rng = random.Random(3)
+    rows = sorted(
+        {
+            (rng.randrange(20), pd.Timestamp("2024-01-01")
+             + pd.Timedelta(days=rng.randrange(45)))
+            for _ in range(300)
+        }
+    )
+    pdf = pd.DataFrame(rows, columns=["user_id", "day"])
+    sdf = spark.createDataFrame(pdf)
+    spine = sorted(pdf["day"].unique())
+    expected = {}
+    for d in spine:
+        win = lambda k: set(
+            pdf[(pdf["day"] <= d) & (pdf["day"] > d - pd.Timedelta(days=k))][
+                "user_id"
+            ]
+        )
+        expected[pd.Timestamp(d).strftime("%Y-%m-%d")] = (
+            len(win(1)), len(win(7)), len(win(30))
+        )
+
+    presence = sdf.select("user_id", F.to_date("day").alias("day")).distinct()
+    spine_df = presence.select("day").distinct()
+    influenced = presence.select(
+        "user_id",
+        F.col("day").alias("p_day"),
+        F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("s_day"),
+    ).join(spine_df.withColumnRenamed("day", "s_day"), "s_day", "left_semi")
+    got = {
+        r["day"]: (r["dau"], r["wau"], r["mau"])
+        for r in influenced.groupBy(
+            F.date_format("s_day", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.countDistinct(
+                F.when(F.col("p_day") == F.col("s_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("p_day") >= F.date_sub("s_day", 6), F.col("user_id")
+                )
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .collect()
+    }
+    assert got == expected
