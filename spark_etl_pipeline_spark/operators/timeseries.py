@@ -1375,3 +1375,156 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (med / 100.0).alias("rolling_median"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential recurrences over bounded series (array-fold pattern)
+# ---------------------------------------------------------------------------
+
+#: CUSUM slack per step, in cents: the classic one-sided control chart
+#: S_t = max(0, S_{t-1} + (x_t - target - slack)) accumulates only
+#: sustained upward drift. Target/slack are fixed spec constants.
+CUSUM_TARGET_CENTS = 50_000
+CUSUM_SLACK_CENTS = 5_000
+
+EWMA_ALPHA = "0.3"  # shared SQL literal → identical double in both engines
+
+
+@register(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type, list(cents ORDER BY day) AS xs
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(xs) AS BIGINT) AS n_days,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT), xs),
+               (acc, x) -> greatest(CAST(0 AS BIGINT),
+                   acc + x - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS})
+           ) AS BIGINT) AS cusum_final,
+           CAST(list_max(
+               [list_reduce(
+                    list_prepend(CAST(0 AS BIGINT), xs[1:i]),
+                    (acc, x) -> greatest(CAST(0 AS BIGINT),
+                        acc + x - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS}))
+                FOR i IN generate_series(1, len(xs))]
+           ) AS BIGINT) AS cusum_max
+    FROM series
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart per event type: the
+    sustained-drift detector (S_t = max(0, S_{{t-1}} + x_t − target −
+    slack)) that catches slow upward creep a fixed threshold misses.
+    Emits the final statistic and the running maximum — the alarm
+    level a monitor would page on.
+
+    CUSUM is a SEQUENTIAL recurrence — not expressible as a window
+    aggregate — but the series is DAY-GRAIN per type, so after one
+    map-side-combinable daily aggregate the per-type series is a
+    bounded array: ``collect_list`` sorted by day, then the recurrence
+    runs as an ``aggregate()`` left fold INSIDE one JVM expression
+    (DuckDB mirrors it with ``list_reduce``). All arithmetic is exact
+    integer cents — associative aggregation below, identical
+    sequential fold above: hash-exact. The running max re-folds each
+    prefix (O(n²) on an n≤31-element array — constant-bounded; a
+    longer horizon would carry (S, max) as a fold state struct
+    instead). At 100 TB the daily aggregate sees the data; the folds
+    see |types| × |days| cells.
+    """
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(struct(day, cents)))").alias("sc")
+    )
+    step = (
+        f"(acc, x) -> greatest(cast(0 as bigint), "
+        f"acc + x - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS})"
+    )
+    return series.select(
+        "event_type",
+        F.expr("cast(size(sc) as bigint)").alias("n_days"),
+        F.expr(
+            f"aggregate(transform(sc, s -> s.cents), cast(0 as bigint), {step})"
+        ).alias("cusum_final"),
+        F.expr(
+            f"""cast(array_max(transform(
+                    sequence(1, size(sc)),
+                    i -> aggregate(transform(slice(sc, 1, i), s -> s.cents),
+                                   cast(0 as bigint), {step})
+                )) as bigint)"""
+        ).alias("cusum_max"),
+    )
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type, list(cents ORDER BY day) AS xs,
+               MAX(day) AS last_day
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           strftime(last_day, '%Y-%m-%d') AS last_day,
+           CAST(len(xs) AS BIGINT) AS n_days,
+           list_reduce(
+               list_transform(xs, x -> CAST(x AS DOUBLE)),
+               (acc, x) -> {EWMA_ALPHA} * x + (1.0 - {EWMA_ALPHA}) * acc
+           ) / 100.0 AS ewma
+    FROM series
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily totals per event
+    type (α={EWMA_ALPHA}) — the standard smoothed level behind
+    forecasting and alerting baselines.
+
+    EWMA's recurrence (acc ← αx + (1−α)acc) is order-sensitive FLOAT
+    arithmetic — normally the definition of non-reproducible. It is
+    bit-exact here because the fold is SEQUENTIAL BY CONSTRUCTION over
+    the day-sorted bounded array (same array-fold pattern as
+    ``events_cusum_drift``): both engines execute the identical chain
+    of IEEE-754 ops on identical exact-integer-derived operands — the
+    same discipline the cosine/dot-product folds use
+    (``ARCHITECTURE.md`` determinism rule 2). Seeded with the first
+    observation (fold starts at x₁), the conventional init.
+    """
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(struct(day, cents)))").alias("sc"),
+        F.max("day").alias("last_day"),
+    )
+    return series.select(
+        "event_type",
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        F.expr("cast(size(sc) as bigint)").alias("n_days"),
+        (
+            F.expr(
+                f"""aggregate(
+                    slice(transform(sc, s -> cast(s.cents as double)), 2,
+                          size(sc) - 1),
+                    cast(element_at(sc, 1).cents as double),
+                    (acc, x) -> {EWMA_ALPHA} * x + (1.0 - {EWMA_ALPHA}) * acc
+                )"""
+            )
+            / 100.0
+        ).alias("ewma"),
+    )
