@@ -3085,3 +3085,116 @@ def rel_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_retail"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment lead time (date-difference distribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_ship_lag",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+               / COUNT(*) AS avg_lag_days,
+           quantile_cont(CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                              AS DOUBLE), 0.5) AS p50_lag_days,
+           quantile_cont(CAST(datediff('day', o.o_orderdate, l.l_shipdate)
+                              AS DOUBLE), 0.9) AS p90_lag_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def rel_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship fulfillment lead time per order priority: count,
+    exact mean, and exact interpolated p50/p90 of the day lag — the
+    SLA distribution an operations team tracks (does URGENT actually
+    ship faster, and what does the tail look like?).
+
+    Day differences are exact integers (DATEDIFF on date-truncated
+    timestamps); the mean is one integer-sum division and the
+    percentiles ride the verified ``percentile``/``quantile_cont``
+    pairing (``rel_percentiles``). One orderkey-co-partitioned join —
+    at 100 TB both fact tables shuffle on the same key, or none at all
+    when bucketed by orderkey (``sources.write_bucketed``).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag"
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("lag").cast("double") / F.count(F.lit(1))).alias(
+            "avg_lag_days"
+        ),
+        F.expr("percentile(cast(lag as double), 0.5)").alias("p50_lag_days"),
+        F.expr("percentile(cast(lag as double), 0.9)").alias("p90_lag_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (Herfindahl–Hirschman index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_type, l.l_suppkey,
+               SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ),
+    tot AS (SELECT p_type, SUM(cents) AS total FROM rev GROUP BY p_type)
+    SELECT r.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(
+               power(CAST(r.cents AS DOUBLE) / CAST(t.total AS DOUBLE), 2)
+               * 1000000) AS BIGINT)) AS BIGINT) AS hhi_micro
+    FROM rev r JOIN tot t ON t.p_type = r.p_type
+    GROUP BY r.p_type
+    """,
+)
+def rel_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-market concentration per part type: the
+    Herfindahl–Hirschman index (Σ revenue-share², micro-units) — the
+    antitrust/procurement-risk metric distinguishing a competitive
+    supply base (HHI→0) from a captive one (HHI→1). Complements the
+    Gini/Pareto concentration family with the economist's squared-share
+    form.
+
+    Exact integer revenue cells (one co-partitioned join + aggregate,
+    map-side combinable); per-type totals join back (|types|-sized,
+    broadcast); each share² rounds to micro-units BEFORE the final
+    associative integer sum — the ``rel_corr_stats`` discipline.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("cents"))
+    )
+    tot = rev.groupBy("p_type").agg(F.sum("cents").alias("total"))
+    return (
+        rev.join(F.broadcast(tot), "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(
+                F.expr(
+                    "cast(round(power(cast(cents as double) "
+                    "/ cast(total as double), 2) * 1000000) as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("hhi_micro"),
+        )
+    )
