@@ -1528,3 +1528,72 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics (point-process view)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0
+               AS p50_gap_s,
+           quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0
+               AS p90_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type: p50/p90 seconds
+    between a user's consecutive events of that type — the
+    point-process view behind engagement cadence, retrain-frequency
+    sizing, and anomaly baselines (a median gap collapsing to seconds
+    means a bot; stretching means churn).
+
+    One (type, user) window pass computes the lag (unique
+    ``event_id`` tiebreak for equal timestamps); gaps are exact
+    integer MICROSECOND differences (``unix_micros``/``epoch_us`` —
+    whole-second truncation would silently bias sub-second cadences),
+    so the percentile rides the verified
+    ``percentile``/``quantile_cont`` pairing, with one identical
+    double division to seconds at the end. Window partitions are
+    per-user slices — corpus-size-independent; the percentile
+    aggregate sorts within each type group only.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    # cast ts -> LTZ first: the testdata's µs parquet infers as
+    # TIMESTAMP_NTZ, which unix_micros rejects; the session tz is
+    # pinned UTC so the cast is value-preserving (same normalization
+    # the streaming readers apply in streaming/source.py).
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    gaps = events.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        "ts",
+        us.alias("us"),
+    ).select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        (
+            F.expr("percentile(cast(gap_us as double), 0.5)") / 1000000.0
+        ).alias("p50_gap_s"),
+        (
+            F.expr("percentile(cast(gap_us as double), 0.9)") / 1000000.0
+        ).alias("p90_gap_s"),
+    )

@@ -3198,3 +3198,72 @@ def rel_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hhi_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order backlog over time (sweep-line interval counting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_order_backlog",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS placed,
+               MAX(CAST(l.l_shipdate AS DATE)) AS done
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+        SELECT placed AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT done, -1 FROM spans
+    ),
+    daily AS (
+        SELECT day, SUM(d) AS net FROM deltas GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m') AS month,
+           CAST(MAX(run) AS BIGINT) AS peak_backlog,
+           CAST(MIN(run) AS BIGINT) AS min_backlog
+    FROM (
+        SELECT day, SUM(net) OVER (ORDER BY day) AS run FROM daily
+    )
+    GROUP BY strftime(day, '%Y-%m')
+    """,
+)
+def rel_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by SWEEP-LINE interval counting:
+    each order contributes +1 at placement and −1 at completion (its
+    last line's ship date); the running sum of the day-grain deltas IS
+    the number of simultaneously-open orders — reported as monthly
+    peak/min, the capacity-planning curve.
+
+    The sweep-line rewrite is the scale story: counting "orders open
+    on day D" directly is an interval-stabbing range join (|days| ×
+    |orders| candidate pairs); the delta encoding needs one
+    completion aggregate (orderkey-co-partitioned), one day-grain
+    hash aggregate of ±1s, and one running-sum window over |days|
+    rows. An order whose last line ships the day it was placed
+    contributes +1 and −1 to the same day-grain cell — net zero, as
+    it should be.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("placed"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("done"))
+    )
+    deltas = spans.select(
+        F.col("placed").alias("day"), F.lit(1).alias("d")
+    ).unionByName(spans.select(F.col("done").alias("day"), F.lit(-1).alias("d")))
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("net"))
+    run = daily.select(
+        "day",
+        F.sum("net").over(Window.orderBy("day")).alias("run"),
+    )
+    return run.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.max("run").cast("bigint").alias("peak_backlog"),
+        F.min("run").cast("bigint").alias("min_backlog"),
+    )
