@@ -1549,3 +1549,57 @@ def docs_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency profile (boilerplate diagnostics)
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_DF = 4  # a shingle in >= this many docs counts as boilerplate
+
+
+@register(
+    "docs_shingle_profile",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    df AS (
+        SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+    )
+    SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS log2_df_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(df) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN df >= {BOILERPLATE_DF} THEN df ELSE 0 END)
+                AS BIGINT) AS boilerplate_occurrences
+    FROM df GROUP BY length(bin(df)) - 1
+    """,
+)
+def docs_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram (power-of-2 buckets): how
+    boilerplate-heavy is the corpus? The dedup-threshold tuning
+    diagnostic — a fat high-df tail means shared templates that will
+    flood MinHash buckets (Σ bucket² candidate work) and argues for
+    df-capping shingles before banding (the same inventory cap
+    ``onesided_candidates`` applies).
+
+    One shingle explode → df aggregate (map-side combinable) → a
+    |distinct-df|-sized histogram. The power-of-2 bucket is computed
+    as ``length(bin(df)) - 1`` — INTEGER binary-string length, not
+    ``floor(log2())``, whose float rounding can misbucket exact powers
+    of two; both engines share the textual-binary definition exactly.
+    """
+    docs = table(spark, sf_dir, "documents")
+    df_t = shingle_set(docs).groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df_t.groupBy(
+            (F.length(F.bin("df")) - 1).cast("int").alias("log2_df_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("n_occurrences"),
+            F.sum(
+                F.when(F.col("df") >= BOILERPLATE_DF, F.col("df")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("boilerplate_occurrences"),
+        )
+    )
