@@ -1383,3 +1383,77 @@ def sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("cluster_size").cast("bigint").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-pair similarity histogram (threshold tuning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_threshold_profile",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sigs AS (
+        {_DUCK_TABLE_SIGS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a
+        JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT {_duck_cos('ea.v', 'eb.v')} AS cos
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+    )
+    SELECT CAST(floor(cos * 10.0) AS INTEGER) AS cos_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY 1
+    """,
+)
+def sim_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity histogram over the LSH CANDIDATE pairs (0.1
+    bins, no threshold): the tuning artifact that turns dedup-threshold
+    selection from folklore into a read — a bimodal profile says the
+    corpus separates cleanly (pick the valley); mass piling against
+    the current {COS_DUP_THRESHOLD} cut says the threshold is shaving
+    a real dup cluster. Same Σ bucket² candidate generation and
+    bit-exact sequential-fold cosine as ``dedup_embedding_cosine``
+    (whose SQL this oracle shares minus the WHERE) — so the histogram
+    also measures the LSH tables' candidate yield directly. Binning by
+    ``floor(cos·10)`` is deterministic because the cosine itself is
+    bit-identical on both engines.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    sigs = embedding_signatures(emb)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    nrm = F.expr(f"sqrt({dot_expr('v', 'v')})")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), nrm.alias("na")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), nrm.alias("nb")
+    )
+    scored = (
+        eb.join(ea.join(cand, "vec_a"), "vec_b")
+        .select(
+            (F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            )
+        )
+    )
+    return scored.groupBy(
+        F.floor(F.col("cos") * 10.0).cast("int").alias("cos_bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
