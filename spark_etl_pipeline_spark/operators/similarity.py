@@ -1457,3 +1457,94 @@ def sim_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         F.floor(F.col("cos") * 10.0).cast("int").alias("cos_bin")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end SEMANTIC corpus dedup (embedding-space twin of
+# docs_dedup_corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sigs AS (
+        {_DUCK_TABLE_SIGS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a
+        JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE {_duck_cos('ea.v', 'eb.v')} >= {COS_DUP_THRESHOLD}
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    reach AS (
+        SELECT DISTINCT src AS v, src AS label FROM edges
+        UNION
+        SELECT e2.dst AS v, r.label
+        FROM reach r JOIN edges e2 ON e2.src = r.v
+    ),
+    comp AS (SELECT v, MIN(label) AS component FROM reach GROUP BY v),
+    drops AS (SELECT v AS doc_id FROM comp WHERE v != component)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS n_after
+    FROM documents d LEFT JOIN drops x ON x.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def docs_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END semantic corpus dedup: embedding-LSH cosine pairs →
+    connected components → min-id survivor per cluster → purge the
+    rest from the DOCUMENT corpus (vec_id ↔ doc_id), reported as the
+    per-source before/dropped/after ledger. The embedding-space twin
+    of the MinHash ``docs_dedup_corpus`` sweep — this is the stage
+    that removes paraphrases and re-encodes lexical dedup can't see.
+
+    Composes three independently-oracled operators verbatim
+    (``dedup_embedding_cosine`` pairs, shared iterative CC, anti-join
+    purge — the ``docs_dedup_corpus`` shape) and re-oracles the whole
+    chain, so composition bugs can't hide between green components.
+    Drop-list size is bounded by the dup rate; the corpus is scanned
+    once; the drop-list join is AQE-broadcastable.
+    """
+    from spark_etl_pipeline_spark.operators.dedup import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, "vec_a", "vec_b")
+    drops = labels.filter(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("__drop")
+    )
+    return (
+        docs.join(drops, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before"),
+            F.sum(F.when(F.col("__drop").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.when(F.col("__drop").isNotNull(), 1).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("n_after"),
+        )
+    )

@@ -252,6 +252,7 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "docs_dedup_semantic",
     "sim_threshold_profile",
     "docs_shingle_profile",
     "events_interarrival",
