@@ -185,6 +185,12 @@ def load_all() -> None:
 #: core, so the shared path still gets an r6 row. The r4-green rows
 #: follow in _EMIT_LAST as r7 front-runners; the r5/r6-green sets are
 #: the freshest rows, safe to clip.
+#:
+#: The round-6 THIRD leg added further queries after this window was
+#: frozen (BFS reachability through semantic dedup — the "fourth wave"
+#: opening _EMIT_LAST, everything before ``graph_triangles``): never
+#: driver-verified, locally parity-verified; they MUST open the r7
+#: window, newest first.
 _EMIT_FIRST = (
     # --- new in round 6 (second leg) ---
     "events_gap_fill",
