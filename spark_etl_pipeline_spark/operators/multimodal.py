@@ -619,3 +619,55 @@ def mm_payload_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     return payload_impurity(attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document frame dedup (shared-segment detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_frame_dedup",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER) - 1))
+                   AS frame_idx,
+               text
+        FROM documents WHERE length(text) > 0
+    ),
+    h AS (
+        SELECT doc_id,
+               md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+                   AS frame_md5
+        FROM f
+    )
+    SELECT frame_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM h
+    GROUP BY frame_md5
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames shared ACROSS documents (same {FRAME_BYTES}-byte content
+    hash in >1 distinct payloads): the shared-segment detector — in a
+    video corpus these are the repeated intros/outros/watermark
+    sequences a storage dedup or a training pipeline should collapse
+    once instead of learning N times. Composes the 1→N frame sampler
+    (:func:`frame_sample`, Arrow mapInPandas) with one JVM hash
+    aggregate on the frame hash; frames that never repeat drop in the
+    HAVING, so the output is duplication-bounded, not corpus-bounded.
+    """
+    docs = table(spark, sf_dir, "documents")
+    frames = frame_sample(attach_payload(docs))
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
