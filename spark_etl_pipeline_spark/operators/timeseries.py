@@ -1597,3 +1597,128 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(cast(gap_us as double), 0.9)") / 1000000.0
         ).alias("p90_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst (bot) detection: max per-minute rate per user
+# ---------------------------------------------------------------------------
+
+BURST_THRESHOLD = 3  # events within one minute flags the user
+
+
+@register(
+    "events_burst_users",
+    oracle=f"""
+    WITH rate AS (
+        SELECT user_id, time_bucket(INTERVAL 1 MINUTE, ts) AS minute,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id, time_bucket(INTERVAL 1 MINUTE, ts)
+    ),
+    peak AS (
+        SELECT user_id,
+               MAX(n) AS peak_per_minute,
+               SUM(n) AS n_events,
+               COUNT(*) AS n_active_minutes
+        FROM rate GROUP BY user_id
+    )
+    SELECT user_id, CAST(peak_per_minute AS BIGINT) AS peak_per_minute,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_active_minutes AS BIGINT) AS n_active_minutes
+    FROM peak
+    WHERE peak_per_minute >= {BURST_THRESHOLD}
+    """,
+)
+def events_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst (bot/scraper) detection: users whose peak event rate in
+    ANY single minute reaches {BURST_THRESHOLD} — rate-limiting and
+    abuse pipelines flag on peak burst, not averages, because bots
+    look normal on daily totals and inhuman on a one-minute grain.
+
+    Two map-side-combinable aggregates: (user, minute) counts, then a
+    per-user MAX/SUM rollup that REUSES the same user_id-prefixed
+    shuffle partitioning (Catalyst plans no second exchange).
+    Minute-grain cells bound the intermediate regardless of event
+    volume per minute.
+    """
+    events = table(spark, sf_dir, "events")
+    rate = events.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        rate.groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("peak_per_minute"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_active_minutes"),
+        )
+        .filter(F.col("peak_per_minute") >= BURST_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-lateness audit (how late does this stream actually run?)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_lateness_audit",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (PARTITION BY event_type
+                             ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS frontier
+        FROM events
+    ),
+    late AS (
+        SELECT event_type,
+               CAST(floor((epoch_us(frontier) - epoch_us(ts))
+                          / 60000000.0) AS BIGINT) AS late_minutes
+        FROM ordered
+    )
+    SELECT event_type,
+           CAST(CASE WHEN late_minutes >= 60 THEN 60
+                     ELSE late_minutes END AS INTEGER) AS late_minutes_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM late
+    GROUP BY event_type, CASE WHEN late_minutes >= 60 THEN 60
+                              ELSE late_minutes END
+    """,
+)
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: per event type, the distribution of
+    event-time lateness relative to the arrival-order frontier
+    (running max event time in ``event_id`` arrival order, the
+    synthetic stream's ingestion sequence) — exactly the out-of-order
+    profile that tells you what ``withWatermark`` delay keeps N% of
+    events. Bucketed by whole minutes late, clamped at 60 (the
+    everything-worse tail bucket); an event at the frontier is 0.
+
+    One per-type window pass (running max over arrival order —
+    per-type partitions, corpus-size-independent), exact microsecond
+    differences (NTZ-safe epoch math), then a map-side-combinable
+    histogram aggregate. This is the BATCH audit a streaming team runs
+    before picking the delays used in ``streaming/windows.py``.
+    """
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = events.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    ).select(
+        "event_type", (F.max("us").over(w) - F.col("us")).alias("late_us")
+    )
+    late = ordered.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("late_us") / 60000000.0).cast("int"), F.lit(60)
+        ).alias("late_minutes_bucket"),
+    )
+    return late.groupBy("event_type", "late_minutes_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
