@@ -1603,7 +1603,7 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Burst (bot) detection: max per-minute rate per user
 # ---------------------------------------------------------------------------
 
-BURST_THRESHOLD = 3  # events within one minute flags the user
+BURST_THRESHOLD = 2  # events within one minute flags the user
 
 
 @register(
