@@ -1603,3 +1603,97 @@ def docs_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("boilerplate_occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (estimate vs exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_MH_MATCHES_DUCK = " + ".join(
+    f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)"
+    for k in range(NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+        SELECT doc_id, {_MH_MINS_DUCK}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_DUCK}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(({_MH_MATCHES_DUCK}) AS DOUBLE) / {NUM_HASHES} AS est,
+               CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (za.n + zb.n - COALESCE(i.i, 0)) AS exact
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes za ON za.doc_id = c.doc_a
+        JOIN sizes zb ON zb.doc_id = c.doc_b
+    )
+    SELECT CAST(round((est - exact) * 10.0) AS INTEGER) AS err_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR calibration: over the LSH candidate pairs,
+    histogram of (signature-estimated Jaccard − exact Jaccard) in 0.1
+    buckets — the empirical error profile that justifies (or indicts)
+    the {NUM_HASHES}-hash signature size before anyone trusts
+    signature-only dedup decisions at scale. Estimate = fraction of
+    matching minhash coordinates (the unbiased MinHash estimator);
+    exact = verified shingle Jaccard. Both are exact rationals of
+    integers, so the subtraction and bucket rounding are deterministic
+    on both engines.
+
+    Plan: the signature table joins the candidate pairs twice
+    (signature-sized rows, AQE-broadcastable pair side), the exact
+    side reuses the same intersection aggregate as
+    ``dedup_minhash_lsh`` — candidates stay Σ bucket²-bounded, and
+    the histogram is |buckets|-sized.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shingles = shingle_set(docs)
+    sigs = minhash_signatures(shingles)
+    pairs = candidate_pairs(lsh_bands(sigs))
+    exact = jaccard_verified(pairs, shingles)  # unfiltered: all candidates
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END)"
+        for k in range(NUM_HASHES)
+    )
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    est = (
+        exact.alias("p")
+        .join(sa, F.col("sa.doc_id") == F.col("p.doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("p.doc_b"))
+        .select(
+            F.expr(f"cast(({matches}) as double) / {NUM_HASHES}").alias("est"),
+            F.col("p.jaccard").alias("exact"),
+        )
+    )
+    return est.groupBy(
+        F.expr("cast(round((est - exact) * 10.0) as int)").alias("err_bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))

@@ -1722,3 +1722,107 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("event_type", "late_minutes_bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast (struct-state fold)
+# ---------------------------------------------------------------------------
+
+_HA = "CAST(0.3 AS DOUBLE)"  # level smoothing — cast: bare 0.3 is DECIMAL
+_HB = "CAST(0.2 AS DOUBLE)"  # trend smoothing
+
+
+@register(
+    "events_holt_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type,
+               list_transform(list(cents ORDER BY day),
+                              x -> CAST(x AS DOUBLE)) AS xs
+        FROM daily GROUP BY event_type
+    ),
+    fitted AS (
+        -- LIST accumulator, not a struct: DuckDB 1.0's list_reduce
+        -- binds struct_pack fields SEQUENTIALLY against the mutated
+        -- accumulator (the t expression would see the NEW l); list
+        -- constructors evaluate all elements against the old value.
+        SELECT event_type, len(xs) AS n_days,
+               list_reduce(
+                   list_prepend(
+                       [xs[1], xs[2] - xs[1]],
+                       list_transform(xs[3:],
+                           x -> [x, CAST(0 AS DOUBLE)])),
+                   (acc, s) -> [
+                       {_HA} * s[1]
+                           + (CAST(1 AS DOUBLE) - {_HA}) * (acc[1] + acc[2]),
+                       {_HB} * (({_HA} * s[1]
+                           + (CAST(1 AS DOUBLE) - {_HA}) * (acc[1] + acc[2]))
+                           - acc[1])
+                           + (CAST(1 AS DOUBLE) - {_HB}) * acc[2]]
+               ) AS st
+        FROM series WHERE len(xs) >= 2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] / 100.0 AS level,
+           st[2] / 100.0 AS trend,
+           (st[1] + st[2]) / 100.0 AS forecast_next
+    FROM fitted
+    """,
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend,
+    α=0.3, β=0.2) of daily totals per event type, emitting the fitted
+    level/trend and the one-step-ahead forecast — the trend-aware
+    upgrade of ``events_ewma`` and the standard capacity-forecast
+    baseline.
+
+    The coupled (level, trend) recurrence carries a STRUCT accumulator
+    through the same sequential array-fold pattern as
+    ``events_cusum_drift``: conventional init (l₁=x₁, t₁=x₂−x₁), fold
+    over x₃.. — both engines execute the identical chain of IEEE-754
+    double ops, so the floats hash-match. Every numeric literal is
+    explicitly CAST to DOUBLE: a bare ``0.3`` parses as DECIMAL in
+    both engines and silently switches the arithmetic domain.
+    """
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, cents))), "
+            "s -> cast(s.cents as double))"
+        ).alias("xs")
+    )
+    lam = (
+        f"(acc, x) -> named_struct("
+        f"'l', {_HA} * x + (CAST(1 AS DOUBLE) - {_HA}) * (acc.l + acc.t), "
+        f"'t', {_HB} * (({_HA} * x"
+        f" + (CAST(1 AS DOUBLE) - {_HA}) * (acc.l + acc.t)) - acc.l)"
+        f" + (CAST(1 AS DOUBLE) - {_HB}) * acc.t)"
+    )
+    fold = (
+        f"aggregate(slice(xs, 3, size(xs) - 2), "
+        f"named_struct('l', element_at(xs, 1), "
+        f"'t', element_at(xs, 2) - element_at(xs, 1)), {lam})"
+    )
+    return (
+        series.filter(F.expr("size(xs) >= 2"))
+        .select(
+            "event_type",
+            F.expr("cast(size(xs) as bigint)").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            (F.col("st.l") / 100.0).alias("level"),
+            (F.col("st.t") / 100.0).alias("trend"),
+            ((F.col("st.l") + F.col("st.t")) / 100.0).alias("forecast_next"),
+        )
+    )

@@ -258,6 +258,8 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "dedup_minhash_calibration",
+    "events_holt_forecast",
     "events_burst_users",
     "events_lateness_audit",
     "mm_frame_dedup",
