@@ -1826,3 +1826,109 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("st.l") + F.col("st.t")) / 100.0).alias("forecast_next"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series0 AS (
+        SELECT event_type,
+               list_transform(list(cents ORDER BY day),
+                              x -> CAST(x AS DOUBLE)) AS xs,
+               list(day ORDER BY day) AS days,
+               MIN(day) AS d0
+        FROM daily GROUP BY event_type
+    ),
+    series AS (
+        SELECT event_type, xs,
+               list_transform(days,
+                              d -> CAST(datediff('day', d0, d) AS DOUBLE)) AS dd
+        FROM series0
+    ),
+    slopes AS (
+        SELECT event_type, len(xs) AS n_days,
+               list_sort(flatten(
+                   [[ (xs[j] - xs[i]) / (dd[j] - dd[i])
+                      FOR j IN generate_series(i + 1, len(xs)) ]
+                    FOR i IN generate_series(1, len(xs) - 1)])) AS sl
+        FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(len(sl) AS BIGINT) AS n_slopes,
+           (CASE WHEN len(sl) % 2 = 1 THEN sl[len(sl) // 2 + 1]
+                 ELSE (sl[len(sl) // 2] + sl[len(sl) // 2 + 1]) / 2.0 END)
+               / 100.0 AS slope_per_day
+    FROM slopes
+    """,
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the daily series — the slope estimator with a
+    29% breakdown point (ordinary least squares flips sign on one bad
+    day; the pairwise-slope median shrugs). The robust-statistics
+    family's trend member beside ``events_mad_outliers`` (spread) and
+    ``events_rolling_median`` (level).
+
+    The O(n²) pairwise-slope set is generated INSIDE one JVM
+    expression over the bounded day-grain array (n≤31 → ≤465 slopes —
+    constant-bounded, same array-fold economics as
+    ``events_cusum_drift``); slopes divide exact integer cents by
+    exact integer day gaps (true calendar gaps, robust to missing
+    days), so every double is identical cross-engine, and the median
+    interpolation reuses the sorted-array midpoint form.
+    """
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    series0 = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, cents))), "
+            "s -> cast(s.cents as double))"
+        ).alias("xs"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, cents))), "
+            "s -> s.day)"
+        ).alias("days"),
+        F.min("day").alias("d0"),
+    )
+    series = series0.select(
+        "event_type",
+        "xs",
+        F.expr("transform(days, d -> cast(datediff(d, d0) as double))").alias(
+            "dd"
+        ),
+    )
+    slopes = series.select(
+        "event_type",
+        F.expr("cast(size(xs) as bigint)").alias("n_days"),
+        F.expr(
+            "sort_array(flatten(transform(sequence(1, size(xs) - 1), "
+            "i -> transform(sequence(i + 1, size(xs)), "
+            "j -> (element_at(xs, cast(j as int)) - element_at(xs, cast(i as int)))"
+            " / (element_at(dd, cast(j as int)) - element_at(dd, cast(i as int)))"
+            "))))"
+        ).alias("sl"),
+    )
+    med = F.expr(
+        "CASE WHEN size(sl) % 2 = 1 "
+        "THEN element_at(sl, cast(size(sl) div 2 + 1 as int)) "
+        "ELSE (element_at(sl, cast(size(sl) div 2 as int)) "
+        "      + element_at(sl, cast(size(sl) div 2 + 1 as int))) / 2.0 END"
+    )
+    return slopes.select(
+        "event_type",
+        "n_days",
+        F.expr("cast(size(sl) as bigint)").alias("n_slopes"),
+        (med / 100.0).alias("slope_per_day"),
+    )

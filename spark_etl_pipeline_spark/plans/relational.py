@@ -3267,3 +3267,87 @@ def rel_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run").cast("bigint").alias("peak_backlog"),
         F.min("run").cast("bigint").alias("min_backlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen (fraud / data-fabrication audit)
+# ---------------------------------------------------------------------------
+
+#: log10(1 + 1/d), materialized as shared shortest-roundtrip literals so
+#: both engines parse the IDENTICAL doubles (no runtime log10 — libm-free).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST({v} AS DOUBLE)" for d, v in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "rel_benford_deviation",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+        SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY first_digit
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT first_digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                          - {_BENFORD_CASE}) * 1000000) AS BIGINT)
+               AS deviation_micro
+    FROM counts CROSS JOIN tot
+    """,
+)
+def rel_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: observed
+    first-significant-digit shares vs the log10(1+1/d) expectation —
+    the standard forensic-accounting test (fabricated or
+    systematically-manipulated amounts drift from Benford; organic
+    transaction amounts follow it). Deviation is reported per digit in
+    micro-units; an auditor thresholds the large ones.
+
+    The nine Benford expectations are SHARED shortest-roundtrip double
+    LITERALS (no runtime log10 — float rendering is injective, so both
+    engines parse bit-identical constants and no libm enters the
+    plan). First digit comes from the exact integer-cents decimal
+    rendering — no float log/pow tricks; one map-side-combinable
+    digit histogram + a 9-row broadcast total.
+    """
+    o = table(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.expr(
+            "cast(substr(cast(cast(round(o_totalprice * 100) as bigint) "
+            "as string), 1, 1) as int)"
+        ).alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "first_digit",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            F.expr(
+                f"cast(round(abs(cast(n as double) / cast(total as double) "
+                f"- {_BENFORD_CASE}) * 1000000) as bigint)"
+            ).alias("deviation_micro"),
+        )
+    )

@@ -53,6 +53,7 @@ NESTED_LOOP_OK = {
     "docs_bm25_topk",  # 1-row (N, sum_dl) corpus-stats broadcast, by design
     "events_chi2_independence",  # 1-row grand-total broadcast, by design
     "docs_source_divergence",  # 1-row corpus-total broadcast, by design
+    "rel_benford_deviation",  # 1-row digit-total broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
