@@ -1932,3 +1932,106 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(size(sl) as bigint)").alias("n_slopes"),
         (med / 100.0).alias("slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt backtest: one-step-ahead forecast error (MAE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_holt_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    series AS (
+        SELECT event_type,
+               list_transform(list(cents ORDER BY day),
+                              x -> CAST(x AS DOUBLE)) AS xs
+        FROM daily GROUP BY event_type
+    ),
+    fitted AS (
+        SELECT event_type, len(xs) AS n_days,
+               list_reduce(
+                   list_prepend(
+                       [xs[1], xs[2] - xs[1], CAST(0 AS DOUBLE)],
+                       list_transform(xs[3:],
+                           x -> [x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+                   (acc, s) -> [
+                       {_HA} * s[1]
+                           + (CAST(1 AS DOUBLE) - {_HA}) * (acc[1] + acc[2]),
+                       {_HB} * (({_HA} * s[1]
+                           + (CAST(1 AS DOUBLE) - {_HA}) * (acc[1] + acc[2]))
+                           - acc[1])
+                           + (CAST(1 AS DOUBLE) - {_HB}) * acc[2],
+                       acc[3] + round(abs(s[1] - (acc[1] + acc[2])))]
+               ) AS st
+        FROM series WHERE len(xs) >= 3
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_days - 2 AS BIGINT) AS n_forecasts,
+           st[3] / CAST(n_days - 2 AS DOUBLE) / 100.0 AS mae
+    FROM fitted
+    """,
+)
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the Holt forecaster (``events_holt_forecast``):
+    walk the daily series, at each step score the ONE-STEP-AHEAD
+    forecast (level+trend before seeing the observation) against the
+    observation, and report the mean absolute error per event type —
+    the number that says whether the α/β choice is defensible before
+    anyone alerts on the model's output.
+
+    Same struct-state fold, extended with an error accumulator: the
+    third slot sums ``round(|x − (l+t)|)`` — rounded errors are exact
+    integers in double (associative up to 2⁵³), so the MAE is two
+    identical IEEE divisions at the end. One fold pass fits AND
+    scores: no second scan, no per-step window.
+    """
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, cents))), "
+            "s -> cast(s.cents as double))"
+        ).alias("xs")
+    )
+    lam = (
+        f"(acc, x) -> array("
+        f"{_HA} * x + (CAST(1 AS DOUBLE) - {_HA})"
+        f" * (element_at(acc, 1) + element_at(acc, 2)), "
+        f"{_HB} * (({_HA} * x + (CAST(1 AS DOUBLE) - {_HA})"
+        f" * (element_at(acc, 1) + element_at(acc, 2)))"
+        f" - element_at(acc, 1))"
+        f" + (CAST(1 AS DOUBLE) - {_HB}) * element_at(acc, 2), "
+        f"element_at(acc, 3)"
+        f" + round(abs(x - (element_at(acc, 1) + element_at(acc, 2)))))"
+    )
+    fold = (
+        f"aggregate(slice(xs, 3, size(xs) - 2), "
+        f"array(element_at(xs, 1), "
+        f"element_at(xs, 2) - element_at(xs, 1), CAST(0 AS DOUBLE)), {lam})"
+    )
+    return (
+        series.filter(F.expr("size(xs) >= 3"))
+        .select(
+            "event_type",
+            F.expr("cast(size(xs) as bigint)").alias("n_days"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            (F.col("n_days") - 2).cast("bigint").alias("n_forecasts"),
+            (
+                F.expr("element_at(st, 3)")
+                / F.expr("cast(n_days - 2 as double)")
+                / 100.0
+            ).alias("mae"),
+        )
+    )

@@ -258,6 +258,8 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "src_orc_roundtrip",
+    "events_holt_backtest",
     "events_theilsen_trend",
     "rel_benford_deviation",
     "dedup_minhash_calibration",

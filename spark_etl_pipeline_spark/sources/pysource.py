@@ -246,3 +246,62 @@ def stream_pysource_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return drained
+
+
+# ---------------------------------------------------------------------------
+# ORC format-fidelity query (registered driver-checkable row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format fidelity, driver-checkable: the lineitem table is
+    rewritten as ORC (temp dir), read back through the ORC scan, and
+    aggregated — hash-matching the PARQUET-side oracle proves the ORC
+    write→read path loses nothing (types, row counts, exact values).
+    The pytest side (`tests/test_sources.py`) covers pushdown; this
+    row puts the format itself under the external correctness gate.
+    The aggregate is eagerly materialized before the temp dir is
+    removed.
+    """
+    import shutil
+    import tempfile
+
+    from spark_etl_pipeline_spark.plans.registry import table
+    from spark_etl_pipeline_spark.sources import read_orc, write_orc
+
+    li = table(spark, sf_dir, "lineitem")
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    try:
+        write_orc(li, f"{tmp}/lineitem")
+        back = read_orc(spark, f"{tmp}/lineitem")
+        out = (
+            back.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.expr("cast(round(l_extendedprice * 100) as bigint)")
+                )
+                .cast("bigint")
+                .alias("price_cents"),
+                F.sum(F.expr("cast(round(l_quantity * 100) as bigint)"))
+                .cast("bigint")
+                .alias("qty_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
