@@ -2035,3 +2035,94 @@ def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mae"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution (exact-integer power iteration)
+# ---------------------------------------------------------------------------
+
+MARKOV_SCALE = 1_000_000_000
+MARKOV_ITERS = 4
+
+
+def _markov_iter_sql(k: int) -> str:
+    prev = f"it{k - 1}"
+    return f"""
+    it{k} AS (
+        SELECT p.next_type AS t, SUM((v.v * p.n) // r.rt) AS v
+        FROM pairs p
+        JOIN {prev} v ON v.t = p.prev_type
+        JOIN rt r ON r.t = p.prev_type
+        GROUP BY p.next_type
+    )"""
+
+
+@register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    rt AS (SELECT prev_type AS t, SUM(n) AS rt FROM pairs GROUP BY prev_type),
+    it0 AS (SELECT t, CAST({MARKOV_SCALE} AS BIGINT) AS v FROM rt),
+    {",".join(_markov_iter_sql(k) for k in range(1, MARKOV_ITERS + 1))}
+    SELECT t AS event_type, CAST(v AS BIGINT) AS stationary_scaled
+    FROM it{MARKOV_ITERS}
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the user journey SETTLES: {MARKOV_ITERS} exact-integer
+    power-iteration steps of the event-type transition matrix
+    (``events_transition_matrix``'s chain) from a uniform start —
+    the long-run occupancy that tells a product team which state
+    actually absorbs attention, which a one-step matrix can't.
+
+    The ``graph_pagerank_suppliers`` discipline applied to a Markov
+    chain: the iterate is a scaled-bigint vector, each step is
+    ``Σ (v·n) div rowtotal`` — associative integer sums and integer
+    division only, bit-identical on any partitioning; the integer
+    formula IS the spec. Each unrolled step is one join + hash
+    aggregate on the |types|²-row pair table — everything after the
+    single per-user window pass is constant-sized.
+    """
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rt = pairs.groupBy(F.col("prev_type").alias("t")).agg(
+        F.sum("n").alias("rt")
+    )
+    v = rt.select("t", F.lit(MARKOV_SCALE).cast("bigint").alias("v"))
+    for _ in range(MARKOV_ITERS):
+        v = (
+            pairs.alias("p")
+            .join(v.alias("v"), F.col("v.t") == F.col("p.prev_type"))
+            .join(F.broadcast(rt).alias("r"), F.col("r.t") == F.col("p.prev_type"))
+            .select(
+                F.col("p.next_type").alias("t"),
+                F.expr("(v * n) div rt").alias("c"),
+            )
+            .groupBy("t")
+            .agg(F.sum("c").alias("v"))
+        )
+    return v.select(
+        F.col("t").alias("event_type"),
+        F.col("v").cast("bigint").alias("stationary_scaled"),
+    )
