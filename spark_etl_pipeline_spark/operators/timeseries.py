@@ -2126,3 +2126,138 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("event_type"),
         F.col("v").cast("bigint").alias("stationary_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment bitmask Venn (bitwise-aggregate set encoding)
+# ---------------------------------------------------------------------------
+
+#: Fixed event-type → bit mapping (alphabetical, the deterministic order).
+_SEGMENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_SEGMENT_CASE_SQL = "CASE event_type " + " ".join(
+    f"WHEN '{t}' THEN {1 << i}" for i, t in enumerate(_SEGMENT_TYPES)
+) + " ELSE 0 END"
+_SEGMENT_NAME_SQL = (
+    "concat_ws('+', "
+    + ", ".join(
+        f"CASE WHEN mask & {1 << i} != 0 THEN '{t}' END"
+        for i, t in enumerate(_SEGMENT_TYPES)
+    )
+    + ")"
+)
+
+
+@register(
+    "events_segment_bitmask",
+    oracle=f"""
+    WITH masks AS (
+        SELECT user_id,
+               bit_or({_SEGMENT_CASE_SQL}) AS mask
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(mask AS INTEGER) AS mask,
+           {_SEGMENT_NAME_SQL} AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM masks GROUP BY mask
+    """,
+)
+def events_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-segment Venn diagram via BITWISE aggregation: each
+    user's activity collapses to one integer bitmask (bit per event
+    type, ``bit_or`` — associative, map-side combinable), and the
+    mask histogram IS the full 2^|types| segment-overlap table that
+    answers "how many users purchase AND hit errors but never click"
+    in one pass. The bitmask encoding is the row-sized stand-in for
+    the roaring-bitmap audience indexes targeting systems build —
+    set algebra becomes integer AND/OR on a single column, no joins,
+    no collect_set arrays shuffling user lists.
+
+    Two aggregates sharing the user_id exchange; output is at most
+    2^{len(_SEGMENT_TYPES)} rows. The human-readable segment label is
+    decoded from the mask by a shared CASE expression.
+    """
+    events = table(spark, sf_dir, "events")
+    masks = events.groupBy("user_id").agg(
+        F.expr(f"bit_or({_SEGMENT_CASE_SQL})").alias("mask")
+    )
+    return masks.groupBy(F.col("mask").cast("int").alias("mask")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    ).select(
+        "mask",
+        F.expr(_SEGMENT_NAME_SQL).alias("segments"),
+        "n_users",
+    )
+
+
+# ---------------------------------------------------------------------------
+# User-lifetime survival curve (CCDF by bounded-window explode)
+# ---------------------------------------------------------------------------
+
+SURVIVAL_MAX_DAYS = 30
+
+
+@register(
+    "events_survival_curve",
+    oracle=f"""
+    WITH lifetime AS (
+        SELECT user_id,
+               datediff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE)))
+                   AS days
+        FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT COUNT(*) AS n_users FROM lifetime),
+    expanded AS (
+        SELECT l.user_id, t.d
+        FROM lifetime l,
+        LATERAL unnest(generate_series(0,
+            CAST(least(l.days, {SURVIVAL_MAX_DAYS}) AS INTEGER))) t(d)
+    )
+    SELECT CAST(e.d AS INTEGER) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_surviving,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_users AS DOUBLE)
+               AS survival_rate
+    FROM expanded e CROSS JOIN tot
+    GROUP BY e.d, tot.n_users
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifetime survival curve: S(d) = share of users still
+    active ≥ d days after their first event (lifetime = first→last
+    event span, capped at {SURVIVAL_MAX_DAYS}) — the engagement CCDF
+    behind LTV models, complementing the day-grain cohort retention
+    MATRIX with one continuous curve.
+
+    The CCDF rewrite avoids both a per-threshold scan and a
+    distinct-over-window: each user's lifetime EXPLODES to the ≤
+    {SURVIVAL_MAX_DAYS}+1 day thresholds it survives (the
+    bounded-window-explode pattern of ``events_active_users``), and
+    one hash aggregate counts survivors per threshold. Exact integer
+    counts; one identical double division against the broadcast user
+    total.
+    """
+    events = table(spark, sf_dir, "events")
+    lifetime = events.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+        ).alias("days")
+    )
+    tot = lifetime.agg(F.count(F.lit(1)).alias("n_users"))
+    expanded = lifetime.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(0, least(days, {SURVIVAL_MAX_DAYS}))")
+        ).alias("d"),
+    )
+    return (
+        expanded.groupBy(F.col("d").cast("int").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_surviving"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_surviving",
+            (
+                F.col("n_surviving").cast("double")
+                / F.col("n_users").cast("double")
+            ).alias("survival_rate"),
+        )
+    )

@@ -54,6 +54,7 @@ NESTED_LOOP_OK = {
     "events_chi2_independence",  # 1-row grand-total broadcast, by design
     "docs_source_divergence",  # 1-row corpus-total broadcast, by design
     "rel_benford_deviation",  # 1-row digit-total broadcast, by design
+    "events_survival_curve",  # 1-row user-total broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
