@@ -2151,23 +2151,24 @@ _SEGMENT_NAME_SQL = (
     "events_segment_bitmask",
     oracle=f"""
     WITH masks AS (
-        SELECT user_id,
+        SELECT user_id, CAST(ts AS DATE) AS day,
                bit_or({_SEGMENT_CASE_SQL}) AS mask
-        FROM events GROUP BY user_id
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
     )
     SELECT CAST(mask AS INTEGER) AS mask,
            {_SEGMENT_NAME_SQL} AS segments,
-           CAST(COUNT(*) AS BIGINT) AS n_users
+           CAST(COUNT(*) AS BIGINT) AS n_user_days
     FROM masks GROUP BY mask
     """,
 )
 def events_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-segment Venn diagram via BITWISE aggregation: each
-    user's activity collapses to one integer bitmask (bit per event
-    type, ``bit_or`` — associative, map-side combinable), and the
-    mask histogram IS the full 2^|types| segment-overlap table that
-    answers "how many users purchase AND hit errors but never click"
-    in one pass. The bitmask encoding is the row-sized stand-in for
+    (user, day)'s activity collapses to one integer bitmask (bit per
+    event type, ``bit_or`` — associative, map-side combinable), and
+    the mask histogram IS the full 2^|types| segment-overlap table
+    that answers "on how many user-days did someone purchase AND hit
+    errors but never click" in one pass (day grain — whole-history
+    masks saturate to all-bits on any active user). The bitmask encoding is the row-sized stand-in for
     the roaring-bitmap audience indexes targeting systems build —
     set algebra becomes integer AND/OR on a single column, no joins,
     no collect_set arrays shuffling user lists.
@@ -2177,15 +2178,15 @@ def events_segment_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded from the mask by a shared CASE expression.
     """
     events = table(spark, sf_dir, "events")
-    masks = events.groupBy("user_id").agg(
+    masks = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.expr(f"bit_or({_SEGMENT_CASE_SQL})").alias("mask")
     )
     return masks.groupBy(F.col("mask").cast("int").alias("mask")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users")
+        F.count(F.lit(1)).cast("bigint").alias("n_user_days")
     ).select(
         "mask",
         F.expr(_SEGMENT_NAME_SQL).alias("segments"),
-        "n_users",
+        "n_user_days",
     )
 
 
