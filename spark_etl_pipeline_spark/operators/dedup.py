@@ -1697,3 +1697,80 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.groupBy(
         F.expr("cast(round((est - exact) * 10.0) as int)").alias("err_bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty-decay curve (first-appearance on shingles)
+# ---------------------------------------------------------------------------
+
+NOVELTY_BUCKET = 50  # doc_ids per curve point
+
+
+@register(
+    "docs_novelty_curve",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    firsts AS (
+        SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    ),
+    per_doc AS (
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                   AS n_novel
+        FROM sh JOIN firsts f ON f.s = sh.s
+        GROUP BY sh.doc_id
+    )
+    SELECT CAST(doc_id // {NOVELTY_BUCKET} AS INTEGER) AS doc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           CAST(SUM(n_novel) AS DOUBLE) / CAST(SUM(n_shingles) AS DOUBLE)
+               AS novelty_rate
+    FROM per_doc
+    GROUP BY doc_id // {NOVELTY_BUCKET}
+    """,
+)
+def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty-decay curve: as the corpus is consumed in doc_id order,
+    what share of each document's shingles has NEVER appeared before?
+    The diminishing-returns read behind "is more of this source still
+    worth ingesting" — novelty collapsing toward zero means the
+    source is re-serving boilerplate and the crawl budget should move.
+
+    The "seen before" state never materializes: a shingle's first
+    appearance is just ``MIN(doc_id)`` per shingle (the
+    first-appearance rewrite of ``events_cumulative_reach``, applied
+    at shingle grain), joined back shingle-keyed and counted per doc,
+    then bucketed to {NOVELTY_BUCKET}-doc curve points. Exact integer
+    counts; one identical division per bucket.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_set(docs)
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.expr(f"cast(doc_id div {NOVELTY_BUCKET} as int)").alias(
+                "doc_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+            (
+                F.sum("n_novel").cast("double")
+                / F.sum("n_shingles").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )

@@ -1548,3 +1548,105 @@ def docs_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_after"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift (per-cluster mean shift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_embedding_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, vec_id % 2 AS half,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, half, t.dim,
+               SUM(CAST(round(v[t.dim] * 1000000) AS BIGINT)) AS s_micro,
+               COUNT(*) AS n
+        FROM e, LATERAL unnest(generate_series(1, len(v))) t(dim)
+        GROUP BY label, half, t.dim
+    ),
+    joined AS (
+        SELECT a.label, a.dim,
+               CAST(a.s_micro AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+               CAST(b.s_micro AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+               a.n AS n_a, b.n AS n_b
+        FROM dims a JOIN dims b
+          ON b.label = a.label AND b.dim = a.dim
+         AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(any_value(n_a) AS BIGINT) AS n_a,
+           CAST(any_value(n_b) AS BIGINT) AS n_b,
+           sqrt(CAST(SUM(CAST(round(power((ma - mb) / 1000000.0, 2)
+                                    * 1000000000000) AS BIGINT)) AS DOUBLE)
+                / 1000000000000.0) AS drift_l2
+    FROM joined GROUP BY label
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT monitor: per cluster (label), the
+    L2 distance between the mean vectors of two corpus halves (vec_id
+    parity — the deterministic stand-in for yesterday's batch vs
+    today's) — the check a retrieval/embedding pipeline runs before
+    trusting that a new encoder build or data drop hasn't moved the
+    space under its index (IVF centroids and LSH planes silently
+    degrade when it has).
+
+    Determinism: per-dimension means come from MICRO-QUANTIZED integer
+    sums (floats summed in partition order are non-associative — the
+    one float-sum trap this codebase never takes), so both engines
+    divide identical exact integers; each dimension's squared
+    mean-shift is rounded to pico-units before the cross-dimension
+    integer sum, and one sqrt finishes. Shape: posexplode to
+    (label, half, dim) cells — 64·|labels|·2 rows out of one
+    map-side-combinable aggregate — then a |labels|-sized join+fold.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", (F.col("vec_id") % 2).alias("half"), _vec().alias("v")
+    )
+    dims = (
+        emb.select(
+            "label", "half", F.posexplode("v").alias("pos", "x")
+        )
+        .groupBy("label", "half", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.sum(F.expr("cast(round(x * 1000000) as bigint)")).alias(
+                "s_micro"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = dims.filter(F.col("half") == 0).alias("a")
+    b = dims.filter(F.col("half") == 1).alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.label") == F.col("a.label")) & (F.col("b.dim") == F.col("a.dim")),
+    ).select(
+        F.col("a.label").alias("label"),
+        (
+            F.col("a.s_micro").cast("double") / F.col("a.n").cast("double")
+        ).alias("ma"),
+        (
+            F.col("b.s_micro").cast("double") / F.col("b.n").cast("double")
+        ).alias("mb"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    return joined.groupBy("label").agg(
+        F.expr("cast(any_value(n_a) as bigint)").alias("n_a"),
+        F.expr("cast(any_value(n_b) as bigint)").alias("n_b"),
+        F.sqrt(
+            F.sum(
+                F.expr(
+                    "cast(round(power((ma - mb) / 1000000.0, 2) "
+                    "* 1000000000000) as bigint)"
+                )
+            ).cast("double")
+            / 1000000000000.0
+        ).alias("drift_l2"),
+    )

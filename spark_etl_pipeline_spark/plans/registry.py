@@ -258,6 +258,8 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "docs_novelty_curve",
+    "sim_embedding_drift",
     "events_segment_bitmask",
     "events_survival_curve",
     "events_markov_stationary",
