@@ -3351,3 +3351,94 @@ def rel_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment
+# ---------------------------------------------------------------------------
+
+ALLOC_UNITS = 1_000_000
+
+
+@register(
+    "rel_budget_allocation",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name,
+               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (SELECT SUM(cents) AS total FROM rev),
+    quota AS (
+        SELECT r.n_name, r.cents,
+               (r.cents * {ALLOC_UNITS}) // t.total AS floor_units,
+               (r.cents * {ALLOC_UNITS}) % t.total AS remainder
+        FROM rev r CROSS JOIN tot t
+    ),
+    shortfall AS (
+        SELECT {ALLOC_UNITS} - SUM(floor_units) AS extra FROM quota
+    ),
+    ranked AS (
+        SELECT q.*, s.extra,
+               row_number() OVER (ORDER BY q.remainder DESC, q.n_name)
+                   AS rnk
+        FROM quota q CROSS JOIN shortfall s
+    )
+    SELECT n_name,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(floor_units + CASE WHEN rnk <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS units
+    FROM ranked
+    """,
+)
+def rel_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split exactly
+    {ALLOC_UNITS} budget units across nations proportional to their
+    exact-cents order revenue — floor the integer quotas, then hand
+    the leftover units to the largest remainders. The defining
+    guarantee is SUM PRESERVATION: the units column totals exactly
+    {ALLOC_UNITS}, which naive per-row ``round(share · units)`` does
+    not (off-by-a-few errors that finance reconciliation rejects).
+
+    Everything is integer arithmetic on exact cents (products ≲1e17 —
+    within bigint), so quotas, remainders, and the remainder ranking
+    are bit-identical cross-engine; ties break on the name. The rank
+    window orders |nations| rows — constant-bounded after one
+    fact-table aggregate; both scalar totals broadcast.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(cents("o_totalprice")).alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cents",
+        F.expr(f"(cents * {ALLOC_UNITS}) div total").alias("floor_units"),
+        F.expr(f"(cents * {ALLOC_UNITS}) % total").alias("remainder"),
+    )
+    shortfall = quota.agg(
+        (F.lit(ALLOC_UNITS) - F.sum("floor_units")).alias("extra")
+    )
+    w = Window.orderBy(F.col("remainder").desc(), "n_name")
+    ranked = quota.crossJoin(F.broadcast(shortfall)).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    return ranked.select(
+        "n_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (
+            F.col("floor_units")
+            + F.when(F.col("rnk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("units"),
+    )

@@ -143,3 +143,20 @@ def test_active_users_matches_pandas(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_budget_allocation_sum_preservation(spark):
+    # The defining Hamilton guarantee: allocated units total EXACTLY the
+    # budget, for every scale factor the suite touches.
+    from spark_etl_pipeline_spark.plans.relational import (
+        ALLOC_UNITS,
+        rel_budget_allocation,
+    )
+    from tests.conftest import SF_CORRECTNESS
+
+    total = (
+        rel_budget_allocation(spark, SF_CORRECTNESS)
+        .agg(F.sum("units").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == ALLOC_UNITS

@@ -55,6 +55,7 @@ NESTED_LOOP_OK = {
     "docs_source_divergence",  # 1-row corpus-total broadcast, by design
     "rel_benford_deviation",  # 1-row digit-total broadcast, by design
     "events_survival_curve",  # 1-row user-total broadcast, by design
+    "rel_budget_allocation",  # 1-row total + 1-row shortfall broadcast, by design
 }
 # rel_join_cross IS the cross-join parity query (tiny sides, on purpose)
 CARTESIAN_OK = {"rel_join_cross"}
