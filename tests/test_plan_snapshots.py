@@ -65,6 +65,35 @@ HEADLINE = [
     "events_delete_propagation",
     "rel_recursive_month_spine",
     "rel_variant_props",
+    "events_mad_outliers",
+    "docs_source_divergence",
+    "events_active_users",
+    "rel_like_filter",
+    "rel_lateral_topn",
+    "events_cusum_drift",
+    "events_ewma",
+    "events_rolling_median",
+    "rel_ship_lag",
+    "rel_supplier_hhi",
+    "events_interarrival",
+    "rel_order_backlog",
+    "docs_shingle_profile",
+    "sim_threshold_profile",
+    "docs_dedup_semantic",
+    "mm_frame_dedup",
+    "events_burst_users",
+    "events_lateness_audit",
+    "dedup_minhash_calibration",
+    "events_holt_forecast",
+    "events_holt_backtest",
+    "events_theilsen_trend",
+    "rel_benford_deviation",
+    "events_markov_stationary",
+    "events_segment_bitmask",
+    "events_survival_curve",
+    "docs_novelty_curve",
+    "sim_embedding_drift",
+    "rel_budget_allocation",
 ]
 
 _NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$")
