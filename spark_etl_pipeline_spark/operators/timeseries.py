@@ -2262,3 +2262,123 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, COUNT(*) AS len,
+               MAX(day) AS streak_end
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           strftime(MAX(streak_end), '%Y-%m-%d') AS last_active_day
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user (longest streak,
+    streak count, last active day) — the engagement-mechanics metric
+    behind "7-day streak" product features and habit-formation
+    cohorting.
+
+    The classic GAPS-AND-ISLANDS rewrite: subtracting each activity
+    day's per-user row_number from the day itself is constant WITHIN a
+    consecutive run and jumps at every gap, so the difference IS the
+    island key — two window-free aggregates after one per-user window
+    pass, no self-joins, no recursive walks. Day-grain presence bounds
+    every intermediate.
+    """
+    events = table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.max("day").alias("streak_end")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.date_format(F.max("streak_end"), "yyyy-MM-dd").alias(
+            "last_active_day"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# User behavioral diversity (Gini impurity of the type mix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_diversity",
+    oracle="""
+    WITH mix AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    per_user AS (
+        SELECT user_id,
+               SUM(n) AS total,
+               1.0 - CAST(SUM(n * n) AS DOUBLE)
+                     / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+                   AS impurity
+        FROM mix GROUP BY user_id
+    )
+    SELECT CAST(floor(impurity * 10.0) AS INTEGER) AS impurity_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(total) AS BIGINT) AS n_events
+    FROM per_user GROUP BY 1
+    """,
+)
+def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity histogram: per user, the Gini impurity of
+    their event-type mix (1 − Σ share² — the log-free diversity
+    measure, same trade as ``mm_payload_impurity``), bucketed into 0.1
+    bins — separates single-behavior accounts (impurity→0: scrapers,
+    single-purpose bots) from full-funnel humans in one read.
+
+    Two map-side-combinable aggregates; the impurity is one identical
+    double expression over exact integer counts (Σn and Σn² reduce
+    associatively), so the bin edges are deterministic cross-engine.
+    """
+    events = table(spark, sf_dir, "events")
+    mix = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_user = mix.groupBy("user_id").agg(
+        F.sum("n").alias("total"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n").cast("double") * F.sum("n").cast("double"))
+        ).alias("impurity"),
+    )
+    return per_user.groupBy(
+        F.floor(F.col("impurity") * 10.0).cast("int").alias("impurity_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("total").cast("bigint").alias("n_events"),
+    )
