@@ -2336,39 +2336,43 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_user_diversity",
     oracle="""
     WITH mix AS (
-        SELECT user_id, event_type, COUNT(*) AS n
-        FROM events GROUP BY user_id, event_type
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE), event_type
     ),
-    per_user AS (
-        SELECT user_id,
+    per_day AS (
+        SELECT user_id, day,
                SUM(n) AS total,
                1.0 - CAST(SUM(n * n) AS DOUBLE)
                      / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
                    AS impurity
-        FROM mix GROUP BY user_id
+        FROM mix GROUP BY user_id, day
     )
     SELECT CAST(floor(impurity * 10.0) AS INTEGER) AS impurity_bin,
-           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
            CAST(SUM(total) AS BIGINT) AS n_events
-    FROM per_user GROUP BY 1
+    FROM per_day GROUP BY 1
     """,
 )
 def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral-diversity histogram: per user, the Gini impurity of
-    their event-type mix (1 − Σ share² — the log-free diversity
-    measure, same trade as ``mm_payload_impurity``), bucketed into 0.1
-    bins — separates single-behavior accounts (impurity→0: scrapers,
-    single-purpose bots) from full-funnel humans in one read.
+    """Behavioral-diversity histogram: per USER-DAY, the Gini
+    impurity of the event-type mix (1 − Σ share² — the log-free
+    diversity measure, same trade as ``mm_payload_impurity``),
+    bucketed into 0.1 bins — separates single-behavior sessions
+    (impurity→0: scrapers, single-purpose bots) from full-funnel
+    activity in one read. Day grain on purpose: whole-history mixes
+    converge to the global blend and the histogram collapses to one
+    bin (measured) — the discriminating signal lives at session/day
+    granularity.
 
     Two map-side-combinable aggregates; the impurity is one identical
     double expression over exact integer counts (Σn and Σn² reduce
     associatively), so the bin edges are deterministic cross-engine.
     """
     events = table(spark, sf_dir, "events")
-    mix = events.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    per_user = mix.groupBy("user_id").agg(
+    mix = events.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_day = mix.groupBy("user_id", "day").agg(
         F.sum("n").alias("total"),
         (
             F.lit(1.0)
@@ -2376,9 +2380,9 @@ def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n").cast("double") * F.sum("n").cast("double"))
         ).alias("impurity"),
     )
-    return per_user.groupBy(
+    return per_day.groupBy(
         F.floor(F.col("impurity") * 10.0).cast("int").alias("impurity_bin")
     ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_user_days"),
         F.sum("total").cast("bigint").alias("n_events"),
     )
