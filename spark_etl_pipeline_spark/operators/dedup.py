@@ -1774,3 +1774,81 @@ def docs_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity sweep
+# ---------------------------------------------------------------------------
+
+SWEEP_THRESHOLDS = ("0.5", "0.6", "0.7", "0.8", "0.9")
+
+_SWEEP_COLS_SQL = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+    f" AS n_ge_{t.replace('.', '_')}"
+    for t in SWEEP_THRESHOLDS
+)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+        SELECT doc_id, {_MH_MINS_DUCK}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {_BANDS_DUCK}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND x.s = y.s
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (za.n + zb.n - COALESCE(i.i, 0)) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes za ON za.doc_id = c.doc_a
+        JOIN sizes zb ON zb.doc_id = c.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           {_SWEEP_COLS_SQL}
+    FROM scored
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity in ONE pass: how many candidate pairs
+    survive at Jaccard ≥ 0.5 / 0.6 / 0.7 / 0.8 / 0.9 — the sweep a
+    dedup owner reads next to ``sim_threshold_profile`` before moving
+    the production cut (each count is the pair volume — and therefore
+    the CC/purge blast radius — that threshold would commit to).
+
+    Candidates and exact Jaccard are computed ONCE (same bucketed
+    plan as ``dedup_minhash_lsh``, no threshold); the five thresholds
+    are conditional sums inside a single aggregate — five sweeps for
+    the price of one scan, instead of re-running the pipeline per
+    setting. The shared threshold literals guarantee identical double
+    comparisons cross-engine.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shingles = shingle_set(docs)
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(shingles)))
+    scored = jaccard_verified(pairs, shingles)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_candidates")] + [
+        F.sum(F.when(F.col("jaccard") >= float(t), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_ge_{t.replace('.', '_')}")
+        for t in SWEEP_THRESHOLDS
+    ]
+    return scored.agg(*aggs)

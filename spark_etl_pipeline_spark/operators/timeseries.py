@@ -2386,3 +2386,63 @@ def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_user_days"),
         F.sum("total").cast("bigint").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning daily split (first-appearance partition)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                         THEN 1 ELSE 0 END) AS BIGINT) AS new_user_events,
+           CAST(SUM(CASE WHEN CAST(e.ts AS DATE) > f.first_day
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_user_events,
+           CAST(COUNT(DISTINCT CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                                    THEN e.user_id END) AS BIGINT)
+               AS new_users
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY CAST(e.ts AS DATE)
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: events from users on their FIRST
+    active day vs any later day, plus the new-user count — the
+    growth-vs-retention decomposition every daily dashboard leads
+    with.
+
+    First-appearance rewrite again (``events_cumulative_reach``'s
+    family): one per-user MIN(day) aggregate, joined back user-keyed
+    (co-partitioned with the event scan's natural key, AQE-
+    broadcastable at small user counts), conditional sums on the
+    comparison — no window over the raw stream, no per-day distinct
+    scans. All outputs exact integers.
+    """
+    events = table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    j = events.join(firsts, "user_id").select(
+        F.to_date("ts").alias("day"), "user_id", "first_day"
+    )
+    return j.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_user_events"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returning_user_events"),
+        F.countDistinct(
+            F.when(F.col("day") == F.col("first_day"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("new_users"),
+    )
