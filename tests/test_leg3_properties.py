@@ -160,3 +160,69 @@ def test_budget_allocation_sum_preservation(spark):
         .collect()[0]["s"]
     )
     assert total == ALLOC_UNITS
+
+
+def _fold_series(spark, xs, fold_sql):
+    df = spark.createDataFrame([([float(v) for v in xs],)], "xs array<double>")
+    return df.selectExpr(f"{fold_sql} AS r").collect()[0]["r"]
+
+
+def test_ewma_fold_matches_pandas_ewm(spark):
+    # pandas ewm(adjust=False) implements the identical recursion
+    # (seeded with x1) — an independent reference implementation.
+    rng = random.Random(11)
+    xs = [float(rng.randrange(0, 100_000)) for _ in range(25)]
+    alpha = 0.3
+    fold = (
+        "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+        f"(acc, x) -> CAST({alpha} AS DOUBLE) * x "
+        f"+ (CAST(1 AS DOUBLE) - CAST({alpha} AS DOUBLE)) * acc)"
+    )
+    got = _fold_series(spark, xs, fold)
+    expected = (
+        pd.Series(xs).ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+    )
+    assert got == expected
+
+
+def test_cusum_fold_matches_python_loop(spark):
+    rng = random.Random(13)
+    xs = [rng.randrange(0, 100_000) for _ in range(30)]
+    target, slack = 50_000, 5_000
+    fold = (
+        "aggregate(xs, CAST(0 AS BIGINT), (acc, x) -> "
+        f"greatest(CAST(0 AS BIGINT), acc + CAST(x AS BIGINT)"
+        f" - {target} - {slack}))"
+    )
+    df = spark.createDataFrame([(xs,)], "xs array<bigint>")
+    got = df.selectExpr(f"{fold} AS r").collect()[0]["r"]
+    acc = 0
+    for x in xs:
+        acc = max(0, acc + x - target - slack)
+    assert got == acc
+
+
+def test_holt_fold_matches_python_loop(spark):
+    rng = random.Random(17)
+    xs = [float(rng.randrange(0, 100_000)) for _ in range(20)]
+    a, b = 0.3, 0.2
+    lam = (
+        f"(acc, x) -> named_struct("
+        f"'l', CAST({a} AS DOUBLE) * x + (CAST(1 AS DOUBLE) - CAST({a} AS DOUBLE)) * (acc.l + acc.t), "
+        f"'t', CAST({b} AS DOUBLE) * ((CAST({a} AS DOUBLE) * x"
+        f" + (CAST(1 AS DOUBLE) - CAST({a} AS DOUBLE)) * (acc.l + acc.t)) - acc.l)"
+        f" + (CAST(1 AS DOUBLE) - CAST({b} AS DOUBLE)) * acc.t)"
+    )
+    fold = (
+        f"aggregate(slice(xs, 3, size(xs) - 2), "
+        f"named_struct('l', element_at(xs, 1), "
+        f"'t', element_at(xs, 2) - element_at(xs, 1)), {lam})"
+    )
+    df = spark.createDataFrame([(xs,)], "xs array<double>")
+    got = df.selectExpr(f"{fold} AS st").collect()[0]["st"]
+    l, t = xs[0], xs[1] - xs[0]
+    for x in xs[2:]:
+        nl = a * x + (1 - a) * (l + t)
+        nt = b * (nl - l) + (1 - b) * t
+        l, t = nl, nt
+    assert (got["l"], got["t"]) == (l, t)
