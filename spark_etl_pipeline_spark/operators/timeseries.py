@@ -2446,3 +2446,72 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("new_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion lag: first event -> first purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_conversion_lag",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) AS first_seen,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS first_purchase
+        FROM events GROUP BY user_id
+    ),
+    lags AS (
+        SELECT user_id,
+               CAST(floor((epoch_us(first_purchase) - epoch_us(first_seen))
+                          / 3600000000.0) AS BIGINT) AS lag_hours
+        FROM firsts WHERE first_purchase IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(MIN(lag_hours) AS BIGINT) AS min_hours,
+           quantile_cont(CAST(lag_hours AS DOUBLE), 0.5) AS p50_hours,
+           quantile_cont(CAST(lag_hours AS DOUBLE), 0.9) AS p90_hours,
+           CAST(MAX(lag_hours) AS BIGINT) AS max_hours
+    FROM lags
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: whole hours between each user's
+    FIRST event of any kind and their FIRST purchase (converted users
+    only) — the activation-speed metric that decides onboarding-nudge
+    timing and how long an attribution window must stay open.
+
+    Both firsts come out of ONE user-keyed aggregate (conditional MIN
+    — no second scan, no ordered window); lags are exact integer
+    hours from microsecond epoch math (NTZ-safe cast), and the
+    percentiles ride the verified ``percentile``/``quantile_cont``
+    pairing over the converted-user subset.
+    """
+    events = table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("first_us"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("unix_micros(cast(ts as timestamp))"),
+            )
+        ).alias("purchase_us"),
+    )
+    lags = firsts.filter(F.col("purchase_us").isNotNull()).select(
+        F.floor(
+            (F.col("purchase_us") - F.col("first_us")) / 3600000000.0
+        ).alias("lag_hours")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("lag_hours").cast("bigint").alias("min_hours"),
+        F.expr("percentile(cast(lag_hours as double), 0.5)").alias(
+            "p50_hours"
+        ),
+        F.expr("percentile(cast(lag_hours as double), 0.9)").alias(
+            "p90_hours"
+        ),
+        F.max("lag_hours").cast("bigint").alias("max_hours"),
+    )

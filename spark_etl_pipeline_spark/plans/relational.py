@@ -3442,3 +3442,101 @@ def rel_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("units"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (migration / backfill diff)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_snapshot_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        FROM lineitem WHERE l_orderkey % 97 != 0
+    ),
+    b AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_orderkey % 89 = 0
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT) + 1
+                    ELSE CAST(round(l_extendedprice * 100) AS BIGINT) END
+                   AS price_cents
+        FROM lineitem
+    )
+    SELECT CAST(SUM(CASE WHEN a.l_orderkey IS NOT NULL
+                          AND b.l_orderkey IS NOT NULL
+                          AND a.price_cents = b.price_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(SUM(CASE WHEN a.l_orderkey IS NOT NULL
+                          AND b.l_orderkey IS NOT NULL
+                          AND a.price_cents != b.price_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN a.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN b.l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed
+    FROM a FULL OUTER JOIN b
+      ON b.l_orderkey = a.l_orderkey AND b.l_linenumber = a.l_linenumber
+    """,
+)
+def rel_snapshot_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every keyed row across two
+    table versions as unchanged / changed / added / removed — the
+    acceptance gate of every migration, backfill, or engine swap
+    ("the new pipeline's output differs from the old one WHERE,
+    exactly?"). Snapshot B is derived in-plan from snapshot A with
+    deterministic synthetic drift (keys dropped by one modulus =
+    additions seen from A's side; prices bumped by another = changes)
+    so the classifier's four counts are all exercised and
+    oracle-pinned.
+
+    One FULL OUTER join on the composite key (both sides shuffle on
+    the same key — or neither, bucketed) and one conditional-sum
+    aggregate; the diff never materializes row payloads beyond the
+    compared columns. At 100 TB compare md5 row-hashes instead of raw
+    columns — same plan shape, constant row width.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 97 != 0).select(
+        "l_orderkey", "l_linenumber", cents("l_extendedprice").alias("price_cents")
+    )
+    b = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_orderkey") % 89 == 0, cents("l_extendedprice") + 1
+        )
+        .otherwise(cents("l_extendedprice"))
+        .alias("price_cents"),
+    )
+    j = a.alias("a").join(
+        b.alias("b"),
+        (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber")),
+        "full_outer",
+    )
+    both = F.col("a.l_orderkey").isNotNull() & F.col("b.l_orderkey").isNotNull()
+    return j.agg(
+        F.sum(
+            F.when(
+                both & (F.col("a.price_cents") == F.col("b.price_cents")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+        F.sum(
+            F.when(
+                both & (F.col("a.price_cents") != F.col("b.price_cents")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("a.l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("b.l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
