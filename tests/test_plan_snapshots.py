@@ -94,6 +94,12 @@ HEADLINE = [
     "docs_novelty_curve",
     "sim_embedding_drift",
     "rel_budget_allocation",
+    "events_activity_streaks",
+    "events_user_diversity",
+    "events_new_vs_returning",
+    "dedup_threshold_sweep",
+    "rel_snapshot_reconcile",
+    "events_conversion_lag",
 ]
 
 _NODE_RE = re.compile(r"^[\s:+\-*]*([A-Za-z][A-Za-z0-9 ]*?)\s*\(\d+\)\s*$")
