@@ -1187,3 +1187,60 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_udtf_docs d, LATERAL engine_chunks_udtf(d.text, {UDTF_CHUNK}) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (cost-of-language metric)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+                   AS bpe_tokens,
+               len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe_tokens) AS DOUBLE) / CAST(SUM(ws_tokens) AS DOUBLE)
+               AS fertility
+    FROM counts GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword (BPE-shaped) tokens
+    per whitespace word — the cost-of-language number multilingual
+    training actually budgets with (a language at fertility 2.5 pays
+    2.5× the context and compute per word of a fertility-1.1 one;
+    mixture weights and per-language token budgets are set off this
+    table, pairing with ``docs_mixture_sample``'s temperature
+    sampler).
+
+    Composes the two verified per-row counters
+    (``text_bpe_token_count``'s dialect-neutral regex + the shared
+    whitespace tokenizer) into one map-side-combinable per-language
+    aggregate; exact integer sums, one identical division.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "lang",
+        F.expr(
+            f"size(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0))"
+        ).alias("bpe_tokens"),
+        F.expr(f"size({TOKENS_SPARK})").alias("ws_tokens"),
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+        (
+            F.sum("bpe_tokens").cast("double")
+            / F.sum("ws_tokens").cast("double")
+        ).alias("fertility"),
+    )

@@ -258,6 +258,7 @@ _EMIT_LAST = (
     # representative, the one deferred r3 row, then the round-4 green
     # rows.
     # --- fourth wave (newest round-6 code, leads everything) ---
+    "text_tokenizer_fertility",
     "rel_snapshot_reconcile",
     "events_conversion_lag",
     "events_new_vs_returning",
