@@ -12,7 +12,12 @@ pointing this at their existing ``etl_config.json``:
 
 Differences from the reference, all deliberate:
 - one scan instead of 9 (CASE WHEN family normalization),
-- explicit config path instead of SparkFiles discovery,
+- explicit ``--config`` path preferred, with the reference's
+  SparkFiles ``*config.json`` scan as the fallback (reference
+  dependencies/spark.py:92-112) so the reference's exact submit line
+  — ``spark-submit --files configs/etl_config.json
+  jobs/clickstream_job.py`` with no ``--config`` flag — works
+  unchanged,
 - partitioned parquet output (partitionBy TRANSACTION_DATE) so
   downstream readers prune,
 - the JDBC read is partitioned when bounds are configured.
@@ -24,9 +29,41 @@ import argparse
 import sys
 
 
+def discover_config(spark) -> str | None:
+    """Reference-parity config discovery for ``--files`` submits.
+
+    The reference ships its config to executors/driver with
+    ``spark-submit --files configs/etl_config.json`` and then scans
+    ``SparkFiles.getRootDirectory()`` for any ``*config.json``
+    (reference dependencies/spark.py:92-112). Same behavior here: first
+    match in sorted order wins, so a user's exact submit line — no
+    ``--config`` flag — works unchanged. Returns None when nothing was
+    staged, which is an argparse error upstream.
+    """
+    import os
+
+    from pyspark import SparkFiles
+
+    root = SparkFiles.getRootDirectory()
+    try:
+        names = sorted(os.listdir(root))
+    except OSError:
+        return None
+    for name in names:
+        if name.endswith("config.json"):
+            return os.path.join(root, name)
+    return None
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--config", required=True, help="job config JSON path")
+    parser.add_argument(
+        "--config",
+        help=(
+            "job config JSON path; omit to discover a --files-staged "
+            "*config.json the way the reference job does"
+        ),
+    )
     parser.add_argument(
         "--dry-run",
         action="store_true",
@@ -51,9 +88,18 @@ def main(argv: list[str] | None = None) -> int:
         write_parquet,
     )
 
-    cfg = load_config(args.config)
     spark = get_spark("clickstream_etl")
     log = Log4j(spark)
+
+    config_path = args.config
+    if config_path is None:
+        config_path = discover_config(spark)
+        if config_path is None:
+            parser.error(
+                "--config not given and no *config.json staged via --files"
+            )
+        log.info(f"discovered staged config: {config_path}")
+    cfg = load_config(config_path)
 
     logs = read_parquet(spark, cfg["file"]["load"]["path"])
     # dim source: MySQL in production (reference parity); a parquet

@@ -505,8 +505,9 @@ _REACHABILITY_ORACLE = f"""
 @register("graph_reachability", oracle=_REACHABILITY_ORACLE)
 def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall blast-radius: min-hop BFS distance from every part of a
-    recalled brand ({BFS_SEED_BRAND}) through the co-purchase graph,
-    bounded at {BFS_HOPS} hops — "how much of the catalog is within N
+    recalled brand (Brand#11, ``BFS_SEED_BRAND``) through the
+    co-purchase graph, bounded at 3 hops (``BFS_HOPS``) — "how much of
+    the catalog is within N
     degrees of the recall" is the standard contamination / exposure
     question, summarized as (hop, n_parts, exact-cents retail value).
 

@@ -329,7 +329,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload resize/thumbnail (1→1 mapInPandas): each binary payload
-    downsampled to ≤ {T} bytes by byte-stride (deterministic fake for
+    downsampled to ≤ {RESIZE_TARGET_BYTES} bytes by byte-stride (deterministic fake for
     an image resize — real plumbing, see ``resize_payload``)."""
     docs = table(spark, sf_dir, "documents")
     return resize_payload(attach_payload(docs))

@@ -629,7 +629,7 @@ RARE_BIGRAM_MIN_COUNT = 3  # corpus occurrences below this = "rare"
 )
 def text_rare_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-grounded fluency signal: the fraction of each document's
-    word bigrams that are RARE corpus-wide (< {MIN} occurrences) — the
+    word bigrams that are RARE corpus-wide (< {RARE_BIGRAM_MIN_COUNT} occurrences) — the
     integer-exact stand-in for an n-gram LM perplexity score (a sum of
     float log-probs would be summation-order-dependent across engines;
     a count ratio is one division of identical integers).
@@ -857,7 +857,7 @@ TFIDF_TOP_TERMS = 3
     """,
 )
 def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{K} most-distinctive terms per document by TF-IDF-style
+    """Top-3 (``TFIDF_TOP_TERMS``) most-distinctive terms per document by TF-IDF-style
     relevance — ``tf · N / df`` (the log-free monotone form, for the
     same cross-engine ulp reason as ``text_pmi_bigrams``; rankings are
     identical). The per-doc distinctive-term profile feeds topic
@@ -973,9 +973,10 @@ _BM25_MICRO = f"""cast(round(
     """,
 )
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval: top-{K} documents for a fixed query-term
-    set — the lexical half of every retrieval / RAG-corpus pipeline
-    (Robertson-Sparck Jones BM25 with k1={K1}, b={B}; log-free idf, see
+    """BM25 ranked retrieval: top-15 (``BM25_TOP_DOCS``) documents for
+    a fixed query-term set — the lexical half of every retrieval /
+    RAG-corpus pipeline (Robertson-Sparck Jones BM25 with k1=1.2,
+    b=0.75; log-free idf, see
     the score constant's comment).
 
     Determinism: every input to the float score is an exact integer

@@ -1395,28 +1395,27 @@ EWMA_ALPHA = "0.3"  # shared SQL literal → identical double in both engines
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               SUM(CAST(round(value * 100) AS BIGINT))
+                   - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS} AS y
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
-    series AS (
-        SELECT event_type, list(cents ORDER BY day) AS xs
-        FROM daily GROUP BY event_type
+    pref AS (
+        SELECT event_type, day,
+               SUM(y) OVER (PARTITION BY event_type ORDER BY day) AS p
+        FROM daily
+    ),
+    stat AS (
+        SELECT event_type, day,
+               p - least(CAST(0 AS BIGINT),
+                         MIN(p) OVER (PARTITION BY event_type
+                                      ORDER BY day)) AS s
+        FROM pref
     )
     SELECT event_type,
-           CAST(len(xs) AS BIGINT) AS n_days,
-           CAST(list_reduce(
-               list_prepend(CAST(0 AS BIGINT), xs),
-               (acc, x) -> greatest(CAST(0 AS BIGINT),
-                   acc + x - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS})
-           ) AS BIGINT) AS cusum_final,
-           CAST(list_max(
-               [list_reduce(
-                    list_prepend(CAST(0 AS BIGINT), xs[1:i]),
-                    (acc, x) -> greatest(CAST(0 AS BIGINT),
-                        acc + x - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS}))
-                FOR i IN generate_series(1, len(xs))]
-           ) AS BIGINT) AS cusum_max
-    FROM series
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(max_by(s, day) AS BIGINT) AS cusum_final,
+           CAST(MAX(s) AS BIGINT) AS cusum_max
+    FROM stat GROUP BY event_type
     """,
 )
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,43 +1425,40 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits the final statistic and the running maximum — the alarm
     level a monitor would page on.
 
-    CUSUM is a SEQUENTIAL recurrence — not expressible as a window
-    aggregate — but the series is DAY-GRAIN per type, so after one
-    map-side-combinable daily aggregate the per-type series is a
-    bounded array: ``collect_list`` sorted by day, then the recurrence
-    runs as an ``aggregate()`` left fold INSIDE one JVM expression
-    (DuckDB mirrors it with ``list_reduce``). All arithmetic is exact
-    integer cents — associative aggregation below, identical
-    sequential fold above: hash-exact. The running max re-folds each
-    prefix (O(n²) on an n≤31-element array — constant-bounded; a
-    longer horizon would carry (S, max) as a fold state struct
-    instead). At 100 TB the daily aggregate sees the data; the folds
-    see |types| × |days| cells.
+    CUSUM looks like a sequential recurrence, but it has an exact
+    closed form over prefix sums of the slack-adjusted series
+    y_t = x_t − target − slack: with P_t = Σ_{{i≤t}} y_i and P_0 = 0,
+    S_t = P_t − min_{{0≤j≤t}} P_j (the same prefix-minimum identity
+    behind Kadane's maximum-subarray algorithm). That turns the whole
+    statistic into two ordinary running window aggregates — a running
+    SUM and a running MIN — so the horizon is UNBOUNDED: no
+    collect_list array, no per-prefix re-fold, O(n) per key on any
+    number of days, and a multi-year series never materializes as one
+    value. All arithmetic is exact integer cents, so the
+    partition-order daily aggregate below and the window scan above
+    are hash-exact across engines. At 100 TB the map-side-combinable
+    daily aggregate sees the data; the windows see |types| × |days|
+    rows.
     """
     events = table(spark, sf_dir, "events")
+    adj = CUSUM_TARGET_CENTS + CUSUM_SLACK_CENTS
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
-    series = daily.groupBy("event_type").agg(
-        F.expr("sort_array(collect_list(struct(day, cents)))").alias("sc")
+    ).agg((F.sum(F.expr(_CENTS)) - F.lit(adj)).alias("y"))
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    step = (
-        f"(acc, x) -> greatest(cast(0 as bigint), "
-        f"acc + x - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS})"
+    stat = daily.withColumn("p", F.sum("y").over(run)).withColumn(
+        "s",
+        F.col("p")
+        - F.least(F.lit(0).cast("bigint"), F.min("p").over(run)),
     )
-    return series.select(
-        "event_type",
-        F.expr("cast(size(sc) as bigint)").alias("n_days"),
-        F.expr(
-            f"aggregate(transform(sc, s -> s.cents), cast(0 as bigint), {step})"
-        ).alias("cusum_final"),
-        F.expr(
-            f"""cast(array_max(transform(
-                    sequence(1, size(sc)),
-                    i -> aggregate(transform(slice(sc, 1, i), s -> s.cents),
-                                   cast(0 as bigint), {step})
-                )) as bigint)"""
-        ).alias("cusum_max"),
+    return stat.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr("cast(max_by(s, day) as bigint)").alias("cusum_final"),
+        F.max("s").cast("bigint").alias("cusum_max"),
     )
 
 

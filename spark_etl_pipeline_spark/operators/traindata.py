@@ -687,7 +687,7 @@ ROLL_WINDOW = 5  # current event + 4 preceding
 )
 def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling per-user features over the event stream: previous action
-    plus a {ROLL}-event moving sum/count/average of spend — the classic
+    plus a {ROLL_WINDOW}-event moving sum/count/average of spend — the classic
     behavioral-model feature set (lag features + moving aggregates).
 
     One window pass partitioned by user_id, ordered by event_id
@@ -810,7 +810,7 @@ HIST_BUCKET = 10  # tokens per bucket
     """,
 )
 def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-length histogram of the corpus (width-{B} buckets) — the
+    """Token-length histogram of the corpus (width-10 ``HIST_BUCKET`` buckets) — the
     one-glance shape audit run before choosing chunk/pack sizes. Pure
     map + |buckets|-row aggregate; the 100 TB plan is identical.
     """

@@ -58,13 +58,39 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _render_doc(fn: Builder) -> str:
+    """Render a builder's docstring for the registry's ``doc`` field.
+
+    Docstrings reference their module's spec constants as ``{CONST}``
+    fields (and escape literal braces as ``{{...}}``) — f-string style,
+    but a plain string so ``__doc__`` survives. Rendering happens here,
+    once, at registration: known UPPER_CASE module globals are
+    interpolated, doubled braces unescape, anything unresolvable is
+    left verbatim (never an error).
+    """
+    import re
+
+    doc = (fn.__doc__ or "").strip()
+    consts = {
+        k: v
+        for k, v in fn.__globals__.items()
+        if k.isupper() and isinstance(v, (int, float, str))
+    }
+    doc = re.sub(
+        r"(?<!\{)\{([A-Z][A-Z0-9_]*)\}(?!\})",
+        lambda m: str(consts.get(m.group(1), m.group(0))),
+        doc,
+    )
+    return doc.replace("{{", "{").replace("}}", "}")
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
     """Decorator: add a (spark, sf_dir) -> DataFrame builder to the registry."""
 
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, (fn.__doc__ or "").strip())
+        REGISTRY[name] = QuerySpec(name, fn, oracle, _render_doc(fn))
         return fn
 
     return deco
@@ -170,94 +196,47 @@ def load_all() -> None:
 #:
 #: The driver's correctness gate checks the first ~50 entries in emission
 #: order, so ordering is a verification-coverage decision, not cosmetics.
-#: Round-6 rotation: the window (first 50) is (a) the 30 round-6
-#: additions — never had a driver row, highest priority; (b) ONE
-#: representative of the four queries whose builders went through the
-#: round-6 jaccard_verified refactor: all four route candidate
-#: verification through the same refactored ``jaccard_verified_sets``
-#: helper, so ``dedup_minhash_lsh`` driver-green exercises the shared
-#: change (``docs_dedup_store``, already in the window, covers the
-#: incremental probe path; the other three — r5-green, locally
-#: parity-verified — lead _EMIT_LAST for r7); and (c) 19 of the 20
-#: queries whose newest driver row is r3 — at the rotation contract's
-#: maximum. The one r3 row deferred is ``text_lang_id``: its in-window
-#: sibling ``text_lang_id_ngram`` shares the marker-vote/tokenization
-#: core, so the shared path still gets an r6 row. The r4-green rows
-#: follow in _EMIT_LAST as r7 front-runners; the r5/r6-green sets are
-#: the freshest rows, safe to clip.
 #:
-#: The round-6 THIRD leg added further queries after this window was
-#: frozen (BFS reachability through semantic dedup — the "fourth wave"
-#: opening _EMIT_LAST, everything before ``graph_triangles``): never
-#: driver-verified, locally parity-verified; they MUST open the r7
-#: window, newest first.
+#: ROTATION CONTRACT (round-7 revision). The registry froze at 222
+#: queries after round 6; with a 50-row driver window a full sweep takes
+#: ceil(222/50) = 5 rounds, so the contract below guarantees every query
+#: a fresh driver CORRECTNESS row at least once per 5 rounds — provided
+#: the set stays frozen (new queries only when a judge ask requires one,
+#: and each new query displaces a freshest-row query from its scheduled
+#: window, never a stale one).
+#:
+#: Schedule (cohorts listed in emission order below; each window = the
+#: first 50 names at that round):
+#:
+#: - **r7 (this window, _EMIT_FIRST)**: the 50 highest-priority
+#:   never-driver-checked queries — the 47 round-6 fourth-wave additions
+#:   (newest code first) plus the first 3 third-wave rows
+#:   (``graph_triangles``, ``docs_dedup_passages``, ``dq_audit``).
+#: - **r8**: the remaining 30 never-checked third-wave rows
+#:   (``stream_join_drain`` … ``rel_calendar_spine``, head of
+#:   _EMIT_LAST) + the first 20 of the r≤4-stale cohort, starting with
+#:   ``text_lang_id`` (r3 — oldest row in the repo) and the r4 TPC-H /
+#:   window / dedup-primitive rows through ``dedup_components``.
+#: - **r9**: the remaining 23 r4-stale rows (``mm_frame_sample`` …
+#:   ``rel_sort_limit``) + the 27 oldest r5-green rows
+#:   (``rel_asof_join`` … ``q22_dormant_customers``).
+#: - **r10**: the remaining 22 r5-green rows + the 28 oldest r6-green
+#:   rows.
+#: - **r11**: the remaining 22 r6-green rows + the oldest r7-green rows
+#:   — steady state from here: strict oldest-driver-row-first order,
+#:   re-sorted each round from the CORRECTNESS_r*.json history.
+#:
+#: Two standing exceptions to strict age order: (a) a query whose
+#: builder (or a shared helper under it) was refactored since its last
+#: driver row jumps to the next window regardless of age; (b) a cohort
+#: may be reordered within its window to front-load the least-trivial
+#: plans (graph / recurrence / streaming) so a mid-window driver failure
+#: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- new in round 6 (second leg) ---
-    "events_gap_fill",
-    "events_sessionize",
-    "events_period_over_period",
-    "text_pmi_bigrams",
-    "docs_tfidf_topk",
-    # --- new in round 6 (first leg) ---
-    "sim_ivf_kmeans",
-    "stream_sliding_drain",
-    "stream_session_drain",
-    "events_value_deciles",
-    "events_heavy_hitters",
-    "rel_window_range_time",
-    "rel_corr_stats",
-    "events_feature_assembly",
-    "stream_rollup_drain",
-    "mm_audio_window",
-    "stream_profiles_drain",
-    "text_normalize",
-    "sim_embedding_store",
-    "docs_split_leakage_safe",
-    "docs_shard_shuffle",
-    "docs_token_budget_select",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_suppliers",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "stream_tumbling_drain",
-    "docs_dedup_store",
-    "dedup_containment_onesided",
-    # --- jaccard_verified_sets refactor representative ---
-    "dedup_minhash_lsh",
-    # --- newest driver row is r3: three rounds old, must lead ---
-    "docs_length_histogram",
-    "docs_pack_sequences",
-    "events_rolling_features",
-    "events_user_sequences",
-    "events_weighted_sample",
-    "mm_resize",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "sim_kmeans",
-    "sim_topk_cosine",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_lang_id_ngram",
-    "text_lang_stats_pandas",
-    "text_pii_scrub",
-    "text_token_stats",
-    "text_train_test_split",
-    "text_vocab_topk",
-)
-
-_EMIT_LAST = (
-    # r7 front-runners, in priority order: the late round-6 additions
-    # that no longer fit the 50-row window (never driver-verified —
-    # locally parity-verified; they must OPEN the r7 window; the
-    # third-wave additions — triangles through top-paths — lead even
-    # the second-wave ones because they are the newest code), the three
-    # jaccard-refactor queries deferred behind their in-window
-    # representative, the one deferred r3 row, then the round-4 green
-    # rows.
-    # --- fourth wave (newest round-6 code, leads everything) ---
+    # --- r7 window: 50 never-driver-checked queries, newest code first.
+    # Fourth wave (round-6 third leg): BFS reachability, BM25, recurrence
+    # family (CUSUM/EWMA/Holt/Theil-Sen/Markov), semantic dedup, ORC,
+    # Python data source, UDTF, real-stream pysource drain ... ---
     "text_tokenizer_fertility",
     "rel_snapshot_reconcile",
     "events_conversion_lag",
@@ -305,10 +284,15 @@ _EMIT_LAST = (
     "docs_bm25_topk",
     "events_chi2_independence",
     "events_delete_propagation",
-    # --- third wave ---
     "graph_triangles",
     "docs_dedup_passages",
     "dq_audit",
+)
+
+_EMIT_LAST = (
+    # --- r8 cohort, part A: the 30 remaining never-driver-checked
+    # third-wave rows (locally parity-verified; graph + streaming drains
+    # lead). ---
     "stream_join_drain",
     "events_attribution",
     "events_transition_matrix",
@@ -339,13 +323,9 @@ _EMIT_LAST = (
     "events_funnel_windowed",
     "rel_rfm_segmentation",
     "rel_calendar_spine",
-    # rel_asof_join's shared helper grew direction support in round 6
-    # (backward path restructured but expression-identical, parity- and
-    # hypothesis-pinned) — re-verify right behind the new queries.
-    "rel_asof_join",
-    "dedup_ngram_jaccard",
-    "docs_dedup_incremental",
-    "docs_dedup_corpus",
+    # --- r8 cohort, part B head / r9 tail: the 43 rows whose newest
+    # driver row is r4 or older. ``text_lang_id`` (r3) leads; r8 takes
+    # this block through ``dedup_components``; r9 takes the rest. ---
     "text_lang_id",
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -389,6 +369,12 @@ _EMIT_LAST = (
     "rel_cube",
     "rel_pivot",
     "rel_sort_limit",
+    # --- r9 tail through r11: driver-green r5 rows (oldest first),
+    # then r6 rows — freshest evidence, safe to clip. ---
+    "rel_asof_join",
+    "dedup_ngram_jaccard",
+    "docs_dedup_incremental",
+    "docs_dedup_corpus",
     "rel_range_join",
     "rel_percentiles",
     "rel_sql_exists",
@@ -401,7 +387,6 @@ _EMIT_LAST = (
     "rel_grouping_sets",
     "rel_set_ops",
     "profile_orders",
-    # Round-5 driver-green: freshest rows on record, safe to clip.
     "text_rare_bigram_ratio",
     "dedup_containment",
     "docs_curation_pipeline",
@@ -435,6 +420,56 @@ _EMIT_LAST = (
     "stream_session_windows",
     "stream_time_rollup",
     "stream_interval_join",
+    "events_gap_fill",
+    "events_sessionize",
+    "events_period_over_period",
+    "text_pmi_bigrams",
+    "docs_tfidf_topk",
+    "sim_ivf_kmeans",
+    "stream_sliding_drain",
+    "stream_session_drain",
+    "events_value_deciles",
+    "events_heavy_hitters",
+    "rel_window_range_time",
+    "rel_corr_stats",
+    "events_feature_assembly",
+    "stream_rollup_drain",
+    "mm_audio_window",
+    "stream_profiles_drain",
+    "text_normalize",
+    "sim_embedding_store",
+    "docs_split_leakage_safe",
+    "docs_shard_shuffle",
+    "docs_token_budget_select",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_suppliers",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "stream_tumbling_drain",
+    "docs_dedup_store",
+    "dedup_containment_onesided",
+    "dedup_minhash_lsh",
+    "docs_length_histogram",
+    "docs_pack_sequences",
+    "events_rolling_features",
+    "events_user_sequences",
+    "events_weighted_sample",
+    "mm_resize",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "sim_kmeans",
+    "sim_topk_cosine",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id_ngram",
+    "text_lang_stats_pandas",
+    "text_pii_scrub",
+    "text_token_stats",
+    "text_train_test_split",
+    "text_vocab_topk",
 )
 
 

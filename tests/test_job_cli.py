@@ -57,6 +57,31 @@ def test_job_runs_config_driven(spark, tmp_path):
     assert got == EXPECTED
 
 
+def test_job_discovers_files_staged_config(spark, tmp_path, capsys):
+    """Reference submit-line parity: ``--files etl_config.json`` and NO
+    ``--config`` flag — the job must scan SparkFiles' root directory for
+    ``*config.json`` exactly like reference dependencies/spark.py:92-112."""
+    import clickstream_job
+
+    logs_path = str(tmp_path / "logs")
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(LOGS, LOG_SCHEMA).write.parquet(logs_path)
+    spark.createDataFrame(DIM, DIM_SCHEMA).write.parquet(dim_path)
+    cfg_path = tmp_path / "etl_config.json"
+    cfg_path.write_text(json.dumps({
+        "transform": {"default": [154992], "type1": [-48],
+                      "type2": [155138], "type3": [4550]},
+        "mysql": {"insert": False},
+        "file": {"write": False, "load": {"path": logs_path},
+                 "dim_path": dim_path, "save": {"path": str(tmp_path / 'o')}},
+    }))
+    # local-mode equivalent of `spark-submit --files etl_config.json`
+    spark.sparkContext.addFile(str(cfg_path))
+
+    assert clickstream_job.main(["--dry-run"]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+
 def test_job_dry_run(spark, tmp_path, capsys):
     import clickstream_job
 

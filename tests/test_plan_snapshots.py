@@ -65,8 +65,8 @@ HEADLINE = [
     "events_delete_propagation",
     "rel_recursive_month_spine",
     "rel_variant_props",
-    "events_mad_outliers",
-    "docs_source_divergence",
+    "text_tokenizer_fertility",
+    "rel_basket_rules",
     "events_active_users",
     "rel_like_filter",
     "rel_lateral_topn",
