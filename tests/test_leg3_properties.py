@@ -226,3 +226,49 @@ def test_holt_fold_matches_python_loop(spark):
         nt = b * (nl - l) + (1 - b) * t
         l, t = nl, nt
     assert (got["l"], got["t"]) == (l, t)
+
+
+def test_cusum_prefix_identity_matches_recurrence_end_to_end(spark, tmp_path):
+    """The round-7 CUSUM rewrite replaces the per-prefix re-fold with
+    the prefix-sum identity S_t = P_t - min_{j<=t} P_j. Drive the
+    REGISTERED OPERATOR (not just the expression) on a random events
+    table and check (final, running-max) against the plain recurrence
+    on per-day sums — multi-key, random day gaps, random multiplicity.
+    """
+    from spark_etl_pipeline_spark.operators.timeseries import (
+        CUSUM_SLACK_CENTS,
+        CUSUM_TARGET_CENTS,
+        events_cusum_drift,
+    )
+
+    rng = random.Random(71)
+    rows = []
+    for etype in ("alpha", "beta", "gamma"):
+        for _ in range(rng.randrange(40, 120)):
+            day = rng.randrange(1, 28)
+            rows.append(
+                (etype, f"2024-03-{day:02d} 12:00:00", rng.randrange(0, 2000) / 100.0)
+            )
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: (r["n_days"], r["cusum_final"], r["cusum_max"])
+        for r in events_cusum_drift(spark, str(tmp_path)).collect()
+    }
+
+    adj = CUSUM_TARGET_CENTS + CUSUM_SLACK_CENTS
+    daily: dict[tuple[str, str], int] = {}
+    for etype, ts, value in rows:
+        key = (etype, ts[:10])
+        daily[key] = daily.get(key, 0) + round(value * 100)
+    by_type: dict[str, list[int]] = {}
+    for (etype, day) in sorted(daily):
+        by_type.setdefault(etype, []).append(daily[(etype, day)])
+    for etype, xs in by_type.items():
+        s = mx = 0
+        for x in xs:
+            s = max(0, s + x - adj)
+            mx = max(mx, s)
+        assert got[etype] == (len(xs), s, mx), etype

@@ -250,3 +250,53 @@ def test_like_filters_reach_the_scan(spark):
     plan = plan_of(spark, "rel_like_filter")
     assert "StringContains" in plan
     assert "StringStartsWith" in plan
+
+
+def test_signature_store_probe_never_rescans_base_corpus(spark, tmp_path):
+    """The 100 TB claim of the materialized signature store is that a
+    delta ingest probes PARQUET SIGNATURES, not the corpus: once the
+    base is hashed into the store, no probe plan may ever scan (let
+    alone re-shingle) the base documents again. Pin that property: the
+    probe's physical plan must read exactly the two store tables —
+    bands once, shingles twice (one lookup per SIDE of each candidate
+    pair: doc_a's array and doc_b's array) — and touch no other
+    parquet file.
+    """
+    from spark_etl_pipeline_spark.operators.dedup import (
+        build_signature_store,
+        probe_signature_store,
+    )
+    from spark_etl_pipeline_spark.plans.registry import table
+
+    store = str(tmp_path / "sigstore")
+    base = table(spark, SF_CORRECTNESS, "documents").filter("doc_id % 4 != 0")
+    build_signature_store(base, store)
+
+    # synthetic delta: NOT derived from documents.parquet, so any
+    # documents scan in the probe plan is a base-corpus rescan.
+    delta = spark.createDataFrame(
+        [(9_000_001, "the quick brown fox jumps over the lazy dog " * 8)],
+        "doc_id long, text string",
+    )
+    # default 100-char metadata truncation drops the Location path the
+    # assertions below count on
+    saved = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = (
+            probe_signature_store(spark, store, delta)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", saved)
+    assert "documents.parquet" not in plan, "probe rescans the base corpus"
+    assert plan.count("sigstore/bands") == 1, (
+        f"bands table scanned {plan.count('sigstore/bands')}x, want exactly 1"
+    )
+    assert plan.count("sigstore/shingles") == 2, (
+        f"shingles table scanned {plan.count('sigstore/shingles')}x, "
+        "want exactly 2 (doc_a-side and doc_b-side pair lookups)"
+    )
+    assert "CartesianProduct" not in plan
