@@ -45,6 +45,17 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--names", nargs="*", help="explicit query names instead of the window"
     )
+    parser.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help=(
+            "extra session conf, repeatable — e.g. "
+            "--conf spark.sql.shuffle.partitions=3 to prove results are "
+            "partitioning-invariant (the driver's session confs are unknown)"
+        ),
+    )
     args = parser.parse_args(argv)
 
     import duckdb
@@ -53,12 +64,15 @@ def main(argv: list[str] | None = None) -> int:
     sys.path.insert(0, ".")
     import __spark_entry__ as entry
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
     )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     from spark_etl_pipeline_spark.plans.registry import TABLES
 
     duck = duckdb.connect()
