@@ -6,8 +6,11 @@ reference that shares NO formulation with either the Spark builder or
 the DuckDB oracle — the same second-axis discipline as
 ``test_leg3_properties.py``, extended to the round-7 driver-window
 statistics: Theil–Sen trend, Markov stationary distribution, survival
-curve. All three are exact-arithmetic designs (integer cents / scaled
-bigints / integer counts), so comparisons are equality, not tolerance.
+curve, chi-squared independence, activity streaks, new-vs-returning,
+segment bitmask, burst detection, and the Benford first-digit screen.
+All are exact-arithmetic designs (integer cents / scaled bigints /
+integer counts / micro-unit-rounded cells), so comparisons are
+equality, not tolerance.
 """
 
 from __future__ import annotations
@@ -146,4 +149,184 @@ def test_survival_curve_matches_lifetime_ccdf(spark, events_dir):
         n = sum(1 for lt in lifetimes if min(lt, SURVIVAL_MAX_DAYS) >= d)
         if n:
             expected[d] = (n, n / float(n_users))
+    assert got == expected
+
+
+def _round_half_up(x: float) -> int:
+    # mirrors Spark's round() on doubles: BigDecimal.valueOf (shortest
+    # decimal rendering) then HALF_UP — not Python's bankers' rounding
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def test_chi2_independence_matches_contingency_python(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.profile import events_chi2_independence
+
+    sf_dir, rows = events_dir
+    got = {
+        r["event_type"]: (r["n"], r["chi2_micro"])
+        for r in events_chi2_independence(spark, sf_dir).collect()
+    }
+
+    cells: dict[tuple[str, int], int] = {}
+    for _eid, ts, _uid, etype, _v, _p in rows:
+        key = (etype, ts.isoweekday())
+        cells[key] = cells.get(key, 0) + 1
+    rtot: dict[str, int] = {}
+    ctot: dict[int, int] = {}
+    for (etype, dow), o in cells.items():
+        rtot[etype] = rtot.get(etype, 0) + o
+        ctot[dow] = ctot.get(dow, 0) + o
+    gtot = sum(cells.values())
+    expected: dict[str, tuple[int, int]] = {}
+    for etype in rtot:
+        n = rtot[etype]
+        chi2 = 0
+        for (et, dow), o in cells.items():
+            if et != etype:
+                continue
+            e = float(rtot[et]) * float(ctot[dow]) / float(gtot)
+            chi2 += _round_half_up((float(o) - e) ** 2 / e * 1_000_000)
+        expected[etype] = (n, chi2)
+    assert got == expected
+
+
+def test_activity_streaks_matches_gaps_islands_python(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_activity_streaks
+
+    sf_dir, rows = events_dir
+    got = {
+        r["user_id"]: (r["longest_streak"], r["n_streaks"], r["last_active_day"])
+        for r in events_activity_streaks(spark, sf_dir).collect()
+    }
+
+    days: dict[int, set] = {}
+    for _eid, ts, uid, _t, _v, _p in rows:
+        days.setdefault(uid, set()).add(ts.date())
+    expected = {}
+    for uid, ds in days.items():
+        sds = sorted(ds)
+        streaks = [1]
+        for a, b in zip(sds, sds[1:]):
+            if (b - a).days == 1:
+                streaks[-1] += 1
+            else:
+                streaks.append(1)
+        expected[uid] = (max(streaks), len(streaks), sds[-1].strftime("%Y-%m-%d"))
+    assert got == expected
+
+
+def test_new_vs_returning_matches_first_day_partition(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_new_vs_returning
+
+    sf_dir, rows = events_dir
+    got = {
+        r["day"]: (r["new_user_events"], r["returning_user_events"], r["new_users"])
+        for r in events_new_vs_returning(spark, sf_dir).collect()
+    }
+
+    first: dict[int, str] = {}
+    for _eid, ts, uid, _t, _v, _p in rows:
+        d = ts.strftime("%Y-%m-%d")
+        if uid not in first or d < first[uid]:
+            first[uid] = d
+    expected: dict[str, list] = {}
+    for _eid, ts, uid, _t, _v, _p in rows:
+        d = ts.strftime("%Y-%m-%d")
+        cur = expected.setdefault(d, [0, 0, set()])
+        if d == first[uid]:
+            cur[0] += 1
+            cur[2].add(uid)
+        else:
+            cur[1] += 1
+    assert got == {d: (a, b, len(s)) for d, (a, b, s) in expected.items()}
+
+
+def test_segment_bitmask_matches_python_bit_or(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import (
+        _SEGMENT_TYPES,
+        events_segment_bitmask,
+    )
+
+    sf_dir, rows = events_dir
+    got = {
+        r["mask"]: (r["segments"], r["n_user_days"])
+        for r in events_segment_bitmask(spark, sf_dir).collect()
+    }
+
+    bit = {t: 1 << i for i, t in enumerate(_SEGMENT_TYPES)}
+    masks: dict[tuple[int, str], int] = {}
+    for _eid, ts, uid, etype, _v, _p in rows:
+        key = (uid, ts.strftime("%Y-%m-%d"))
+        masks[key] = masks.get(key, 0) | bit.get(etype, 0)
+    hist: dict[int, int] = {}
+    for m in masks.values():
+        hist[m] = hist.get(m, 0) + 1
+    expected = {
+        m: ("+".join(t for t in _SEGMENT_TYPES if m & bit[t]), n)
+        for m, n in hist.items()
+    }
+    assert got == expected
+
+
+def test_burst_users_matches_minute_rate_python(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import (
+        BURST_THRESHOLD,
+        events_burst_users,
+    )
+
+    sf_dir, rows = events_dir
+    got = {
+        r["user_id"]: (r["peak_per_minute"], r["n_events"], r["n_active_minutes"])
+        for r in events_burst_users(spark, sf_dir).collect()
+    }
+
+    per_min: dict[tuple[int, str], int] = {}
+    for _eid, ts, uid, _t, _v, _p in rows:
+        key = (uid, ts.strftime("%Y-%m-%d %H:%M"))
+        per_min[key] = per_min.get(key, 0) + 1
+    by_user: dict[int, list[int]] = {}
+    for (uid, _m), n in per_min.items():
+        by_user.setdefault(uid, []).append(n)
+    expected = {
+        uid: (max(ns), sum(ns), len(ns))
+        for uid, ns in by_user.items()
+        if max(ns) >= BURST_THRESHOLD
+    }
+    assert got == expected
+
+
+def test_benford_matches_digit_histogram_python(spark, tmp_path):
+    from spark_etl_pipeline_spark.plans.relational import rel_benford_deviation
+
+    rng = random.Random(31)
+    # log-uniform-ish totals so every first digit appears
+    totals = [
+        round(10 ** rng.uniform(1, 5), 2) for _ in range(4000)
+    ]
+    spark.createDataFrame(
+        [(t,) for t in totals], "o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["first_digit"]: (r["n"], r["share"], r["deviation_micro"])
+        for r in rel_benford_deviation(spark, str(tmp_path)).collect()
+    }
+
+    import math
+
+    counts: dict[int, int] = {}
+    for t in totals:
+        if t > 0:
+            d = int(str(round(t * 100))[0])
+            counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    expected = {}
+    for d, n in counts.items():
+        share = float(n) / float(total)
+        bexp = math.log10(1.0 + 1.0 / d)
+        # the operator embeds the Benford constants as shortest-roundtrip
+        # literals; float(repr()) round-trips to the same double
+        expected[d] = (n, share, _round_half_up(abs(share - bexp) * 1_000_000))
     assert got == expected
