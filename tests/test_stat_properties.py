@@ -7,7 +7,9 @@ the DuckDB oracle — the same second-axis discipline as
 ``test_leg3_properties.py``, extended to the round-7 driver-window
 statistics: Theil–Sen trend, Markov stationary distribution, survival
 curve, chi-squared independence, activity streaks, new-vs-returning,
-segment bitmask, burst detection, and the Benford first-digit screen.
+segment bitmask, burst detection, the Benford first-digit screen,
+inter-arrival percentiles, MAD outliers, the lateness audit, and the
+Holt walk-forward backtest.
 All are exact-arithmetic designs (integer cents / scaled bigints /
 integer counts / micro-unit-rounded cells), so comparisons are
 equality, not tolerance.
@@ -329,4 +331,127 @@ def test_benford_matches_digit_histogram_python(spark, tmp_path):
         # the operator embeds the Benford constants as shortest-roundtrip
         # literals; float(repr()) round-trips to the same double
         expected[d] = (n, share, _round_half_up(abs(share - bexp) * 1_000_000))
+    assert got == expected
+
+
+def _spark_percentile(sorted_vals: list[float], q: float) -> float:
+    # Spark's exact Percentile: position = (n-1)*q, then
+    # lower*(higher-pos) + higher*(pos-lower) — NOT lo + frac*(hi-lo);
+    # the operand order matters for bit-exactness.
+    import math
+
+    pos = (len(sorted_vals) - 1) * q
+    lo, hi = math.floor(pos), math.ceil(pos)
+    if lo == hi:
+        return float(sorted_vals[lo])
+    return float(sorted_vals[lo]) * (hi - pos) + float(sorted_vals[hi]) * (pos - lo)
+
+
+def test_interarrival_matches_python_gaps(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_interarrival
+
+    sf_dir, rows = events_dir
+    got = {
+        r["event_type"]: (r["n_gaps"], r["p50_gap_s"], r["p90_gap_s"])
+        for r in events_interarrival(spark, sf_dir).collect()
+    }
+
+    by_key: dict[tuple[str, int], list] = {}
+    epoch = datetime(1970, 1, 1)
+    for eid, ts, uid, etype, _v, _p in rows:
+        us = int((ts - epoch).total_seconds() * 1_000_000)
+        by_key.setdefault((etype, uid), []).append((us, eid))
+    gaps: dict[str, list[int]] = {}
+    for (etype, _uid), seq in by_key.items():
+        seq.sort()
+        for (a, _), (b, _) in zip(seq, seq[1:]):
+            gaps.setdefault(etype, []).append(b - a)
+    expected = {}
+    for etype, gs in gaps.items():
+        gs.sort()
+        expected[etype] = (
+            len(gs),
+            _spark_percentile(gs, 0.5) / 1_000_000.0,
+            _spark_percentile(gs, 0.9) / 1_000_000.0,
+        )
+    assert got == expected
+
+
+def test_mad_outliers_matches_python_double_median(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_mad_outliers
+
+    sf_dir, rows = events_dir
+    got = {
+        r["event_type"]: (r["n"], r["n_outliers"], r["mad_value"])
+        for r in events_mad_outliers(spark, sf_dir).collect()
+    }
+
+    cents: dict[str, list[int]] = {}
+    for _eid, _ts, _uid, etype, value, _p in rows:
+        cents.setdefault(etype, []).append(round(value * 100))
+    expected = {}
+    for etype, cs in cents.items():
+        med = _spark_percentile(sorted(cs), 0.5)
+        ads = sorted(abs(float(c) - med) for c in cs)
+        mad = _spark_percentile(ads, 0.5)
+        n_out = sum(1 for ad in ads if ad > 3.0 * mad)
+        expected[etype] = (len(cs), n_out, mad / 100.0)
+    assert got == expected
+
+
+def test_lateness_audit_matches_python_frontier(spark, events_dir):
+    import math
+
+    from spark_etl_pipeline_spark.operators.timeseries import events_lateness_audit
+
+    sf_dir, rows = events_dir
+    got = {
+        (r["event_type"], r["late_minutes_bucket"]): r["n"]
+        for r in events_lateness_audit(spark, sf_dir).collect()
+    }
+
+    epoch = datetime(1970, 1, 1)
+    by_type: dict[str, list] = {}
+    for eid, ts, _uid, etype, _v, _p in rows:
+        us = int((ts - epoch).total_seconds() * 1_000_000)
+        by_type.setdefault(etype, []).append((eid, us))
+    expected: dict[tuple[str, int], int] = {}
+    for etype, seq in by_type.items():
+        seq.sort()
+        frontier = -1
+        for _eid, us in seq:
+            frontier = max(frontier, us)
+            bucket = min(math.floor((frontier - us) / 60_000_000.0), 60)
+            key = (etype, bucket)
+            expected[key] = expected.get(key, 0) + 1
+    assert got == expected
+
+
+def test_holt_backtest_matches_python_walkforward(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_holt_backtest
+
+    sf_dir, rows = events_dir
+    got = {
+        r["event_type"]: (r["n_days"], r["n_forecasts"], r["mae"])
+        for r in events_holt_backtest(spark, sf_dir).collect()
+    }
+
+    daily = _daily_cents(rows)
+    by_type: dict[str, list[float]] = {}
+    for (etype, day) in sorted(daily):
+        by_type.setdefault(etype, []).append(float(daily[(etype, day)]))
+    expected = {}
+    for etype, xs in by_type.items():
+        if len(xs) < 3:
+            continue
+        a, b = 0.3, 0.2
+        lvl, trend, err = xs[0], xs[1] - xs[0], 0.0
+        for x in xs[2:]:
+            forecast = lvl + trend
+            err = err + float(_round_half_up(abs(x - forecast)))
+            new_lvl = a * x + (1.0 - a) * (lvl + trend)
+            trend = b * (new_lvl - lvl) + (1.0 - b) * trend
+            lvl = new_lvl
+        n = len(xs)
+        expected[etype] = (n, n - 2, err / float(n - 2) / 100.0)
     assert got == expected
