@@ -511,37 +511,42 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees of the recall" is the standard contamination / exposure
     question, summarized as (hop, n_parts, exact-cents retail value).
 
-    Frontier-expansion BFS with a SHRINKING frontier, unrolled:
-    frontier_k = distinct neighbors of frontier_{{k-1}} ANTI-joined
-    against the visited set — a node's FIRST appearance is at its true
-    BFS distance (its distance-(k-1) neighbor is in the previous
-    frontier), and pruning re-visits changes nothing about first
-    appearances, so stacking the per-round frontiers with their round
-    number IS the distance map, no MIN aggregate needed. The pruning is
-    what makes the plan scale: on a dense graph the naive cumulative
-    frontier goes catalog-sized after one hop and rounds 2..H each pay
-    a full edge-table join; the anti-join keeps later rounds
-    proportional to the NEW nodes only. (At sf0.1 both forms measure
-    ~3.6s in a same-session A/B — the shared co-purchase edge
-    derivation dominates — the pruning is the asymptotic insurance for
-    deeper horizons and denser graphs, not a bench win here.) Each
-    round is one hash join + distinct + node-scale
-    anti-join; frontiers are ``localCheckpoint``-ed per round (the
-    visited set is reused by two consumers per round — same bounded-
-    lineage discipline as connected components). Everything output is
-    exact-integer (counts, cents), so the oracle hash-matches with zero
-    float tolerance.
+    Frontier-expansion BFS over the BIPARTITE incidence, not a
+    materialized edge table: a co-purchase edge is "two parts share an
+    order", so one part-hop is exactly frontier parts → their orders →
+    those orders' parts (two hash joins on the linear (order, part)
+    incidence list). The round-6 form first materialized the pairwise
+    edge table — |basket|² pairs per order — and BFS-joined it; the
+    round-7 rewrite never builds pairs at all, which is the difference
+    between linear-in-lineitem and quadratic-in-basket-size work (a
+    single hot basket of 10⁶ items is 10¹² pairs in the edge form and
+    2×10⁶ join rows here). Same-session A/B at sf0.1: edge-table BFS
+    [4.26, 3.50, 3.52] s vs bipartite [2.73, 2.71, 2.64] s, identical
+    output. The pair-edge derivation (``copurchase_edges``) still
+    backs the operators that genuinely count pair structures
+    (triangles / k-core / clustering coefficient).
+
+    Each round keeps the SHRINKING-frontier discipline: new frontier =
+    bipartite neighbors ANTI-joined against the visited set — a node's
+    FIRST appearance is at its true BFS distance, so stacking the
+    per-round frontiers with their round number IS the distance map,
+    no MIN aggregate needed; later rounds cost proportional to NEW
+    nodes only. Frontiers are ``localCheckpoint``-ed per round (the
+    visited set has two consumers per round — same bounded-lineage
+    discipline as connected components). Everything output is
+    exact-integer (counts, cents), so the oracle hash-matches with
+    zero float tolerance.
 
     No reference twin — extension surface (the reference has no graph
     operators); follows the same unrolled message-passing shape as
     :func:`graph_pagerank_suppliers`.
     """
     part = table(spark, sf_dir, "part")
-    edges = copurchase_edges(spark, sf_dir)
+    op = copurchase_items(spark, sf_dir)
     seeds = part.filter(F.col("p_brand") == BFS_SEED_BRAND).select(
         F.col("p_partkey").alias("node")
     )
-    dist = bfs_hops(edges, seeds, BFS_HOPS)
+    dist = bfs_hops_bipartite(op, seeds, BFS_HOPS)
     return (
         dist.join(part, part["p_partkey"] == dist["node"])
         .groupBy(F.col("hop").cast("int").alias("hop"))
@@ -554,12 +559,43 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bfs_hops_bipartite(
+    op: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Min-hop BFS distance over the co-membership graph IMPLIED by a
+    bipartite ``op(ok, pk)`` incidence list (two parts are adjacent iff
+    they share an ``ok``), from a ``seeds(node)`` set, bounded at
+    ``max_hops``. Returns ``(node, hop)``. One part-hop = two joins on
+    the incidence list — pairwise edges are never materialized; see
+    :func:`graph_reachability` for the scale argument and A/B.
+    """
+    frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
+    seen = frontier
+    dist = frontier.select("node", F.lit(0).alias("hop"))
+    for k in range(1, max_hops + 1):
+        orders = (
+            op.join(frontier, op["pk"] == frontier["node"])
+            .select("ok")
+            .distinct()
+        )
+        frontier = (
+            op.join(orders, "ok")
+            .select(F.col("pk").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+        dist = dist.unionByName(frontier.select("node", F.lit(k).alias("hop")))
+    return dist
+
+
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """Min-hop BFS distance over a CANONICAL undirected edge list
     (columns ``a`` < ``b``) from a ``seeds(node)`` set, bounded at
-    ``max_hops``. Returns ``(node, hop)`` — the unit-testable core of
-    :func:`graph_reachability`; see there for the shrinking-frontier
-    argument.
+    ``max_hops``. Returns ``(node, hop)`` — the explicit-edge twin of
+    :func:`bfs_hops_bipartite` for graphs that arrive AS edge lists;
+    same shrinking-frontier discipline.
     """
     ed = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")

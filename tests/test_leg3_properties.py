@@ -272,3 +272,33 @@ def test_cusum_prefix_identity_matches_recurrence_end_to_end(spark, tmp_path):
             s = max(0, s + x - adj)
             mx = max(mx, s)
         assert got[etype] == (len(xs), s, mx), etype
+
+
+def test_bipartite_bfs_matches_python_bfs(spark):
+    """The round-7 bipartite BFS (frontier -> orders -> parts, no edge
+    materialization) must produce the same min-hop map as a Python BFS
+    over the implied co-membership graph, on a random incidence list."""
+    from spark_etl_pipeline_spark.operators.graph import bfs_hops_bipartite
+
+    rng = random.Random(47)
+    inc = sorted(
+        {(rng.randrange(40), rng.randrange(60)) for _ in range(250)}
+    )
+    edges = sorted(
+        {
+            (min(p, q), max(p, q))
+            for ok1, p in inc
+            for ok2, q in inc
+            if ok1 == ok2 and p != q
+        }
+    )
+    seeds = [1, 7]
+    expected = _python_bfs(edges, seeds, 3)
+
+    op = spark.createDataFrame(inc, "ok long, pk long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops_bipartite(op, sdf, 3).collect()
+    }
+    assert got == expected
