@@ -300,3 +300,18 @@ def test_signature_store_probe_never_rescans_base_corpus(spark, tmp_path):
         "want exactly 2 (doc_a-side and doc_b-side pair lookups)"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_prefix_form_single_exchange_no_arrays(spark):
+    """The round-7 CUSUM rewrite's contract: the prefix-sum identity
+    runs as two running windows over the daily aggregate — ONE data
+    exchange (the event_type/day aggregate; the windows and final
+    rollup reuse the event_type partitioning), and NO collect_list
+    array build (ObjectHashAggregate), so the horizon is unbounded.
+    """
+    plan = plan_of(spark, "events_cusum_drift")
+    assert "ObjectHashAggregate" not in plan, "array fold crept back in"
+    import re
+
+    n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exchanges <= 2, f"{n_exchanges} exchanges; expected <=2"
