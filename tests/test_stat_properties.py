@@ -455,3 +455,102 @@ def test_holt_backtest_matches_python_walkforward(spark, events_dir):
         n = len(xs)
         expected[etype] = (n, n - 2, err / float(n - 2) / 100.0)
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    """A random documents table whose vocabulary includes the BM25
+    query terms, several languages, mixed-case + digits + punctuation
+    so the BPE regex has real work."""
+    rng = random.Random(211)
+    vocab = [
+        "spark", "window", "merge", "stream", "the", "quick", "brown",
+        "Fox", "jumps", "OVER", "lazy", "dog", "42", "3.14", "hello,",
+        "world!", "data", "Pipeline", "shuffle", "join",
+    ]
+    langs = ["en", "de", "fr"]
+    rows = []
+    for doc_id in range(300):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(5, 60))]
+        text = " ".join(words)
+        rows.append((doc_id, text, rng.choice(langs), "synthetic", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = tmp_path_factory.mktemp("docs_props")
+    df.write.parquet(str(out / "documents.parquet"))
+    return str(out), rows
+
+
+def test_tokenizer_fertility_matches_python_regex(spark, docs_dir):
+    import re
+
+    from spark_etl_pipeline_spark.operators.text import (
+        BPE_PATTERN,
+        text_tokenizer_fertility,
+    )
+
+    sf_dir, rows = docs_dir
+    got = {
+        r["lang"]: (r["n_docs"], r["bpe_tokens"], r["ws_tokens"], r["fertility"])
+        for r in text_tokenizer_fertility(spark, sf_dir).collect()
+    }
+
+    agg: dict[str, list[int]] = {}
+    for _doc_id, text, lang, _src, _n in rows:
+        bpe = len(re.findall(BPE_PATTERN, text.lower()))
+        ws = len(re.split(r"\s+", text.strip()))
+        cur = agg.setdefault(lang, [0, 0, 0])
+        cur[0] += 1
+        cur[1] += bpe
+        cur[2] += ws
+    expected = {
+        lang: (n, b, w, float(b) / float(w)) for lang, (n, b, w) in agg.items()
+    }
+    assert got == expected
+
+
+def test_bm25_topk_matches_python_scoring(spark, docs_dir):
+    import re
+
+    from spark_etl_pipeline_spark.operators.text import (
+        BM25_TERMS,
+        BM25_TOP_DOCS,
+        docs_bm25_topk,
+    )
+
+    sf_dir, rows = docs_dir
+    got = [
+        (r["doc_id"], r["n_terms"], r["score_micro"])
+        for r in docs_bm25_topk(spark, sf_dir).collect()
+    ]
+
+    toks = {
+        doc_id: re.split(r"\s+", text.strip()) for doc_id, text, *_ in rows
+    }
+    n_docs = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    tf: dict[tuple[int, str], int] = {}
+    for doc_id, ts in toks.items():
+        for w in ts:
+            if w in BM25_TERMS:
+                tf[(doc_id, w)] = tf.get((doc_id, w), 0) + 1
+    df_t: dict[str, int] = {}
+    for (_d, w) in tf:
+        df_t[w] = df_t.get(w, 0) + 1
+    k1, b = 1.2, 0.75
+    scores: dict[int, list[int]] = {}
+    for (doc_id, w), f in tf.items():
+        idf = (float(n_docs) - float(df_t[w]) + 0.5) / (float(df_t[w]) + 0.5)
+        num = float(f) * (k1 + 1.0)
+        den = float(f) + k1 * (
+            1.0 - b + b * (float(len(toks[doc_id])) / (float(sum_dl) / float(n_docs)))
+        )
+        scores.setdefault(doc_id, []).append(
+            _round_half_up(idf * num / den * 1_000_000)
+        )
+    ranked = sorted(
+        ((doc_id, len(ms), sum(ms)) for doc_id, ms in scores.items()),
+        key=lambda t: (-t[2], t[0]),
+    )[:BM25_TOP_DOCS]
+    assert got == ranked
