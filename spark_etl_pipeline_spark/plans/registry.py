@@ -216,8 +216,9 @@ def load_all() -> None:
 #:   (``stream_join_drain`` … ``rel_calendar_spine``, head of
 #:   _EMIT_LAST) + the first 20 of the r≤4-stale cohort, starting with
 #:   ``text_lang_id`` (r3 — oldest row in the repo) and the r4 TPC-H /
-#:   window / dedup-primitive rows through ``dedup_components``.
-#: - **r9**: the remaining 23 r4-stale rows (``mm_frame_sample`` …
+#:   window / dedup-primitive rows through ``etl_upsert_merge`` (the
+#:   20th stale row; `tools/plan_rotation.py` derives the exact cut).
+#: - **r9**: the remaining 23 r4-stale rows (``text_decontaminate`` …
 #:   ``rel_sort_limit``) + the 27 oldest r5-green rows
 #:   (``rel_asof_join`` … ``q22_dormant_customers``).
 #: - **r10**: the remaining 22 r5-green rows + the 28 oldest r6-green
@@ -325,7 +326,8 @@ _EMIT_LAST = (
     "rel_calendar_spine",
     # --- r8 cohort, part B head / r9 tail: the 43 rows whose newest
     # driver row is r4 or older. ``text_lang_id`` (r3) leads; r8 takes
-    # this block through ``dedup_components``; r9 takes the rest. ---
+    # this block through ``etl_upsert_merge`` (20 rows); r9 takes the
+    # rest. ---
     "text_lang_id",
     "q1_pricing_summary",
     "q6_forecast_revenue",
