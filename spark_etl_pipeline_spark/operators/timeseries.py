@@ -1564,8 +1564,11 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the percentile rides the verified
     ``percentile``/``quantile_cont`` pairing, with one identical
     double division to seconds at the end. Window partitions are
-    per-user slices — corpus-size-independent; the percentile
-    aggregate sorts within each type group only.
+    per-user slices — corpus-size-independent. The exact ``percentile``
+    buffers each type group's gaps in one aggregator, which is the
+    oracle-checkable form; at 100 TB swap it for ``approx_percentile``
+    (t-digest, map-side combinable, bounded memory) exactly as
+    ``events_mad_outliers`` documents.
     """
     events = table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
@@ -2483,7 +2486,10 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no second scan, no ordered window); lags are exact integer
     hours from microsecond epoch math (NTZ-safe cast), and the
     percentiles ride the verified ``percentile``/``quantile_cont``
-    pairing over the converted-user subset.
+    pairing over the converted-user subset (one row per converted
+    USER, not per event — already reduced before the exact percentile
+    buffers it; at extreme user counts the ``approx_percentile`` swap
+    documented in ``events_mad_outliers`` applies here too).
     """
     events = table(spark, sf_dir, "events")
     firsts = events.groupBy("user_id").agg(

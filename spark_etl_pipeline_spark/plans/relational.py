@@ -3118,7 +3118,10 @@ def rel_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles ride the verified ``percentile``/``quantile_cont``
     pairing (``rel_percentiles``). One orderkey-co-partitioned join —
     at 100 TB both fact tables shuffle on the same key, or none at all
-    when bucketed by orderkey (``sources.write_bucketed``).
+    when bucketed by orderkey (``sources.write_bucketed``). The exact
+    ``percentile`` buffers each of the 5 priority groups' lags in one
+    aggregator — at full scale swap for ``approx_percentile``
+    (t-digest, bounded memory) as ``events_mad_outliers`` documents.
     """
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
