@@ -554,3 +554,109 @@ def test_bm25_topk_matches_python_scoring(spark, docs_dir):
         key=lambda t: (-t[2], t[0]),
     )[:BM25_TOP_DOCS]
     assert got == ranked
+
+
+def test_user_diversity_matches_gini_python(spark, events_dir):
+    import math
+
+    from spark_etl_pipeline_spark.operators.timeseries import events_user_diversity
+
+    sf_dir, rows = events_dir
+    got = {
+        r["impurity_bin"]: (r["n_user_days"], r["n_events"])
+        for r in events_user_diversity(spark, sf_dir).collect()
+    }
+
+    mix: dict[tuple[int, str], dict[str, int]] = {}
+    for _eid, ts, uid, etype, _v, _p in rows:
+        key = (uid, ts.strftime("%Y-%m-%d"))
+        day = mix.setdefault(key, {})
+        day[etype] = day.get(etype, 0) + 1
+    expected: dict[int, list[int]] = {}
+    for counts in mix.values():
+        total = sum(counts.values())
+        sq = sum(n * n for n in counts.values())
+        impurity = 1.0 - float(sq) / (float(total) * float(total))
+        b = math.floor(impurity * 10.0)
+        cur = expected.setdefault(b, [0, 0])
+        cur[0] += 1
+        cur[1] += total
+    assert got == {b: tuple(v) for b, v in expected.items()}
+
+
+def test_transition_matrix_matches_python_pairs(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_transition_matrix
+
+    sf_dir, rows = events_dir
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["share"])
+        for r in events_transition_matrix(spark, sf_dir).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    pairs: dict[tuple[str, str], int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    rowtot: dict[str, int] = {}
+    for (a, _b), n in pairs.items():
+        rowtot[a] = rowtot.get(a, 0) + n
+    expected = {
+        (a, b): (n, float(n) / float(rowtot[a])) for (a, b), n in pairs.items()
+    }
+    assert got == expected
+
+
+def test_top_paths_matches_python_triples(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import (
+        PATHS_TOP_K,
+        events_top_paths,
+    )
+
+    sf_dir, rows = events_dir
+    got = [
+        (r["t1"], r["t2"], r["t3"], r["n"])
+        for r in events_top_paths(spark, sf_dir).collect()
+    ]
+
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    triples: dict[tuple[str, str, str], int] = {}
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            k = (types[i], types[i + 1], types[i + 2])
+            triples[k] = triples.get(k, 0) + 1
+    expected = sorted(
+        ((t1, t2, t3, n) for (t1, t2, t3), n in triples.items()),
+        key=lambda r: (-r[3], r[0], r[1], r[2]),
+    )[:PATHS_TOP_K]
+    assert got == expected
+
+
+def test_seasonality_matches_python_cells(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_seasonality
+
+    sf_dir, rows = events_dir
+    got = {
+        (r["dow"], r["hod"]): (r["n"], r["events_per_day"], r["sum_value"])
+        for r in events_seasonality(spark, sf_dir).collect()
+    }
+
+    cells: dict[tuple[int, int], list] = {}
+    for _eid, ts, _uid, _t, value, _p in rows:
+        key = (ts.isoweekday(), ts.hour)
+        cur = cells.setdefault(key, [0, set(), 0])
+        cur[0] += 1
+        cur[1].add(ts.date())
+        cur[2] += round(value * 100)
+    expected = {
+        k: (n, float(n) / float(len(days)), float(cents) / 100.0)
+        for k, (n, days, cents) in cells.items()
+    }
+    assert got == expected
