@@ -660,3 +660,140 @@ def test_seasonality_matches_python_cells(spark, events_dir):
         for k, (n, days, cents) in cells.items()
     }
     assert got == expected
+
+
+def test_value_winsorized_matches_python_clip(spark, events_dir):
+    import math
+
+    from spark_etl_pipeline_spark.operators.traindata import events_value_winsorized
+
+    sf_dir, rows = events_dir
+    got = {
+        r["event_type"]: (r["n"], r["n_clipped"], r["sum_raw"], r["sum_winsorized"])
+        for r in events_value_winsorized(spark, sf_dir).collect()
+    }
+
+    all_vc = sorted(round(v * 100) for _e, _t, _u, _ty, v, _p in [
+        (r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows
+    ])
+    n = len(all_vc)
+    # percentile_disc(p): first value whose cumulative fraction >= p,
+    # i.e. the ceil(p*n)-th (1-indexed) element of the sorted list
+    lo = all_vc[math.ceil(0.05 * n) - 1]
+    hi = all_vc[math.ceil(0.95 * n) - 1]
+    agg: dict[str, list] = {}
+    for _eid, _ts, _uid, etype, value, _p in rows:
+        vc = round(value * 100)
+        wc = min(max(vc, lo), hi)
+        cur = agg.setdefault(etype, [0, 0, 0, 0])
+        cur[0] += 1
+        cur[1] += 1 if wc != vc else 0
+        cur[2] += vc
+        cur[3] += wc
+    expected = {
+        t: (c, cl, float(sr) / 100.0, float(sw) / 100.0)
+        for t, (c, cl, sr, sw) in agg.items()
+    }
+    assert got == expected
+
+
+def test_cumulative_reach_matches_first_day_running_sum(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_cumulative_reach
+
+    sf_dir, rows = events_dir
+    got = {
+        (r["event_type"], r["day"]): (r["new_users"], r["cum_users"])
+        for r in events_cumulative_reach(spark, sf_dir).collect()
+    }
+
+    first: dict[tuple[str, int], str] = {}
+    for _eid, ts, uid, etype, _v, _p in rows:
+        d = ts.strftime("%Y-%m-%d")
+        key = (etype, uid)
+        if key not in first or d < first[key]:
+            first[key] = d
+    daily: dict[tuple[str, str], int] = {}
+    for (etype, _uid), d in first.items():
+        daily[(etype, d)] = daily.get((etype, d), 0) + 1
+    expected = {}
+    for etype in {t for t, _d in daily}:
+        cum = 0
+        for d in sorted(d for t, d in daily if t == etype):
+            cum += daily[(etype, d)]
+            expected[(etype, d)] = (daily[(etype, d)], cum)
+    assert got == expected
+
+
+def test_audience_overlap_matches_python_sets(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_audience_overlap
+
+    sf_dir, rows = events_dir
+    got = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in events_audience_overlap(spark, sf_dir).collect()
+    }
+
+    users: dict[str, set] = {}
+    for _eid, _ts, uid, etype, _v, _p in rows:
+        users.setdefault(etype, set()).add(uid)
+    expected = {}
+    types = sorted(users)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            nc = len(users[a] & users[b])
+            if nc:
+                na, nb = len(users[a]), len(users[b])
+                expected[(a, b)] = (na, nb, nc, float(nc) / float(na + nb - nc))
+    assert got == expected
+
+
+def test_autocorr_matches_python_moments(spark, events_dir):
+    import math
+
+    from spark_etl_pipeline_spark.operators.timeseries import (
+        ACF_LAGS,
+        events_autocorr,
+    )
+
+    sf_dir, rows = events_dir
+    got = {
+        (r["event_type"], r["lag"]): (r["n"], r["acf"])
+        for r in events_autocorr(spark, sf_dir).collect()
+    }
+
+    hourly: dict[tuple[str, object], int] = {}
+    for _eid, ts, _uid, etype, value, _p in rows:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        key = (etype, h)
+        hourly[key] = hourly.get(key, 0) + round(value * 100)
+    series: dict[str, list[int]] = {}
+    for etype in {t for t, _h in hourly}:
+        hs = sorted(h for t, h in hourly if t == etype)
+        h0, h1 = hs[0], hs[-1]
+        xs, h = [], h0
+        while h <= h1:
+            xs.append(hourly.get((etype, h), 0))
+            h += timedelta(hours=1)
+        series[etype] = xs
+    expected = {}
+    for etype, xs in series.items():
+        for k in ACF_LAGS:
+            pairs = [(xs[t], xs[t - k]) for t in range(k, len(xs))]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            nd = float(n)
+            vx = nd * sxx - float(sx) * sx
+            vy = nd * syy - float(sy) * sy
+            acf = (
+                (nd * sxy - float(sx) * sy) / (math.sqrt(vx) * math.sqrt(vy))
+                if vx > 0 and vy > 0
+                else None
+            )
+            expected[(etype, k)] = (n, acf)
+    assert got == expected
