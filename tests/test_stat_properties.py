@@ -797,3 +797,143 @@ def test_autocorr_matches_python_moments(spark, events_dir):
             )
             expected[(etype, k)] = (n, acf)
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def lineitem_dir(spark, tmp_path_factory):
+    """A random lineitem incidence with a dense hub (so the 80-core is
+    non-empty) plus a sparse tail, and random supplier assignments for
+    the bipartite PageRank."""
+    rng = random.Random(307)
+    hub = list(range(1000, 1100))  # 100 hub parts
+    rows = []
+    for ok in range(30):  # dense orders: ~90 hub parts each
+        for pk in rng.sample(hub, 90):
+            rows.append((ok, pk, rng.randrange(1, 40)))
+    for ok in range(30, 330):  # sparse tail
+        for pk in rng.sample(range(2000, 2400), rng.randrange(2, 8)):
+            rows.append((ok, pk, rng.randrange(1, 40)))
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long"
+    )
+    out = tmp_path_factory.mktemp("graph_props")
+    df.write.parquet(str(out / "lineitem.parquet"))
+    return str(out), rows
+
+
+def _python_copurchase_edges(rows):
+    orders: dict[int, set] = {}
+    for ok, pk, _sk in rows:
+        orders.setdefault(ok, set()).add(pk)
+    edges = set()
+    for pks in orders.values():
+        s = sorted(pks)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                edges.add((a, b))
+    return edges
+
+
+def _python_triangles(edges):
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # each triangle is seen from all 3 of its edges
+    return sum(len(adj[a] & adj[b]) for a, b in edges) // 3
+
+
+def test_graph_triangles_matches_python(spark, lineitem_dir):
+    from spark_etl_pipeline_spark.operators.graph import graph_triangles
+
+    sf_dir, rows = lineitem_dir
+    [r] = graph_triangles(spark, sf_dir).collect()
+    edges = _python_copurchase_edges(rows)
+    assert (r["n_edges"], r["n_triangles"]) == (
+        len(edges),
+        _python_triangles(edges),
+    )
+
+
+def test_clustering_coeff_matches_python(spark, lineitem_dir):
+    from spark_etl_pipeline_spark.operators.graph import graph_clustering_coeff
+
+    sf_dir, rows = lineitem_dir
+    [r] = graph_clustering_coeff(spark, sf_dir).collect()
+    edges = _python_copurchase_edges(rows)
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    nw = sum(d * (d - 1) // 2 for d in deg.values())
+    nt = _python_triangles(edges)
+    assert (
+        r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"], r["global_cc"]
+    ) == (len(deg), len(edges), nw, nt, float(3 * nt) / float(nw))
+
+
+def test_kcore_matches_python_bounded_peeling(spark, lineitem_dir):
+    from spark_etl_pipeline_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        graph_kcore,
+    )
+
+    sf_dir, rows = lineitem_dir
+    got = {
+        r["degree"]: r["n_nodes"] for r in graph_kcore(spark, sf_dir).collect()
+    }
+
+    edges = _python_copurchase_edges(rows)
+    alive = {n for e in edges for n in e}
+    for _ in range(KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= KCORE_K}
+    hist: dict[int, int] = {}
+    final_deg: dict[int, int] = {}
+    for a, b in edges:
+        if a in alive and b in alive:
+            final_deg[a] = final_deg.get(a, 0) + 1
+            final_deg[b] = final_deg.get(b, 0) + 1
+    for d in final_deg.values():
+        hist[d] = hist.get(d, 0) + 1
+    assert got == hist
+    assert got, "fixture produced an empty k-core — test has no teeth"
+
+
+def test_pagerank_matches_python_integer_iteration(spark, lineitem_dir):
+    from spark_etl_pipeline_spark.operators.graph import (
+        PR_ITERS,
+        PR_TOP_K,
+        RANK_SCALE,
+        graph_pagerank_suppliers,
+    )
+
+    sf_dir, rows = lineitem_dir
+    got = [
+        (r["s_suppkey"], r["rank"])
+        for r in graph_pagerank_suppliers(spark, sf_dir).collect()
+    ]
+
+    pairs = {(pk * 2, sk * 2 + 1) for _ok, pk, sk in rows}
+    edges = [(p, s) for p, s in pairs] + [(s, p) for p, s in pairs]
+    deg: dict[int, int] = {}
+    for src, _dst in edges:
+        deg[src] = deg.get(src, 0) + 1
+    reset = (15 * RANK_SCALE) // 100
+    r = {n: RANK_SCALE for n in deg}
+    for _ in range(PR_ITERS):
+        sc: dict[int, int] = {}
+        for src, dst in edges:
+            if src in r:
+                sc[dst] = sc.get(dst, 0) + r[src] // deg[src]
+        r = {n: reset + (85 * s) // 100 for n, s in sc.items()}
+    sups = sorted(
+        (((n - 1) // 2, v) for n, v in r.items() if n % 2 == 1),
+        key=lambda t: (-t[1], t[0]),
+    )[:PR_TOP_K]
+    assert got == sups
