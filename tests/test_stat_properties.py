@@ -937,3 +937,123 @@ def test_pagerank_matches_python_integer_iteration(spark, lineitem_dir):
         key=lambda t: (-t[1], t[0]),
     )[:PR_TOP_K]
     assert got == sups
+
+
+def test_attribution_matches_python_last_touch(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_attribution
+
+    sf_dir, rows = events_dir
+    got = {
+        r["purchase_id"]: (
+            r["user_id"], r["purchase_ts"], r["click_id"], r["us_since_click"]
+        )
+        for r in events_attribution(spark, sf_dir).collect()
+    }
+
+    epoch = datetime(1970, 1, 1)
+
+    def us(ts):
+        return int((ts - epoch).total_seconds() * 1_000_000)
+
+    clicks: dict[int, list] = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        if etype == "click":
+            clicks.setdefault(uid, []).append((ts, eid))
+    expected = {}
+    for eid, ts, uid, etype, _v, _p in rows:
+        if etype != "purchase":
+            continue
+        lo = ts - timedelta(hours=1)
+        cands = [
+            (cts, cid) for cts, cid in clicks.get(uid, []) if lo <= cts < ts
+        ]
+        best = max(cands) if cands else None
+        expected[eid] = (
+            uid,
+            ts.strftime("%Y-%m-%d %H:%M:%S"),
+            best[1] if best else None,
+            us(ts) - us(best[0]) if best else None,
+        )
+    assert got == expected
+
+
+def test_gap_fill_lerp_matches_python_interpolation(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.timeseries import events_gap_fill_lerp
+
+    sf_dir, rows = events_dir
+    got = {
+        (r["event_type"], r["hour"]): (r["amount"], r["interp_amount"], r["fill_kind"])
+        for r in events_gap_fill_lerp(spark, sf_dir).collect()
+    }
+
+    hourly: dict[tuple[str, object], int] = {}
+    for _eid, ts, _uid, etype, value, _p in rows:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        key = (etype, h)
+        hourly[key] = hourly.get(key, 0) + round(value * 100)
+    expected = {}
+    for etype in {t for t, _h in hourly}:
+        hs = sorted(h for t, h in hourly if t == etype)
+        spine, h = [], hs[0]
+        while h <= hs[-1]:
+            spine.append(h)
+            h += timedelta(hours=1)
+        obs = [
+            (i + 1, hourly.get((etype, h))) for i, h in enumerate(spine)
+        ]
+        for idx, (i, c) in enumerate(obs):
+            h = spine[idx]
+            hour_str = h.strftime("%Y-%m-%d %H:%M:%S")
+            if c is not None:
+                expected[(etype, hour_str)] = (
+                    float(c) / 100.0, float(c) / 100.0, "obs"
+                )
+                continue
+            prev = next(
+                ((j, cc) for j, cc in reversed(obs[:idx]) if cc is not None), None
+            )
+            nxt = next(
+                ((j, cc) for j, cc in obs[idx + 1 :] if cc is not None), None
+            )
+            if nxt is None:
+                expected[(etype, hour_str)] = (None, float(prev[1]) / 100.0, "ffill")
+            else:
+                pi, pc = prev
+                ni, nc = nxt
+                lerp = float(pc) + float(nc - pc) * (
+                    float(i - pi) / float(ni - pi)
+                )
+                expected[(etype, hour_str)] = (None, lerp / 100.0, "lerp")
+    assert got == expected
+
+
+def test_funnel_windowed_matches_python_stages(spark, events_dir):
+    from spark_etl_pipeline_spark.operators.traindata import (
+        FUNNEL_WINDOW_HOURS,
+        events_funnel_windowed,
+    )
+
+    sf_dir, rows = events_dir
+    got = {
+        r["step"]: r["n_users"]
+        for r in events_funnel_windowed(spark, sf_dir).collect()
+    }
+
+    w = timedelta(hours=FUNNEL_WINDOW_HOURS)
+    by_user: dict[int, list] = {}
+    for _eid, ts, uid, etype, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, etype))
+    t1, t2, t3 = {}, {}, {}
+    for uid, evs in by_user.items():
+        views = [ts for ts, t in evs if t == "view"]
+        if not views:
+            continue
+        t1[uid] = min(views)
+        clicks = [ts for ts, t in evs if t == "click" and t1[uid] <= ts <= t1[uid] + w]
+        if not clicks:
+            continue
+        t2[uid] = min(clicks)
+        buys = [ts for ts, t in evs if t == "purchase" and t2[uid] <= ts <= t2[uid] + w]
+        if buys:
+            t3[uid] = min(buys)
+    assert got == {"1_view": len(t1), "2_click": len(t2), "3_purchase": len(t3)}
