@@ -1057,3 +1057,119 @@ def test_funnel_windowed_matches_python_stages(spark, events_dir):
         if buys:
             t3[uid] = min(buys)
     assert got == {"1_view": len(t1), "2_click": len(t2), "3_purchase": len(t3)}
+
+
+@pytest.fixture(scope="module")
+def orders_dir(spark, tmp_path_factory):
+    """Random orders spanning ~4 years with whale customers, so every
+    RFM band and the Pareto head are populated."""
+    from datetime import date
+
+    rng = random.Random(401)
+    rows = []
+    okey = 0
+    for ck in range(80):
+        n = rng.randrange(1, 21)
+        whale = rng.random() < 0.15
+        for _ in range(n):
+            okey += 1
+            d = date(2021, 1, 1) + timedelta(days=rng.randrange(0, 1500))
+            tp = round(rng.uniform(1000, 20000) * (3 if whale else 1), 2)
+            rows.append((okey, ck, d, tp))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = tmp_path_factory.mktemp("orders_props")
+    df.write.parquet(str(out / "orders.parquet"))
+    return str(out), rows
+
+
+def _cust_cents(rows):
+    rev: dict[int, int] = {}
+    for _ok, ck, _d, tp in rows:
+        rev[ck] = rev.get(ck, 0) + round(tp * 100)
+    return rev
+
+
+def test_pareto_matches_python_cumshare(spark, orders_dir):
+    from spark_etl_pipeline_spark.plans.relational import rel_pareto_customers
+
+    sf_dir, rows = orders_dir
+    got = [
+        (r["rnk"], r["o_custkey"], r["revenue"], r["cum_share"], r["cust_share"])
+        for r in rel_pareto_customers(spark, sf_dir).collect()
+    ]
+
+    rev = _cust_cents(rows)
+    total = sum(rev.values())
+    n_cust = len(rev)
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum = 0
+    expected = []
+    for i, (ck, cents) in enumerate(ranked[:25], start=1):
+        cum += cents
+        expected.append(
+            (
+                i,
+                ck,
+                float(cents) / 100.0,
+                float(cum) / float(total),
+                float(i) / float(n_cust),
+            )
+        )
+    assert got == expected
+
+
+def test_gini_matches_python_rank_formula(spark, orders_dir):
+    from spark_etl_pipeline_spark.plans.relational import rel_gini_revenue
+
+    sf_dir, rows = orders_dir
+    [r] = rel_gini_revenue(spark, sf_dir).collect()
+
+    rev = _cust_cents(rows)
+    ranked = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ranked)
+    total = sum(c for _, c in ranked)
+    weighted = sum(i * c for i, (_, c) in enumerate(ranked, start=1))
+    gini = (2.0 * weighted - (n + 1.0) * total) / (n * float(total))
+    assert (r["n"], r["total_revenue"], r["gini"]) == (
+        n, float(total) / 100.0, gini
+    )
+
+
+def test_rfm_matches_python_banding(spark, orders_dir):
+    from spark_etl_pipeline_spark.plans.relational import (
+        RFM_FREQ,
+        RFM_MONETARY_CENTS,
+        RFM_RECENT_DAYS,
+        rel_rfm_segmentation,
+    )
+
+    sf_dir, rows = orders_dir
+    got = {
+        r["custkey"]: (
+            r["recency_days"], r["frequency"], r["monetary"],
+            r["r_score"], r["f_score"], r["m_score"],
+        )
+        for r in rel_rfm_segmentation(spark, sf_dir).collect()
+    }
+
+    refd = max(d for _ok, _ck, d, _tp in rows)
+    per: dict[int, list] = {}
+    for _ok, ck, d, tp in rows:
+        cur = per.setdefault(ck, [None, 0, 0])
+        cur[0] = d if cur[0] is None else max(cur[0], d)
+        cur[1] += 1
+        cur[2] += round(tp * 100)
+    expected = {}
+    for ck, (last, freq, cents) in per.items():
+        rec = (refd - last).days
+        expected[ck] = (
+            rec,
+            freq,
+            float(cents) / 100.0,
+            3 if rec <= RFM_RECENT_DAYS[0] else 2 if rec <= RFM_RECENT_DAYS[1] else 1,
+            3 if freq >= RFM_FREQ[0] else 2 if freq >= RFM_FREQ[1] else 1,
+            3 if cents >= RFM_MONETARY_CENTS[0] else 2 if cents >= RFM_MONETARY_CENTS[1] else 1,
+        )
+    assert got == expected
