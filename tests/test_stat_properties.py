@@ -473,7 +473,9 @@ def docs_dir(spark, tmp_path_factory):
     for doc_id in range(300):
         words = [rng.choice(vocab) for _ in range(rng.randrange(5, 60))]
         text = " ".join(words)
-        rows.append((doc_id, text, rng.choice(langs), "synthetic", len(text)))
+        rows.append(
+            (doc_id, text, rng.choice(langs), f"src{rng.randrange(4)}", len(text))
+        )
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
@@ -809,21 +811,26 @@ def lineitem_dir(spark, tmp_path_factory):
     rows = []
     for ok in range(30):  # dense orders: ~90 hub parts each
         for pk in rng.sample(hub, 90):
-            rows.append((ok, pk, rng.randrange(1, 40)))
+            rows.append((ok, pk, rng.randrange(1, 40), round(rng.uniform(10, 5000), 2)))
     for ok in range(30, 330):  # sparse tail
         for pk in rng.sample(range(2000, 2400), rng.randrange(2, 8)):
-            rows.append((ok, pk, rng.randrange(1, 40)))
+            rows.append((ok, pk, rng.randrange(1, 40), round(rng.uniform(10, 5000), 2)))
     df = spark.createDataFrame(
-        rows, "l_orderkey long, l_partkey long, l_suppkey long"
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double",
     )
     out = tmp_path_factory.mktemp("graph_props")
     df.write.parquet(str(out / "lineitem.parquet"))
+    parts = sorted({pk for _ok, pk, _sk, _ep in rows})
+    spark.createDataFrame(
+        [(pk, f"TYPE#{pk % 6}") for pk in parts], "p_partkey long, p_type string"
+    ).write.parquet(str(out / "part.parquet"))
     return str(out), rows
 
 
 def _python_copurchase_edges(rows):
     orders: dict[int, set] = {}
-    for ok, pk, _sk in rows:
+    for ok, pk, _sk, _ep in rows:
         orders.setdefault(ok, set()).add(pk)
     edges = set()
     for pks in orders.values():
@@ -919,7 +926,7 @@ def test_pagerank_matches_python_integer_iteration(spark, lineitem_dir):
         for r in graph_pagerank_suppliers(spark, sf_dir).collect()
     ]
 
-    pairs = {(pk * 2, sk * 2 + 1) for _ok, pk, sk in rows}
+    pairs = {(pk * 2, sk * 2 + 1) for _ok, pk, sk, _ep in rows}
     edges = [(p, s) for p, s in pairs] + [(s, p) for p, s in pairs]
     deg: dict[int, int] = {}
     for src, _dst in edges:
@@ -1173,3 +1180,55 @@ def test_rfm_matches_python_banding(spark, orders_dir):
             3 if cents >= RFM_MONETARY_CENTS[0] else 2 if cents >= RFM_MONETARY_CENTS[1] else 1,
         )
     assert got == expected
+
+
+def test_cap_per_source_matches_python_md5_order(spark, docs_dir):
+    import hashlib
+
+    from spark_etl_pipeline_spark.operators.traindata import (
+        SOURCE_CAP,
+        docs_cap_per_source,
+    )
+
+    sf_dir, rows = docs_dir
+    got = {
+        r["doc_id"]: (r["source"], r["lang"], r["n_source"])
+        for r in docs_cap_per_source(spark, sf_dir).collect()
+    }
+
+    by_source: dict[str, list] = {}
+    for doc_id, _text, lang, source, _n in rows:
+        by_source.setdefault(source, []).append((doc_id, lang))
+    expected = {}
+    for source, docs in by_source.items():
+        ordered = sorted(
+            docs,
+            key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]),
+        )
+        for doc_id, lang in ordered[:SOURCE_CAP]:
+            expected[doc_id] = (source, lang, len(docs))
+    assert got == expected
+
+
+def test_supplier_hhi_matches_python_squared_shares(spark, lineitem_dir):
+    from spark_etl_pipeline_spark.plans.relational import rel_supplier_hhi
+
+    sf_dir, rows = lineitem_dir
+    got = {
+        r["p_type"]: (r["n_suppliers"], r["hhi_micro"])
+        for r in rel_supplier_hhi(spark, sf_dir).collect()
+    }
+
+    cells: dict[tuple[str, int], int] = {}
+    for _ok, pk, sk, ep in rows:
+        key = (f"TYPE#{pk % 6}", sk)
+        cells[key] = cells.get(key, 0) + round(ep * 100)
+    tot: dict[str, int] = {}
+    for (t, _sk), c in cells.items():
+        tot[t] = tot.get(t, 0) + c
+    expected: dict[str, list] = {}
+    for (t, _sk), c in cells.items():
+        cur = expected.setdefault(t, [0, 0])
+        cur[0] += 1
+        cur[1] += _round_half_up((float(c) / float(tot[t])) ** 2 * 1_000_000)
+    assert got == {t: tuple(v) for t, v in expected.items()}
