@@ -29,7 +29,7 @@ import argparse
 import sys
 
 
-def discover_config(spark) -> str | None:
+def discover_config() -> str | None:
     """Reference-parity config discovery for ``--files`` submits.
 
     The reference ships its config to executors/driver with
@@ -93,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
 
     config_path = args.config
     if config_path is None:
-        config_path = discover_config(spark)
+        config_path = discover_config()
         if config_path is None:
             parser.error(
                 "--config not given and no *config.json staged via --files"

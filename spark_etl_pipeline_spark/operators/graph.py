@@ -23,6 +23,8 @@ checkpointing needed at 3 iterations (lineage depth stays bounded).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -505,8 +507,8 @@ _REACHABILITY_ORACLE = f"""
 @register("graph_reachability", oracle=_REACHABILITY_ORACLE)
 def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall blast-radius: min-hop BFS distance from every part of a
-    recalled brand (Brand#11, ``BFS_SEED_BRAND``) through the
-    co-purchase graph, bounded at 3 hops (``BFS_HOPS``) — "how much of
+    recalled brand ({BFS_SEED_BRAND}, ``BFS_SEED_BRAND``) through the
+    co-purchase graph, bounded at {BFS_HOPS} hops (``BFS_HOPS``) — "how much of
     the catalog is within N
     degrees of the recall" is the standard contamination / exposure
     question, summarized as (hop, n_parts, exact-cents retail value).
@@ -568,10 +570,19 @@ def bfs_hops_bipartite(
     ``max_hops``. Returns ``(node, hop)``. One part-hop = two joins on
     the incidence list — pairwise edges are never materialized; see
     :func:`graph_reachability` for the scale argument and A/B.
+
+    Lineage bound (deep-hop safety): every per-round frontier is
+    ``localCheckpoint``-ed BEFORE it joins the distance map, and the
+    map is assembled as ONE flat union over those materialized
+    frontiers at the end — so the returned plan is a union of at most
+    ``max_hops + 1`` checkpointed leaf scans (linear in hops, no
+    nested lineage back into earlier rounds' joins), never rebuilt
+    per round. Pinned at hops=10 by
+    ``tests/test_graph_triangles.py::test_bfs_deep_hops_plan_bounded``.
     """
     frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
     seen = frontier
-    dist = frontier.select("node", F.lit(0).alias("hop"))
+    levels = [frontier.select("node", F.lit(0).alias("hop"))]
     for k in range(1, max_hops + 1):
         orders = (
             op.join(frontier, op["pk"] == frontier["node"])
@@ -586,8 +597,8 @@ def bfs_hops_bipartite(
             .localCheckpoint(eager=True)
         )
         seen = seen.unionByName(frontier).localCheckpoint(eager=True)
-        dist = dist.unionByName(frontier.select("node", F.lit(k).alias("hop")))
-    return dist
+        levels.append(frontier.select("node", F.lit(k).alias("hop")))
+    return reduce(DataFrame.unionByName, levels)
 
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
@@ -595,14 +606,15 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     (columns ``a`` < ``b``) from a ``seeds(node)`` set, bounded at
     ``max_hops``. Returns ``(node, hop)`` — the explicit-edge twin of
     :func:`bfs_hops_bipartite` for graphs that arrive AS edge lists;
-    same shrinking-frontier discipline.
+    same shrinking-frontier discipline and the same linear lineage
+    bound (flat union of checkpointed per-round frontiers).
     """
     ed = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     frontier = seeds.select("node").distinct().localCheckpoint(eager=True)
     seen = frontier
-    dist = frontier.select("node", F.lit(0).alias("hop"))
+    levels = [frontier.select("node", F.lit(0).alias("hop"))]
     for k in range(1, max_hops + 1):
         frontier = (
             ed.join(frontier, ed["src"] == frontier["node"])
@@ -612,5 +624,5 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         seen = seen.unionByName(frontier).localCheckpoint(eager=True)
-        dist = dist.unionByName(frontier.select("node", F.lit(k).alias("hop")))
-    return dist
+        levels.append(frontier.select("node", F.lit(k).alias("hop")))
+    return reduce(DataFrame.unionByName, levels)

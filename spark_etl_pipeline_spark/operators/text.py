@@ -857,7 +857,7 @@ TFIDF_TOP_TERMS = 3
     """,
 )
 def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 (``TFIDF_TOP_TERMS``) most-distinctive terms per document by TF-IDF-style
+    """Top-{TFIDF_TOP_TERMS} (``TFIDF_TOP_TERMS``) most-distinctive terms per document by TF-IDF-style
     relevance — ``tf · N / df`` (the log-free monotone form, for the
     same cross-engine ulp reason as ``text_pmi_bigrams``; rankings are
     identical). The per-doc distinctive-term profile feeds topic
@@ -973,10 +973,10 @@ _BM25_MICRO = f"""cast(round(
     """,
 )
 def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval: top-15 (``BM25_TOP_DOCS``) documents for
+    """BM25 ranked retrieval: top-{BM25_TOP_DOCS} (``BM25_TOP_DOCS``) documents for
     a fixed query-term set — the lexical half of every retrieval /
-    RAG-corpus pipeline (Robertson-Sparck Jones BM25 with k1=1.2,
-    b=0.75; log-free idf, see
+    RAG-corpus pipeline (Robertson-Sparck Jones BM25 with k1={BM25_K1},
+    b={BM25_B}; log-free idf, see
     the score constant's comment).
 
     Determinism: every input to the float score is an exact integer

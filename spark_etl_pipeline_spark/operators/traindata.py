@@ -810,7 +810,7 @@ HIST_BUCKET = 10  # tokens per bucket
     """,
 )
 def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-length histogram of the corpus (width-10 ``HIST_BUCKET`` buckets) — the
+    """Token-length histogram of the corpus (width-{HIST_BUCKET} ``HIST_BUCKET`` buckets) — the
     one-glance shape audit run before choosing chunk/pack sizes. Pure
     map + |buckets|-row aggregate; the 100 TB plan is identical.
     """

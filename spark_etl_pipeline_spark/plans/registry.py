@@ -208,16 +208,18 @@ def load_all() -> None:
 #: Schedule (cohorts listed in emission order below; each window = the
 #: first 50 names at that round):
 #:
-#: - **r7 (this window, _EMIT_FIRST)**: the 50 highest-priority
-#:   never-driver-checked queries — the 47 round-6 fourth-wave additions
-#:   (newest code first) plus the first 3 third-wave rows
+#: - **r7 (done — 50/50 green, CORRECTNESS_r07)**: the 50
+#:   highest-priority never-driver-checked queries — the 47 round-6
+#:   fourth-wave additions plus the first 3 third-wave rows
 #:   (``graph_triangles``, ``docs_dedup_passages``, ``dq_audit``).
-#: - **r8**: the remaining 30 never-checked third-wave rows
-#:   (``stream_join_drain`` … ``rel_calendar_spine``, head of
-#:   _EMIT_LAST) + the first 20 of the r≤4-stale cohort, starting with
+#: - **r8 (this window, _EMIT_FIRST)**: the remaining 30 never-checked
+#:   third-wave rows (``stream_join_drain`` … ``rel_calendar_spine``)
+#:   + the first 20 of the r≤4-stale cohort, starting with
 #:   ``text_lang_id`` (r3 — oldest row in the repo) and the r4 TPC-H /
 #:   window / dedup-primitive rows through ``etl_upsert_merge`` (the
 #:   20th stale row; `tools/plan_rotation.py` derives the exact cut).
+#:   After this window the never-checked set is empty for the first
+#:   time and the oldest driver row in the repo becomes r4.
 #: - **r9**: the remaining 23 r4-stale rows (``text_decontaminate`` …
 #:   ``rel_sort_limit``) + the 27 oldest r5-green rows
 #:   (``rel_asof_join`` … ``q22_dormant_customers``).
@@ -234,244 +236,240 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r7 window: 50 never-driver-checked queries, newest code first.
-    # Fourth wave (round-6 third leg): BFS reachability, BM25, recurrence
-    # family (CUSUM/EWMA/Holt/Theil-Sen/Markov), semantic dedup, ORC,
-    # Python data source, UDTF, real-stream pysource drain ... ---
-    "text_tokenizer_fertility",
-    "rel_snapshot_reconcile",
-    "events_conversion_lag",
-    "events_new_vs_returning",
-    "dedup_threshold_sweep",
-    "events_activity_streaks",
-    "events_user_diversity",
-    "rel_budget_allocation",
-    "docs_novelty_curve",
-    "sim_embedding_drift",
-    "events_segment_bitmask",
-    "events_survival_curve",
-    "events_markov_stationary",
-    "src_orc_roundtrip",
-    "events_holt_backtest",
-    "events_theilsen_trend",
-    "rel_benford_deviation",
-    "dedup_minhash_calibration",
-    "events_holt_forecast",
-    "events_burst_users",
-    "events_lateness_audit",
-    "mm_frame_dedup",
-    "docs_dedup_semantic",
-    "sim_threshold_profile",
-    "docs_shingle_profile",
-    "events_interarrival",
-    "rel_order_backlog",
-    "rel_ship_lag",
-    "rel_supplier_hhi",
-    "events_cusum_drift",
-    "events_ewma",
-    "events_rolling_median",
-    "mm_payload_impurity",
-    "events_active_users",
-    "rel_like_filter",
-    "rel_lateral_topn",
-    "text_chunks_udtf",
-    "stream_pysource_drain",
-    "src_python_datasource",
-    "rel_recursive_month_spine",
-    "rel_variant_props",
-    "events_mad_outliers",
-    "docs_source_divergence",
-    "graph_reachability",
-    "docs_bm25_topk",
-    "events_chi2_independence",
-    "events_delete_propagation",
-    "graph_triangles",
-    "docs_dedup_passages",
-    "dq_audit",
+    # --- r8 window (derived by ``python tools/plan_rotation.py``):
+    # the 30 remaining never-driver-checked third-wave rows (streaming
+    # drains and graph plans lead), then the 20 oldest stale rows —
+    # ``text_lang_id`` (r3, oldest driver row in the repo) through
+    # ``etl_upsert_merge`` (r4). After this window every one of the 222
+    # registered queries has had at least one driver CORRECTNESS row. ---
+    "stream_join_drain",  # never
+    "events_attribution",  # never
+    "events_transition_matrix",  # never
+    "events_value_winsorized",  # never
+    "stream_enrich_drain",  # never
+    "sim_ivf_quantized_rerank",  # never
+    "graph_clustering_coeff",  # never
+    "rel_basket_rules",  # never
+    "stream_upsert_drain",  # never
+    "graph_kcore",  # never
+    "mm_phash_buckets",  # never
+    "events_top_paths",  # never
+    "events_seasonality",  # never
+    "rel_pareto_customers",  # never
+    "docs_cap_per_source",  # never
+    "events_cumulative_reach",  # never
+    "rel_gini_revenue",  # never
+    "sim_embedding_clusters",  # never
+    "events_audience_overlap",  # never
+    "events_gap_fill_lerp",  # never
+    "events_incremental_rollup",  # never
+    "dedup_cluster_sizes",  # never
+    "events_autocorr",  # never
+    "stream_dedup_drain",  # never
+    "graph_pagerank_suppliers",  # never
+    "events_anomaly_rolling",  # never
+    "rel_asof_nearest",  # never
+    "events_funnel_windowed",  # never
+    "rel_rfm_segmentation",  # never
+    "rel_calendar_spine",  # never
+    "text_lang_id",  # r3
+    "q1_pricing_summary",  # r4
+    "q6_forecast_revenue",  # r4
+    "q3_top_orders",  # r4
+    "q5_region_revenue",  # r4
+    "rel_agg_stats",  # r4
+    "rel_window_rank",  # r4
+    "rel_window_running",  # r4
+    "rel_window_frame",  # r4
+    "dedup_exact",  # r4
+    "dedup_simhash_pairs",  # r4
+    "dedup_simhash",  # r4
+    "dedup_fuzzy_levenshtein",  # r4
+    "dedup_components",  # r4
+    "mm_frame_sample",  # r4
+    "mm_decode_features",  # r4
+    "text_quality_score",  # r4
+    "text_chunking",  # r4
+    "etl_events_pipeline",  # r4
+    "etl_upsert_merge",  # r4
 )
 
 _EMIT_LAST = (
-    # --- r8 cohort, part A: the 30 remaining never-driver-checked
-    # third-wave rows (locally parity-verified; graph + streaming drains
-    # lead). ---
-    "stream_join_drain",
-    "events_attribution",
-    "events_transition_matrix",
-    "events_value_winsorized",
-    "stream_enrich_drain",
-    "sim_ivf_quantized_rerank",
-    "graph_clustering_coeff",
-    "rel_basket_rules",
-    "stream_upsert_drain",
-    "graph_kcore",
-    "mm_phash_buckets",
-    "events_top_paths",
-    "events_seasonality",
-    "rel_pareto_customers",
-    "docs_cap_per_source",
-    "events_cumulative_reach",
-    "rel_gini_revenue",
-    "sim_embedding_clusters",
-    "events_audience_overlap",
-    "events_gap_fill_lerp",
-    "events_incremental_rollup",
-    "dedup_cluster_sizes",
-    "events_autocorr",
-    "stream_dedup_drain",
-    "graph_pagerank_suppliers",
-    "events_anomaly_rolling",
-    "rel_asof_nearest",
-    "events_funnel_windowed",
-    "rel_rfm_segmentation",
-    "rel_calendar_spine",
-    # --- r8 cohort, part B head / r9 tail: the 43 rows whose newest
-    # driver row is r4 or older. ``text_lang_id`` (r3) leads; r8 takes
-    # this block through ``etl_upsert_merge`` (20 rows); r9 takes the
-    # rest. ---
-    "text_lang_id",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "rel_agg_stats",
-    "rel_window_rank",
-    "rel_window_running",
-    "rel_window_frame",
-    "dedup_exact",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "dedup_fuzzy_levenshtein",
-    "dedup_components",
-    "mm_frame_sample",
-    "mm_decode_features",
-    "text_quality_score",
-    "text_chunking",
-    "etl_events_pipeline",
-    "etl_upsert_merge",
-    "text_decontaminate",
-    "text_repetition_score",
-    "events_zscore",
-    "text_stratified_sample",
-    "docs_mixture_sample",
-    "docs_pack_sequences_sharded",
-    "rel_filter_isin",
-    "rel_filter_nested_struct",
-    "rel_filter_null",
-    "rel_project_ops",
-    "rel_rename_upper",
-    "rel_join_inner_2key",
-    "rel_join_left",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_full",
-    "rel_join_cross",
-    "rel_union_dedup",
-    "rel_dedup_keyed",
-    "rel_rollup",
-    "rel_cube",
-    "rel_pivot",
-    "rel_sort_limit",
-    # --- r9 tail through r11: driver-green r5 rows (oldest first),
-    # then r6 rows — freshest evidence, safe to clip. ---
-    "rel_asof_join",
-    "dedup_ngram_jaccard",
-    "docs_dedup_incremental",
-    "docs_dedup_corpus",
-    "rel_range_join",
-    "rel_percentiles",
-    "rel_sql_exists",
-    "rel_sql_scalar_subquery",
-    "rel_sql_not_in",
-    "q13_customer_distribution",
-    "rel_window_analytics",
-    "q19_disjunctive_filter",
-    "etl_json_struct",
-    "rel_grouping_sets",
-    "rel_set_ops",
-    "profile_orders",
-    "text_rare_bigram_ratio",
-    "dedup_containment",
-    "docs_curation_pipeline",
-    "rel_unpivot",
-    "rel_higher_order_funcs",
-    "rel_scd2_history",
-    "events_funnel",
-    "events_cohort_retention",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q22_dormant_customers",
-    "stream_dedup_replay",
-    "text_repetition_filter",
-    "sim_embed_quantize",
-    "dedup_components_star",
-    "sim_ivf_nprobe2",
-    "sim_ann_recall_nprobe2",
-    "events_skew_salted_agg",
-    "events_skew_salted_join",
-    "rel_partition_prune",
-    "sim_ann_hyperplane",
-    "dedup_embedding_cosine",
-    "sim_ivf_search",
-    "sim_ann_recall",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_time_rollup",
-    "stream_interval_join",
-    "events_gap_fill",
-    "events_sessionize",
-    "events_period_over_period",
-    "text_pmi_bigrams",
-    "docs_tfidf_topk",
-    "sim_ivf_kmeans",
-    "stream_sliding_drain",
-    "stream_session_drain",
-    "events_value_deciles",
-    "events_heavy_hitters",
-    "rel_window_range_time",
-    "rel_corr_stats",
-    "events_feature_assembly",
-    "stream_rollup_drain",
-    "mm_audio_window",
-    "stream_profiles_drain",
-    "text_normalize",
-    "sim_embedding_store",
-    "docs_split_leakage_safe",
-    "docs_shard_shuffle",
-    "docs_token_budget_select",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_suppliers",
-    "q20_potential_promotion",
-    "q21_waiting_supplier",
-    "stream_tumbling_drain",
-    "docs_dedup_store",
-    "dedup_containment_onesided",
-    "dedup_minhash_lsh",
-    "docs_length_histogram",
-    "docs_pack_sequences",
-    "events_rolling_features",
-    "events_user_sequences",
-    "events_weighted_sample",
-    "mm_resize",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "sim_kmeans",
-    "sim_topk_cosine",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_lang_id_ngram",
-    "text_lang_stats_pandas",
-    "text_pii_scrub",
-    "text_token_stats",
-    "text_train_test_split",
-    "text_vocab_topk",
+    # --- r9 window head: the remaining 23 r4-stale rows
+    # (``text_decontaminate`` … ``rel_sort_limit``) + the 27 oldest
+    # r5-green rows (``rel_asof_join`` … ``q22_dormant_customers``). ---
+    "text_decontaminate",  # r4
+    "text_repetition_score",  # r4
+    "events_zscore",  # r4
+    "text_stratified_sample",  # r4
+    "docs_mixture_sample",  # r4
+    "docs_pack_sequences_sharded",  # r4
+    "rel_filter_isin",  # r4
+    "rel_filter_nested_struct",  # r4
+    "rel_filter_null",  # r4
+    "rel_project_ops",  # r4
+    "rel_rename_upper",  # r4
+    "rel_join_inner_2key",  # r4
+    "rel_join_left",  # r4
+    "rel_join_semi",  # r4
+    "rel_join_anti",  # r4
+    "rel_join_full",  # r4
+    "rel_join_cross",  # r4
+    "rel_union_dedup",  # r4
+    "rel_dedup_keyed",  # r4
+    "rel_rollup",  # r4
+    "rel_cube",  # r4
+    "rel_pivot",  # r4
+    "rel_sort_limit",  # r4
+    "rel_asof_join",  # r5
+    "dedup_ngram_jaccard",  # r5
+    "docs_dedup_incremental",  # r5
+    "docs_dedup_corpus",  # r5
+    "rel_range_join",  # r5
+    "rel_percentiles",  # r5
+    "rel_sql_exists",  # r5
+    "rel_sql_scalar_subquery",  # r5
+    "rel_sql_not_in",  # r5
+    "q13_customer_distribution",  # r5
+    "rel_window_analytics",  # r5
+    "q19_disjunctive_filter",  # r5
+    "etl_json_struct",  # r5
+    "rel_grouping_sets",  # r5
+    "rel_set_ops",  # r5
+    "profile_orders",  # r5
+    "text_rare_bigram_ratio",  # r5
+    "dedup_containment",  # r5
+    "docs_curation_pipeline",  # r5
+    "rel_unpivot",  # r5
+    "rel_higher_order_funcs",  # r5
+    "rel_scd2_history",  # r5
+    "events_funnel",  # r5
+    "events_cohort_retention",  # r5
+    "q4_order_priority",  # r5
+    "q7_nation_volume",  # r5
+    "q8_market_share",  # r5
+    "q10_returned_items",  # r5
+    "q15_top_supplier",  # r5
+    "q17_small_quantity",  # r5
+    "q22_dormant_customers",  # r5
+    "stream_dedup_replay",  # r5
+    "text_repetition_filter",  # r5
+    "sim_embed_quantize",  # r5
+    "dedup_components_star",  # r5
+    "sim_ivf_nprobe2",  # r5
+    "sim_ann_recall_nprobe2",  # r5
+    "events_skew_salted_agg",  # r5
+    "events_skew_salted_join",  # r5
+    "rel_partition_prune",  # r5
+    "sim_ann_hyperplane",  # r5
+    "dedup_embedding_cosine",  # r5
+    "sim_ivf_search",  # r5
+    "sim_ann_recall",  # r5
+    "stream_tumbling_counts",  # r5
+    "stream_sliding_counts",  # r5
+    "stream_session_windows",  # r5
+    "stream_time_rollup",  # r5
+    "stream_interval_join",  # r5
+    "events_gap_fill",  # r6
+    "events_sessionize",  # r6
+    "events_period_over_period",  # r6
+    "text_pmi_bigrams",  # r6
+    "docs_tfidf_topk",  # r6
+    "sim_ivf_kmeans",  # r6
+    "stream_sliding_drain",  # r6
+    "stream_session_drain",  # r6
+    "events_value_deciles",  # r6
+    "events_heavy_hitters",  # r6
+    "rel_window_range_time",  # r6
+    "rel_corr_stats",  # r6
+    "events_feature_assembly",  # r6
+    "stream_rollup_drain",  # r6
+    "mm_audio_window",  # r6
+    "stream_profiles_drain",  # r6
+    "text_normalize",  # r6
+    "sim_embedding_store",  # r6
+    "docs_split_leakage_safe",  # r6
+    "docs_shard_shuffle",  # r6
+    "docs_token_budget_select",  # r6
+    "q2_min_cost_supplier",  # r6
+    "q9_product_profit",  # r6
+    "q11_important_stock",  # r6
+    "q16_parts_suppliers",  # r6
+    "q20_potential_promotion",  # r6
+    "q21_waiting_supplier",  # r6
+    "stream_tumbling_drain",  # r6
+    "docs_dedup_store",  # r6
+    "dedup_containment_onesided",  # r6
+    "dedup_minhash_lsh",  # r6
+    "docs_length_histogram",  # r6
+    "docs_pack_sequences",  # r6
+    "events_rolling_features",  # r6
+    "events_user_sequences",  # r6
+    "events_weighted_sample",  # r6
+    "mm_resize",  # r6
+    "q12_priority_lines",  # r6
+    "q14_promo_revenue",  # r6
+    "q18_large_orders",  # r6
+    "sim_kmeans",  # r6
+    "sim_topk_cosine",  # r6
+    "text_bpe_token_count",  # r6
+    "text_fingerprint",  # r6
+    "text_lang_id_ngram",  # r6
+    "text_lang_stats_pandas",  # r6
+    "text_pii_scrub",  # r6
+    "text_token_stats",  # r6
+    "text_train_test_split",  # r6
+    "text_vocab_topk",  # r6
+    "text_tokenizer_fertility",  # r7
+    "rel_snapshot_reconcile",  # r7
+    "events_conversion_lag",  # r7
+    "events_new_vs_returning",  # r7
+    "dedup_threshold_sweep",  # r7
+    "events_activity_streaks",  # r7
+    "events_user_diversity",  # r7
+    "rel_budget_allocation",  # r7
+    "docs_novelty_curve",  # r7
+    "sim_embedding_drift",  # r7
+    "events_segment_bitmask",  # r7
+    "events_survival_curve",  # r7
+    "events_markov_stationary",  # r7
+    "src_orc_roundtrip",  # r7
+    "events_holt_backtest",  # r7
+    "events_theilsen_trend",  # r7
+    "rel_benford_deviation",  # r7
+    "dedup_minhash_calibration",  # r7
+    "events_holt_forecast",  # r7
+    "events_burst_users",  # r7
+    "events_lateness_audit",  # r7
+    "mm_frame_dedup",  # r7
+    "docs_dedup_semantic",  # r7
+    "sim_threshold_profile",  # r7
+    "docs_shingle_profile",  # r7
+    "events_interarrival",  # r7
+    "rel_order_backlog",  # r7
+    "rel_ship_lag",  # r7
+    "rel_supplier_hhi",  # r7
+    "events_cusum_drift",  # r7
+    "events_ewma",  # r7
+    "events_rolling_median",  # r7
+    "mm_payload_impurity",  # r7
+    "events_active_users",  # r7
+    "rel_like_filter",  # r7
+    "rel_lateral_topn",  # r7
+    "text_chunks_udtf",  # r7
+    "stream_pysource_drain",  # r7
+    "src_python_datasource",  # r7
+    "rel_recursive_month_spine",  # r7
+    "rel_variant_props",  # r7
+    "events_mad_outliers",  # r7
+    "docs_source_divergence",  # r7
+    "graph_reachability",  # r7
+    "docs_bm25_topk",  # r7
+    "events_chi2_independence",  # r7
+    "events_delete_propagation",  # r7
+    "graph_triangles",  # r7
+    "docs_dedup_passages",  # r7
+    "dq_audit",  # r7
 )
 
 

@@ -104,7 +104,7 @@ def register_python_sources(spark: SparkSession) -> None:
 def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end drive of the Python DataSource API: the partitioned
     synthetic generator is read through ``spark.read.format(...)`` —
-    8 (``SYNTH_PARTS``) executor-side InputPartitions, no driver
+    {SYNTH_PARTS} (``SYNTH_PARTS``) executor-side InputPartitions, no driver
     materialization — and aggregated per bucket. The md5-derived
     payload makes the generated data SQL-reproducible, so the oracle
     replays the identical generation in DuckDB and hash-verifies that

@@ -55,3 +55,42 @@ def test_triangle_count_ignores_edge_input_order(spark):
     fwd = triangle_count(canonical_edges(spark, pairs)).collect()[0]
     rev = triangle_count(canonical_edges(spark, list(reversed(pairs)))).collect()[0]
     assert fwd == rev
+
+
+def test_bfs_deep_hops_plan_bounded(spark):
+    """Deep-hop lineage bound for both BFS variants (hops=10 on a
+    12-node path graph): correct min-hop distances AND a returned plan
+    that is a flat union of checkpointed leaf scans — linear in hops,
+    with no lineage back into the per-round joins (no join operator may
+    survive in the final plan; every join ran eagerly inside the
+    per-round ``localCheckpoint``)."""
+    from spark_etl_pipeline_spark.operators.graph import (
+        bfs_hops,
+        bfs_hops_bipartite,
+    )
+
+    hops = 10
+    # path 0-1-2-...-11, seeded at 0: node k is at hop min(k, hops)
+    path_pairs = [(i, i + 1) for i in range(11)]
+    seeds = spark.createDataFrame([(0,)], "node long")
+
+    edge_dist = bfs_hops(canonical_edges(spark, path_pairs), seeds, hops)
+    # bipartite incidence with the same implied path graph: order i
+    # contains parts {i, i+1}
+    op = spark.createDataFrame(
+        [(i, i) for i in range(11)] + [(i, i + 1) for i in range(11)],
+        "ok long, pk long",
+    )
+    bip_dist = bfs_hops_bipartite(op, seeds, hops)
+
+    expected = {(k, k) for k in range(hops + 1)}
+    for dist in (edge_dist, bip_dist):
+        assert {(r.node, r.hop) for r in dist.collect()} == expected
+        plan = dist._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "CartesianProduct" not in plan, (
+            "deep-hop BFS plan carries live join lineage:\n" + plan
+        )
+        n_scans = plan.count("Scan ExistingRDD")
+        assert 0 < n_scans <= hops + 1, (
+            f"{n_scans} leaf scans for {hops} hops — union not flat/bounded"
+        )

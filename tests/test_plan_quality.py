@@ -292,11 +292,16 @@ def test_signature_store_probe_never_rescans_base_corpus(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", saved)
     assert "documents.parquet" not in plan, "probe rescans the base corpus"
-    assert plan.count("sigstore/bands") == 1, (
-        f"bands table scanned {plan.count('sigstore/bands')}x, want exactly 1"
-    )
-    assert plan.count("sigstore/shingles") == 2, (
-        f"shingles table scanned {plan.count('sigstore/shingles')}x, "
+    # Count SCAN NODES per table, not raw substring frequency: plan-text
+    # rendering (Location truncation, InMemoryFileIndex formatting)
+    # varies across Spark versions, but each parquet scan is exactly one
+    # "Scan parquet"-marked line carrying its Location path.
+    scan_lines = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    n_bands = sum("sigstore/bands" in ln for ln in scan_lines)
+    n_shingles = sum("sigstore/shingles" in ln for ln in scan_lines)
+    assert n_bands == 1, f"bands table scanned {n_bands}x, want exactly 1"
+    assert n_shingles == 2, (
+        f"shingles table scanned {n_shingles}x, "
         "want exactly 2 (doc_a-side and doc_b-side pair lookups)"
     )
     assert "CartesianProduct" not in plan

@@ -35,6 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     names = list(registry.queries())
 
     newest: dict[str, int] = {}
+    newest_any: dict[str, int] = {}  # newest row regardless of pass/fail
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(path.split("_r")[1].split(".")[0])
         try:
@@ -42,7 +43,10 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError:
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match"):
+            if not isinstance(row, dict):
+                continue
+            newest_any[name] = max(newest_any.get(name, 0), rnd)
+            if row.get("hash_match"):
                 newest[name] = max(newest.get(name, 0), rnd)
 
     never = [n for n in names if n not in newest]
@@ -54,9 +58,17 @@ def main(argv: list[str] | None = None) -> int:
     order = never + checked
     window = order[: args.window]
 
+    # A query whose latest driver row FAILED still front-loads like a
+    # never-checked one (it has no green row), but the histogram must
+    # not misstate history by lumping it under "never".
     hist: dict[str, int] = {}
     for n in names:
-        key = f"r{newest[n]}" if n in newest else "never"
+        if n in newest:
+            key = f"r{newest[n]}"
+        elif n in newest_any:
+            key = f"failed-r{newest_any[n]}"
+        else:
+            key = "never"
         hist[key] = hist.get(key, 0) + 1
     print(f"# staleness histogram: {dict(sorted(hist.items()))}", file=sys.stderr)
     print(
@@ -65,7 +77,12 @@ def main(argv: list[str] | None = None) -> int:
         file=sys.stderr,
     )
     for n in window:
-        tag = "never" if n not in newest else f"r{newest[n]}"
+        if n in newest:
+            tag = f"r{newest[n]}"
+        elif n in newest_any:
+            tag = f"failed-r{newest_any[n]}"
+        else:
+            tag = "never"
         print(f'    "{n}",  # {tag}')
     return 0
 
