@@ -38,8 +38,20 @@ NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 #: Fixed affine minhash permutations h_k(x) = (A[k]*x + B[k]) mod P.
-A = [(2 * k + 3) * 1009 % 999_983 for k in range(NUM_HASHES)]
-B = [(k * k + 7) * 2003 % 999_979 for k in range(NUM_HASHES)]
+#: Multipliers are Knuth-mixed and bounded below 2^30 so A*h never
+#: overflows int64 against the 32-bit md5 prefix in EITHER engine
+#: (max A·h < 2^62), while being large enough that the product wraps
+#: mod P many times for every input — small multipliers (an earlier
+#: revision used ~3e3–3.5e4) preserve the ordering of small residues,
+#: which CORRELATES the 16 "permutations" (one element can be the
+#: argmin of every hash) and biases the Jaccard estimate; pinned by
+#: ``tests/test_estimator_properties.py`` on random controlled-overlap
+#: shingle sets.
+A = [
+    ((k * k + k + 1) * 2_654_435_761 + 1_013_904_223 * k) % (1 << 30) | 1
+    for k in range(NUM_HASHES)
+]
+B = [((k + 1) * 1_013_904_223 + 69_069 * k * k) % P for k in range(NUM_HASHES)]
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5

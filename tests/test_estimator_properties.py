@@ -1,0 +1,297 @@
+"""Randomized-input property tests for the dedup/ANN ESTIMATOR family.
+
+The DuckDB oracles and the fixed-corpus calibration queries prove these
+operators on one dataset; this suite is the second verification axis
+(same discipline as ``test_stat_properties.py``) for the parts whose
+correctness is STATISTICAL: the engine's own MinHash signatures are
+compared against exact Jaccard on random shingle sets, its LSH banding
+against the analytic ``1-(1-s^r)^b`` collision curve, its int8
+scale-cancelled approximate cosine against float cosine on random
+vectors, its SimHash fingerprints against planted near-duplicates, and
+its containment scores against plain-Python set arithmetic. All inputs
+are seeded-random and engine-independent; none of the references share
+a formulation with the Spark builders or the SQL oracles.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from spark_etl_pipeline_spark.operators.dedup import (
+    BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    candidate_pairs,
+    containment_verified,
+    lsh_bands,
+    minhash_signatures,
+)
+
+# Controlled-overlap corpus: per pair i, docs (2i, 2i+1) share exactly
+# ``c`` of their ``SET_SIZE`` shingles, where c = 2nj/(1+j) hits the
+# target Jaccard j = c/(2n-c). Token universes are disjoint across
+# pairs, so the only engineered collisions are within a pair.
+SET_SIZE = 24
+SIM_LEVELS = (0.1, 0.3, 0.5, 0.7, 0.9)
+PAIRS_PER_LEVEL = 40
+
+
+def _controlled_pairs():
+    """[(doc_a, doc_b, set_a, set_b, exact_jaccard)] over all levels."""
+    out = []
+    pid = 0
+    for level in SIM_LEVELS:
+        for _ in range(PAIRS_PER_LEVEL):
+            c = round(2 * SET_SIZE * level / (1 + level))
+            shared = [f"p{pid}_s{k}" for k in range(c)]
+            only_a = [f"p{pid}_a{k}" for k in range(SET_SIZE - c)]
+            only_b = [f"p{pid}_b{k}" for k in range(SET_SIZE - c)]
+            sa, sb = set(shared + only_a), set(shared + only_b)
+            exact = len(sa & sb) / len(sa | sb)
+            out.append((2 * pid, 2 * pid + 1, sa, sb, exact))
+            pid += 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def signature_run(spark):
+    """Engine MinHash signatures + LSH candidate set for the corpus."""
+    pairs = _controlled_pairs()
+    rows = [
+        (doc_id, s)
+        for doc_a, doc_b, sa, sb, _ in pairs
+        for doc_id, ss in ((doc_a, sa), (doc_b, sb))
+        for s in sorted(ss)
+    ]
+    shingles = spark.createDataFrame(rows, "doc_id long, s string")
+    sigs = {
+        r["doc_id"]: [r[f"mh{k}"] for k in range(NUM_HASHES)]
+        for r in minhash_signatures(shingles).collect()
+    }
+    colliding = {
+        (r.doc_a, r.doc_b)
+        for r in candidate_pairs(lsh_bands(minhash_signatures(shingles))).collect()
+    }
+    return pairs, sigs, colliding
+
+
+def test_minhash_estimate_tracks_exact_jaccard(signature_run):
+    """The matching-hash fraction of the engine's 16-hash signatures is
+    an unbiased Jaccard estimator: per-pair error stays inside a 3-sigma
+    binomial band (sigma = sqrt(J(1-J)/16) <= 0.125) and the mean
+    absolute error over 200 random pairs is far below one sigma."""
+    pairs, sigs, _ = signature_run
+    errs = []
+    for doc_a, doc_b, _sa, _sb, exact in pairs:
+        est = sum(
+            a == b for a, b in zip(sigs[doc_a], sigs[doc_b])
+        ) / NUM_HASHES
+        sigma = math.sqrt(max(exact * (1 - exact), 0.09 / 0.16) / NUM_HASHES)
+        assert abs(est - exact) <= 3.2 * sigma, (
+            f"pair ({doc_a},{doc_b}): est {est} vs exact {exact:.3f}"
+        )
+        errs.append(abs(est - exact))
+    assert sum(errs) / len(errs) <= 0.10, "mean |error| too large for K=16"
+
+
+def test_minhash_estimate_mean_unbiased_per_level(signature_run):
+    """Averaged over 40 pairs at one similarity level, the estimator's
+    mean converges on the exact Jaccard (bias test: the per-pair noise
+    shrinks by sqrt(40), so the level mean must sit within ~2 pooled
+    standard errors)."""
+    pairs, sigs, _ = signature_run
+    by_level: dict[float, list[tuple[float, float]]] = {}
+    for doc_a, doc_b, _sa, _sb, exact in pairs:
+        est = sum(
+            a == b for a, b in zip(sigs[doc_a], sigs[doc_b])
+        ) / NUM_HASHES
+        by_level.setdefault(round(exact, 2), []).append((est, exact))
+    for level, evs in by_level.items():
+        mean_est = sum(e for e, _ in evs) / len(evs)
+        mean_exact = sum(x for _, x in evs) / len(evs)
+        se = math.sqrt(0.25 / NUM_HASHES / len(evs))  # pooled, worst-case p
+        assert abs(mean_est - mean_exact) <= 2.5 * se + 0.02, (
+            f"level {level}: mean est {mean_est:.3f} vs {mean_exact:.3f}"
+        )
+
+
+def test_lsh_band_collision_matches_analytic_curve(signature_run):
+    """Empirical band-collision rate per similarity level vs the
+    analytic S-curve p = 1-(1-s^r)^b for the engine's r=4 rows/band,
+    b=4 bands: within a binomial tolerance at every level, ~0 at s=0.1,
+    near-certain at s=0.9, and monotone across levels."""
+    pairs, _, colliding = signature_run
+    assert ROWS_PER_BAND == 4 and BANDS == 4  # the curve below assumes these
+    rates = []
+    for level in SIM_LEVELS:
+        hits = total = 0
+        exact_mean = 0.0
+        for doc_a, doc_b, _sa, _sb, exact in pairs:
+            if abs(exact - level) > 0.08:
+                continue
+            total += 1
+            exact_mean += exact
+            hits += (doc_a, doc_b) in colliding
+        assert total >= PAIRS_PER_LEVEL * 0.9
+        exact_mean /= total
+        rate = hits / total
+        analytic = 1 - (1 - exact_mean**ROWS_PER_BAND) ** BANDS
+        se = math.sqrt(max(analytic * (1 - analytic), 0.01) / total)
+        assert abs(rate - analytic) <= 3.5 * se + 0.05, (
+            f"s={level}: empirical {rate:.3f} vs analytic {analytic:.3f}"
+        )
+        rates.append(rate)
+    assert rates == sorted(rates), f"collision rate not monotone: {rates}"
+    assert rates[0] <= 0.15 and rates[-1] >= 0.80
+
+
+def test_containment_matches_python_set_arithmetic(spark, signature_run):
+    """containment_verified on the random corpus == plain-Python
+    |A∩B|/|A| and |A∩B|/|B| exactly (integer-ratio doubles: both sides
+    compute the same IEEE division, so equality is exact)."""
+    pairs, _, _ = signature_run
+    sample = pairs[::7]
+    rows = [
+        (doc_id, s)
+        for doc_a, doc_b, sa, sb, _ in sample
+        for doc_id, ss in ((doc_a, sa), (doc_b, sb))
+        for s in sorted(ss)
+    ]
+    shingles = spark.createDataFrame(rows, "doc_id long, s string")
+    cand = spark.createDataFrame(
+        [(a, b) for a, b, _sa, _sb, _ in sample], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_a, r.cont_b)
+        for r in containment_verified(cand, shingles).collect()
+    }
+    assert len(got) == len(sample)
+    for doc_a, doc_b, sa, sb, _ in sample:
+        i = len(sa & sb)
+        assert got[(doc_a, doc_b)] == (i / len(sa), i / len(sb))
+
+
+# ---------------------------------------------------------------------------
+# int8 scale-cancelled approximate cosine vs float cosine (random vectors)
+# ---------------------------------------------------------------------------
+
+
+def _spark_round(x: float) -> int:
+    """Spark's HALF_UP round() (Python's round is banker's)."""
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+@pytest.fixture(scope="module")
+def emb_dir(spark, tmp_path_factory):
+    """A random 64-dim embeddings parquet in the TESTDATA.md layout:
+    three loose clusters plus noise, float32 on disk (as the driver
+    writes it)."""
+    from spark_etl_pipeline_spark.operators.similarity import DIM
+
+    rng = random.Random(212)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(3)
+    ]
+    rows = []
+    for vec_id in range(120):
+        c = centers[vec_id % 3]
+        v = [c[d] + rng.gauss(0, 0.35) for d in range(DIM)]
+        rows.append((vec_id, v, vec_id % 3))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = tmp_path_factory.mktemp("estimator_props")
+    df.write.parquet(str(out / "embeddings.parquet"))
+    return str(out)
+
+
+def test_quantized_rerank_tracks_float_cosine(spark, emb_dir):
+    """sim_ivf_quantized_rerank end-to-end on random vectors: every
+    returned exact ``cos`` equals an independent Python float cosine of
+    the same pair to 1e-9; the int8 ``approx_cos`` sits within the
+    quantization error band of it; and within each query the rows are
+    ordered by exact cosine — i.e. the compressed-domain score is a
+    faithful preorder, corrected by the rerank."""
+    import numpy as np
+
+    from spark_etl_pipeline_spark.operators.similarity import (
+        sim_ivf_quantized_rerank,
+    )
+
+    got = sim_ivf_quantized_rerank(spark, emb_dir).collect()
+    assert got, "rerank returned nothing"
+
+    # The engine casts the stored float32 to double; mirror that.
+    raw = {
+        r.vec_id: np.array(r.embedding, dtype=np.float32).astype(np.float64)
+        for r in spark.read.parquet(f"{emb_dir}/embeddings.parquet").collect()
+    }
+
+    def py_cos(a, b):
+        return float(
+            np.dot(a, b) / (math.sqrt(np.dot(a, a)) * math.sqrt(np.dot(b, b)))
+        )
+
+    def py_approx(a, b):
+        qa = [_spark_round(x * (127.0 / np.abs(a).max())) for x in a]
+        qb = [_spark_round(x * (127.0 / np.abs(b).max())) for x in b]
+        qdot = sum(x * y for x, y in zip(qa, qb))
+        return qdot / (
+            math.sqrt(sum(x * x for x in qa)) * math.sqrt(sum(y * y for y in qb))
+        )
+
+    per_query: dict[int, list] = {}
+    for r in got:
+        a, b = raw[r.query_id], raw[r.neighbor_id]
+        assert abs(r.cos - py_cos(a, b)) <= 1e-9
+        assert abs(r.approx_cos - py_approx(a, b)) <= 1e-9, (
+            "engine approx_cos is not the scale-cancelled int8 score"
+        )
+        assert abs(r.approx_cos - r.cos) <= 0.05, (
+            f"quantization error too large: {r.approx_cos} vs {r.cos}"
+        )
+        per_query.setdefault(r.query_id, []).append(r)
+    for q, rows in per_query.items():
+        coss = [r.cos for r in rows]
+        assert coss == sorted(coss, reverse=True), f"query {q} not cos-ordered"
+
+
+# ---------------------------------------------------------------------------
+# SimHash: planted near-duplicates vs unrelated docs (random corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_separates_planted_near_dups(spark, tmp_path_factory):
+    """On a random corpus with planted one-token-edit near-duplicates,
+    the engine's 32-bit SimHash keeps every planted pair within a few
+    bits of Hamming distance while unrelated doc pairs stay far apart —
+    the separation the Hamming-threshold pairing step relies on."""
+    from spark_etl_pipeline_spark.operators.dedup import dedup_simhash
+
+    rng = random.Random(303)
+    vocab = [f"w{k}" for k in range(500)]
+    base = {i: [rng.choice(vocab) for _ in range(60)] for i in range(30)}
+    rows = [(i, " ".join(toks), "en", "synth", 0) for i, toks in base.items()]
+    for i, toks in base.items():
+        edited = list(toks)
+        edited[rng.randrange(len(edited))] = rng.choice(vocab)
+        rows.append((1000 + i, " ".join(edited), "en", "synth", 0))
+    out = tmp_path_factory.mktemp("simhash_props")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(out / "documents.parquet"))
+
+    fp = {
+        r.doc_id: r.simhash for r in dedup_simhash(spark, str(out)).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    planted = [ham(fp[i], fp[1000 + i]) for i in base]
+    unrelated = [
+        ham(fp[i], fp[j]) for i in base for j in base if i < j
+    ]
+    assert max(planted) <= 8, f"planted near-dup drifted: {planted}"
+    assert sum(unrelated) / len(unrelated) >= 10
+    assert sum(planted) / len(planted) < sum(unrelated) / len(unrelated) / 2

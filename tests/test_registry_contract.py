@@ -62,3 +62,48 @@ def test_register_views_enables_raw_sql(spark, duck):
     assert got == want
     for t in TABLES:
         assert spark.catalog.tableExists(t)
+
+
+def test_doc_counts_are_derived():
+    """Doc drift gate: every count the narrative docs assert (registered
+    queries, plan snapshots, property-test tally, bench headline size)
+    must equal the value derived from the code, so the docs can never
+    claim more verification than exists."""
+    import glob
+    import json
+    import re
+
+    n_registry = len(registry.REGISTRY)
+
+    coverage = open("COVERAGE.md").read()
+    m = re.search(
+        r"\*\*Totals\*\*: (\d+) registered queries, all (\d+) with DuckDB",
+        coverage,
+    )
+    assert m, "COVERAGE.md Totals line missing"
+    assert int(m.group(1)) == n_registry and int(m.group(2)) == n_registry
+
+    n_property = sum(
+        len(re.findall(r"^def test", open(p).read(), re.M))
+        for p in glob.glob("tests/test_*_properties.py")
+    )
+    m = re.search(r"(\d+) property tests drive operators", coverage)
+    assert m, "COVERAGE.md second-axis tally missing"
+    assert int(m.group(1)) == n_property
+
+    arch = open("ARCHITECTURE.md").read()
+    m = re.search(r"(\d+) queries are registered; all (\d+) have oracles", arch)
+    assert m, "ARCHITECTURE.md registry line missing"
+    assert int(m.group(1)) == n_registry and int(m.group(2)) == n_registry
+
+    n_snapshots = len(json.load(open("tests/plan_snapshots.json")))
+    m = re.search(r"operator tree of (\d+) headline queries", arch)
+    assert m, "ARCHITECTURE.md snapshot line missing"
+    assert int(m.group(1)) == n_snapshots
+
+    import bench
+
+    baseline = open("BASELINE.md").read()
+    m = re.search(r"### .*— (\d+)-query headline set \(CURRENT baseline\)", baseline)
+    assert m, "BASELINE.md current-baseline header missing"
+    assert int(m.group(1)) == len(bench.HEADLINE)
