@@ -2459,7 +2459,7 @@ def rel_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
                AS value_last_hour
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -2479,7 +2479,12 @@ def rel_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     # NTZ-safe epoch: TIMESTAMP_NTZ refuses a direct bigint cast; the
     # LTZ hop is value-preserving under the pinned-UTC session (same
-    # normalization contract as streaming/source.py).
+    # normalization contract as streaming/source.py). The long cast
+    # TRUNCATES to the containing second — the oracle must floor() its
+    # epoch() double before the bigint cast (a bare CAST rounds
+    # half-up, flipping frame membership for events that straddle the
+    # 3600 s boundary by under half a second; surfaced by the full
+    # sf0.1 sweep, where ~half the rows carry >=0.5 s fractions).
     epoch = F.col("ts").cast("timestamp").cast("long")
     w = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, 0)
     return events.select(
@@ -2820,8 +2825,8 @@ def rel_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n,
            CAST(total AS DOUBLE) / 100.0 AS total_revenue,
-           (2.0 * weighted - (n + 1.0) * total) / (n * CAST(total AS DOUBLE))
-               AS gini
+           CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+               / (n * CAST(total AS DOUBLE)) AS gini
     FROM s
     """,
 )
@@ -2833,11 +2838,17 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-rank formula G = (2·Σ i·x_(i) − (n+1)·Σ x) / (n·Σ x) over
     integer cents: both Σ terms are exact bigints (associative, any
-    partitioning), so the whole statistic is ONE double expression
-    over exact operands — bit-identical cross-engine, ties broken by
-    customer key. The rank window sorts the customer-level aggregate
-    (same honest global-sort cost and same banded-cumsum scale-out
-    note as the Pareto curve).
+    partitioning), and the NUMERATOR is also folded in exact bigint
+    arithmetic before the single double conversion — 2·Σi·x and
+    (n+1)·Σx are nearly equal and can exceed 2^53, so a double-domain
+    subtraction loses the cancelled low bits (observed: a 1-ulp
+    engine split at sf0.1, where DuckDB's DECIMAL literal `2.0` made
+    ITS numerator exact while the double path was not). One bigint
+    subtraction (|2w| < 2^57 ≪ 2^63 at any realistic scale) keeps the
+    statistic bit-identical cross-engine AND more accurate; ties
+    broken by customer key. The rank window sorts the customer-level
+    aggregate (same honest global-sort cost and same banded-cumsum
+    scale-out note as the Pareto curve).
     """
     orders = table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
@@ -2854,7 +2865,10 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("total").cast("double") / 100.0).alias("total_revenue"),
         (
-            (2.0 * F.col("weighted") - (F.col("n") + 1.0) * F.col("total"))
+            (
+                F.lit(2) * F.col("weighted")
+                - (F.col("n") + F.lit(1)) * F.col("total")
+            ).cast("double")
             / (F.col("n") * F.col("total").cast("double"))
         ).alias("gini"),
     )

@@ -295,3 +295,82 @@ def test_simhash_separates_planted_near_dups(spark, tmp_path_factory):
     assert max(planted) <= 8, f"planted near-dup drifted: {planted}"
     assert sum(unrelated) / len(unrelated) >= 10
     assert sum(planted) / len(planted) < sum(unrelated) / len(unrelated) / 2
+
+
+def test_hyperplane_bit_agreement_tracks_angle(spark):
+    """The engine's fixed hyperplane signatures behave like random-plane
+    SRP-LSH on random vectors: over isotropic random pairs built at a
+    controlled angle θ, the mean per-bit sign-agreement rate across the
+    N_TABLES·BITS_PER_TABLE signature bits converges on the analytic
+    1 - θ/π, and the per-table full-signature collision rate is ordered
+    by angle. (For a FIXED plane and a uniformly random pair
+    orientation, P[same side] = 1 - θ/π exactly — the randomness the
+    engine relies on lives in the data, not the planes.)"""
+    import math
+    import random
+
+    from spark_etl_pipeline_spark.operators.similarity import (
+        BITS_PER_TABLE,
+        DIM,
+        N_TABLES,
+        embedding_signatures,
+    )
+
+    rng = random.Random(404)
+    angles = (0.25, 0.75, 1.25)
+    pairs_per_angle = 60
+    rows = []
+    meta = []
+    vid = 0
+    for theta in angles:
+        for _ in range(pairs_per_angle):
+            u = [rng.gauss(0, 1) for _ in range(DIM)]
+            w = [rng.gauss(0, 1) for _ in range(DIM)]
+            un = math.sqrt(sum(x * x for x in u))
+            u = [x / un for x in u]
+            # orthogonalize w against u, then rotate by theta in the (u,w) plane
+            d = sum(a * b for a, b in zip(u, w))
+            w = [b - d * a for a, b in zip(u, w)]
+            wn = math.sqrt(sum(x * x for x in w))
+            w = [x / wn for x in w]
+            v = [math.cos(theta) * a + math.sin(theta) * b for a, b in zip(u, w)]
+            rows.append((vid, u))
+            rows.append((vid + 1, v))
+            meta.append((vid, vid + 1, theta))
+            vid += 2
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    sigs: dict[tuple[int, int], int] = {
+        (r.vec_id, r.t): r.sig for r in embedding_signatures(emb).collect()
+    }
+
+    total_bits = N_TABLES * BITS_PER_TABLE
+    for theta in angles:
+        agree = coll = n = 0
+        for va, vb, th in meta:
+            if th != theta:
+                continue
+            n += 1
+            for t in range(N_TABLES):
+                xor = sigs[(va, t)] ^ sigs[(vb, t)]
+                agree += BITS_PER_TABLE - bin(xor).count("1")
+                coll += xor == 0
+        rate = agree / (n * total_bits)
+        analytic = 1 - theta / math.pi
+        # SE of the mean over n pairs x total_bits correlated-ish bits;
+        # budget on the per-pair binomial (conservative).
+        se = math.sqrt(analytic * (1 - analytic) / (n * total_bits))
+        assert abs(rate - analytic) <= 4 * se + 0.03, (
+            f"theta={theta}: bit agreement {rate:.3f} vs 1-θ/π {analytic:.3f}"
+        )
+    # per-table collision probability must fall as the angle opens
+    coll_rates = []
+    for theta in angles:
+        hits = n = 0
+        for va, vb, th in meta:
+            if th != theta:
+                continue
+            n += 1
+            hits += sum(sigs[(va, t)] == sigs[(vb, t)] for t in range(N_TABLES))
+        coll_rates.append(hits / (n * N_TABLES))
+    assert coll_rates == sorted(coll_rates, reverse=True), coll_rates
+    assert coll_rates[0] >= 0.4 and coll_rates[-1] <= 0.2

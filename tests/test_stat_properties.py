@@ -1138,7 +1138,10 @@ def test_gini_matches_python_rank_formula(spark, orders_dir):
     n = len(ranked)
     total = sum(c for _, c in ranked)
     weighted = sum(i * c for i, (_, c) in enumerate(ranked, start=1))
-    gini = (2.0 * weighted - (n + 1.0) * total) / (n * float(total))
+    # exact-integer numerator, ONE double conversion — the engine's
+    # contract (a double-domain subtraction loses cancelled low bits
+    # once 2w and (n+1)t pass 2^53; Python ints make the ref exact)
+    gini = float(2 * weighted - (n + 1) * total) / (n * float(total))
     assert (r["n"], r["total_revenue"], r["gini"]) == (
         n, float(total) / 100.0, gini
     )
