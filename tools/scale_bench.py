@@ -140,8 +140,26 @@ def main() -> int:
         print(f"[scale] dataset built in {time.monotonic() - t0:.1f}s",
               file=sys.stderr)
 
-    # warm-up end-to-end run (JIT/codegen), never timed
-    qs[QUERIES[0]](spark, base_root).write.format("noop").mode("overwrite").save()
+    # Scale-CORRECTNESS check before timing: the replicas are disjoint
+    # same-shaped components, so the exact graph query must return
+    # exactly `scale`x the base counts per hop (n_parts and cents both
+    # scale linearly; any deviation means the key offsetting leaked
+    # edges across replicas or dropped rows).
+    base_hops = {
+        r["hop"]: (r["n_parts"], r["retail_cents"])
+        for r in qs["graph_reachability"](spark, base_root).collect()
+    }
+    scaled_hops = {
+        r["hop"]: (r["n_parts"], r["retail_cents"])
+        for r in qs["graph_reachability"](spark, scaled_root).collect()
+    }
+    for hop, (n, cents) in base_hops.items():
+        sn, scents = scaled_hops[hop]
+        assert (sn, scents) == (n * args.scale, cents * args.scale), (
+            f"hop {hop}: scaled {(sn, scents)} != {args.scale}x base {(n, cents)}"
+        )
+    print(f"[scale] graph_reachability is exactly {args.scale}x base "
+          f"at every hop ({sorted(base_hops)})", file=sys.stderr)
 
     base = time_queries(spark, qs, base_root, args.runs)
     scaled = time_queries(spark, qs, scaled_root, args.runs)
