@@ -374,3 +374,60 @@ def test_hyperplane_bit_agreement_tracks_angle(spark):
         coll_rates.append(hits / (n * N_TABLES))
     assert coll_rates == sorted(coll_rates, reverse=True), coll_rates
     assert coll_rates[0] >= 0.4 and coll_rates[-1] <= 0.2
+
+
+def test_minhash_lsh_recall_vs_exact_ground_truth(spark):
+    """End-to-end dedup quality on the REAL corpus: plain-Python exact
+    Jaccard over 3-gram shingle sets is the ground truth; every true
+    near-dup pair at J >= 0.5 in the sf0.01 corpus must be recovered by
+    the registered MinHash-LSH query (the corpus dups sit at J >= 0.9,
+    where the b=4/r=4 S-curve puts collision probability above 0.98 —
+    missing one would mean the signature family is misbehaving again,
+    which is exactly how the correlated-permutation defect showed up).
+    Also pins candidate-stage PRECISION: the candidate set may carry at
+    most a small multiple of the true pair count (the old constants
+    manufactured ~4x spurious candidates)."""
+    import re
+
+    from spark_etl_pipeline_spark.operators.dedup import (
+        SHINGLE_N,
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingle_set,
+    )
+    from spark_etl_pipeline_spark.plans import registry
+    from tests.conftest import SF_CORRECTNESS
+
+    docs = registry.table(spark, SF_CORRECTNESS, "documents").collect()
+    sets = {}
+    for r in docs:
+        toks = re.split(r"\s+", r.text.strip())
+        sets[r.doc_id] = {
+            " ".join(toks[i : i + SHINGLE_N])
+            for i in range(len(toks) - SHINGLE_N + 1)
+        } if len(toks) >= SHINGLE_N else set()
+    ids = sorted(sets)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                truth.add((a, b))
+    assert truth, "corpus has no planted near-dups? fixture drifted"
+
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in registry.REGISTRY["dedup_minhash_lsh"]
+        .builder(spark, SF_CORRECTNESS)
+        .collect()
+    }
+    assert truth <= found, f"missed true near-dups: {sorted(truth - found)}"
+
+    sh = shingle_set(registry.table(spark, SF_CORRECTNESS, "documents"))
+    n_cand = candidate_pairs(lsh_bands(minhash_signatures(sh))).count()
+    assert n_cand <= 2 * len(truth) + 10, (
+        f"{n_cand} candidates for {len(truth)} true pairs — spurious "
+        "band collisions are back"
+    )
