@@ -295,9 +295,19 @@ _EMIT_FIRST = (
 )
 
 _EMIT_LAST = (
-    # --- r9 window head: the remaining 23 r4-stale rows
-    # (``text_decontaminate`` … ``rel_sort_limit``) + the 27 oldest
-    # r5-green rows (``rel_asof_join`` … ``q22_dormant_customers``). ---
+    # --- r9 window head. Rotation-contract exception (a): these four
+    # builders (and their oracles, in lockstep) were refactored in
+    # round 8 for the embedding-LSH MULTIPROBE upgrade
+    # (``similarity.embedding_probe_signatures``), so they jump ahead
+    # of the age order for a fresh driver row next round. (The fifth
+    # consumer, ``sim_embedding_clusters``, sits in the r8 window and
+    # is re-verified this round.) ---
+    "dedup_embedding_cosine",  # r5, refactored r8
+    "sim_threshold_profile",  # r7, refactored r8
+    "docs_dedup_semantic",  # r7, refactored r8
+    "sim_embedding_store",  # r6, refactored r8
+    # --- then the remaining 23 r4-stale rows (``text_decontaminate``
+    # … ``rel_sort_limit``) + the oldest r5-green rows. ---
     "text_decontaminate",  # r4
     "text_repetition_score",  # r4
     "events_zscore",  # r4
@@ -362,7 +372,6 @@ _EMIT_LAST = (
     "events_skew_salted_join",  # r5
     "rel_partition_prune",  # r5
     "sim_ann_hyperplane",  # r5
-    "dedup_embedding_cosine",  # r5
     "sim_ivf_search",  # r5
     "sim_ann_recall",  # r5
     "stream_tumbling_counts",  # r5
@@ -387,7 +396,6 @@ _EMIT_LAST = (
     "mm_audio_window",  # r6
     "stream_profiles_drain",  # r6
     "text_normalize",  # r6
-    "sim_embedding_store",  # r6
     "docs_split_leakage_safe",  # r6
     "docs_shard_shuffle",  # r6
     "docs_token_budget_select",  # r6
@@ -442,8 +450,6 @@ _EMIT_LAST = (
     "events_burst_users",  # r7
     "events_lateness_audit",  # r7
     "mm_frame_dedup",  # r7
-    "docs_dedup_semantic",  # r7
-    "sim_threshold_profile",  # r7
     "docs_shingle_profile",  # r7
     "events_interarrival",  # r7
     "rel_order_backlog",  # r7
