@@ -297,31 +297,22 @@ def test_simhash_separates_planted_near_dups(spark, tmp_path_factory):
     assert sum(planted) / len(planted) < sum(unrelated) / len(unrelated) / 2
 
 
-def test_hyperplane_bit_agreement_tracks_angle(spark):
-    """The engine's fixed hyperplane signatures behave like random-plane
-    SRP-LSH on random vectors: over isotropic random pairs built at a
-    controlled angle θ, the mean per-bit sign-agreement rate across the
-    N_TABLES·BITS_PER_TABLE signature bits converges on the analytic
-    1 - θ/π, and the per-table full-signature collision rate is ordered
-    by angle. (For a FIXED plane and a uniformly random pair
-    orientation, P[same side] = 1 - θ/π exactly — the randomness the
-    engine relies on lives in the data, not the planes.)"""
-    import math
+def _angle_pair_corpus(seed, angles, pairs_per_angle):
+    """Isotropic random vector pairs at exact controlled angles.
+
+    Returns ``(rows, meta)`` where rows are ``(vec_id, v)`` and meta is
+    ``(vec_a, vec_b, theta)`` per pair: u is a random unit vector, v is
+    u rotated by theta in the plane spanned by u and an orthogonalized
+    second random direction — so every pair's angle is theta exactly
+    while the pair's ORIENTATION stays uniform on the sphere (which is
+    what makes fixed-plane SRP behave like random-plane SRP).
+    """
     import random
 
-    from spark_etl_pipeline_spark.operators.similarity import (
-        BITS_PER_TABLE,
-        DIM,
-        N_TABLES,
-        embedding_signatures,
-    )
+    from spark_etl_pipeline_spark.operators.similarity import DIM
 
-    rng = random.Random(404)
-    angles = (0.25, 0.75, 1.25)
-    pairs_per_angle = 60
-    rows = []
-    meta = []
-    vid = 0
+    rng = random.Random(seed)
+    rows, meta, vid = [], [], 0
     for theta in angles:
         for _ in range(pairs_per_angle):
             u = [rng.gauss(0, 1) for _ in range(DIM)]
@@ -338,6 +329,27 @@ def test_hyperplane_bit_agreement_tracks_angle(spark):
             rows.append((vid + 1, v))
             meta.append((vid, vid + 1, theta))
             vid += 2
+    return rows, meta
+
+
+def test_hyperplane_bit_agreement_tracks_angle(spark):
+    """The engine's fixed hyperplane signatures behave like random-plane
+    SRP-LSH on random vectors: over isotropic random pairs built at a
+    controlled angle θ, the mean per-bit sign-agreement rate across the
+    N_TABLES·BITS_PER_TABLE signature bits converges on the analytic
+    1 - θ/π, and the per-table full-signature collision rate is ordered
+    by angle. (For a FIXED plane and a uniformly random pair
+    orientation, P[same side] = 1 - θ/π exactly — the randomness the
+    engine relies on lives in the data, not the planes.)"""
+    from spark_etl_pipeline_spark.operators.similarity import (
+        BITS_PER_TABLE,
+        N_TABLES,
+        embedding_signatures,
+    )
+
+    angles = (0.25, 0.75, 1.25)
+    pairs_per_angle = 60
+    rows, meta = _angle_pair_corpus(404, angles, pairs_per_angle)
     emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
     sigs: dict[tuple[int, int], int] = {
         (r.vec_id, r.t): r.sig for r in embedding_signatures(emb).collect()
@@ -472,4 +484,122 @@ def test_embedding_multiprobe_recall_vs_exact_ground_truth(spark):
     assert recall >= 0.45, (
         f"multiprobe recall {recall:.2f} ({len(truth & found)}/{len(truth)}) "
         "regressed toward exact-bucket LSH"
+    )
+
+
+def test_multiprobe_collision_matches_analytic_curve(spark):
+    """The hamming<=PROBE_RADIUS multiprobe contract on random
+    controlled-angle pairs: per-table candidate probability must track
+    the analytic Σ_{k<=r} C(b,k)·p^(b-k)·(1-p)^k with p = 1 - θ/π
+    (the binomial tail the ``PROBE_RADIUS`` comment promises), and at
+    every angle it must strictly dominate the exact-bucket rate p^b —
+    the measured statement of WHY multiprobe exists. Same
+    engine-independent geometry as the bit-agreement test; only the
+    signatures come from the engine."""
+    from spark_etl_pipeline_spark.operators.similarity import (
+        BITS_PER_TABLE,
+        N_TABLES,
+        PROBE_RADIUS,
+        embedding_signatures,
+    )
+
+    angles = (0.25, 0.75, 1.25)
+    pairs_per_angle = 80
+    rows, meta = _angle_pair_corpus(505, angles, pairs_per_angle)
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    sigs = {
+        (r.vec_id, r.t): r.sig for r in embedding_signatures(emb).collect()
+    }
+
+    for theta in angles:
+        p = 1 - theta / math.pi
+        analytic_multi = sum(
+            math.comb(BITS_PER_TABLE, k)
+            * p ** (BITS_PER_TABLE - k)
+            * (1 - p) ** k
+            for k in range(PROBE_RADIUS + 1)
+        )
+        analytic_exact = p**BITS_PER_TABLE
+        multi = exact = n = 0
+        for va, vb, th in meta:
+            if th != theta:
+                continue
+            for t in range(N_TABLES):
+                n += 1
+                ham = bin(sigs[(va, t)] ^ sigs[(vb, t)]).count("1")
+                multi += ham <= PROBE_RADIUS
+                exact += ham == 0
+        m_rate, e_rate = multi / n, exact / n
+        se = math.sqrt(analytic_multi * (1 - analytic_multi) / n)
+        assert abs(m_rate - analytic_multi) <= 4 * se + 0.05, (
+            f"theta={theta}: multiprobe rate {m_rate:.3f} vs analytic "
+            f"{analytic_multi:.3f}"
+        )
+        # the recall gain itself: strictly more candidates than exact
+        # buckets, by at least half the analytic gap
+        gain = analytic_multi - analytic_exact
+        assert m_rate - e_rate >= 0.5 * gain, (
+            f"theta={theta}: multiprobe gain {m_rate - e_rate:.3f} vs "
+            f"analytic gap {gain:.3f}"
+        )
+
+
+def test_probe_join_equals_hamming_radius(spark):
+    """Mechanical multiprobe equivalence, no statistics: the engine's
+    probe-side explode + bucket EQUI-join must produce exactly the
+    pairs whose per-table signatures differ in <= PROBE_RADIUS bits in
+    at least one table — computed here by brute-force plain-Python
+    hamming over the signature map. Pins the xor/mask explode in
+    ``embedding_probe_signatures`` (a wrong mask set or a dropped
+    radius-0 probe silently degrades recall, never correctness of the
+    verified pairs, so only an equivalence test catches it)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_etl_pipeline_spark.operators.similarity import (
+        N_TABLES,
+        PROBE_RADIUS,
+        embedding_probe_signatures,
+        embedding_signatures,
+    )
+
+    rng = random.Random(606)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    sigs = {
+        (r.vec_id, r.t): r.sig for r in embedding_signatures(emb).collect()
+    }
+    ids = sorted({v for v, _ in sigs})
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if any(
+            bin(sigs[(a, t)] ^ sigs[(b, t)]).count("1") <= PROBE_RADIUS
+            for t in range(N_TABLES)
+        )
+    }
+
+    a = embedding_probe_signatures(emb).alias("a")
+    b = embedding_signatures(emb).alias("b")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == expected, (
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
     )
