@@ -25,6 +25,7 @@ DuckDB oracles (same element order, same IEEE-754 ops; verified).
 from __future__ import annotations
 
 import hashlib
+from itertools import combinations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -219,24 +220,29 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
 
-def _plane_weights() -> list[list[int]]:
-    """Fixed integer hyperplanes in [-1000, 1000].
+def _plane_row(j: int) -> list[int]:
+    """Plane ``j``'s fixed integer weights in [-1000, 1000].
 
     Derived from md5 so they are reproducible anywhere, then inlined as
     literals into BOTH engines' plans (scaling a plane never changes the
     sign of a dot product, so integer weights lose nothing).
     """
-    planes = []
-    for j in range(max(NBITS, N_TABLES * BITS_PER_TABLE)):
-        row = []
-        for d in range(DIM):
-            h = int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16)
-            row.append(h % 2001 - 1000)
-        planes.append(row)
-    return planes
+    return [
+        int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+        for d in range(DIM)
+    ]
 
 
-_PLANES = _plane_weights()
+_PLANES = [_plane_row(j) for j in range(max(NBITS, N_TABLES * BITS_PER_TABLE))]
+
+
+def _plane(j: int) -> list[int]:
+    """Plane ``j``, extending the cache on demand — callers that scale
+    ``bits`` with corpus size (see :func:`embedding_near_dup_pairs`)
+    need more planes than the registered defaults pre-build."""
+    while len(_PLANES) <= j:
+        _PLANES.append(_plane_row(len(_PLANES)))
+    return _PLANES[j]
 _SIG_SPARK = " + ".join(
     "(CASE WHEN {dot} > 0.0 THEN {bit} ELSE 0 END)".format(
         dot=dot_expr(
@@ -601,18 +607,19 @@ def sim_ann_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-duplicate detection (dedup-family operator)
 # ---------------------------------------------------------------------------
 
-def _table_sig(engine: str, t: int) -> str:
-    """BITS_PER_TABLE-bit signature of hash table ``t``."""
+def _table_sig(engine: str, t: int, bits: int = BITS_PER_TABLE) -> str:
+    """``bits``-bit signature of hash table ``t`` (plane j = t·bits+r)."""
     terms = []
-    for r in range(BITS_PER_TABLE):
-        j = t * BITS_PER_TABLE + r
+    for r in range(bits):
+        j = t * bits + r
+        plane = _plane(j)
         if engine == "spark":
             dot = dot_expr(
-                "v", "array({})".format(",".join(f"{w}.0D" for w in _PLANES[j]))
+                "v", "array({})".format(",".join(f"{w}.0D" for w in plane))
             )
         else:
             dot = _duck_dot(
-                "v", "([{}]::DOUBLE[])".format(",".join(map(str, _PLANES[j])))
+                "v", "([{}]::DOUBLE[])".format(",".join(map(str, plane)))
             )
         terms.append(f"(CASE WHEN {dot} > 0.0 THEN {1 << r} ELSE 0 END)")
     return " + ".join(terms)
@@ -624,12 +631,18 @@ _DUCK_TABLE_SIGS = "\n        UNION ALL ".join(
 )
 
 
-def embedding_signatures(emb: DataFrame) -> DataFrame:
+def embedding_signatures(
+    emb: DataFrame, bits: int = BITS_PER_TABLE, tables: int = N_TABLES
+) -> DataFrame:
     """(vec_id, t, sig): one signature row per vector per hash table.
 
-    The per-row explode of N_TABLES struct literals keeps signature
+    The per-row explode of ``tables`` struct literals keeps signature
     computation a single JVM projection (no shuffle); this is also the
-    storable form the embedding store materializes.
+    storable form the embedding store materializes. ``bits`` is the
+    occupancy knob: at corpus size n, b ≈ log2(n/β) holds expected
+    bucket occupancy at β and keeps Σ bucket² candidate work ~n·β —
+    linear in n (measured in BASELINE.md's 10× scaling section); the
+    registered sf-corpus queries pin b = ``BITS_PER_TABLE``.
     """
     return emb.select(
         "vec_id",
@@ -638,19 +651,37 @@ def embedding_signatures(emb: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.expr(_table_sig("spark", t)).cast("bigint").alias("sig"),
+                        F.expr(_table_sig("spark", t, bits))
+                        .cast("bigint")
+                        .alias("sig"),
                     )
-                    for t in range(N_TABLES)
+                    for t in range(tables)
                 ]
             )
         ).alias("x"),
     ).select("vec_id", "x.t", "x.sig")
 
 
-def embedding_probe_signatures(emb: DataFrame) -> DataFrame:
+def _probe_masks(bits: int, radius: int) -> list[int]:
+    """All XOR masks of popcount <= radius over ``bits`` positions, in
+    (popcount, bit-position) order — Σ_{k<=r} C(bits, k) masks."""
+    return [
+        sum(1 << p for p in pos)
+        for k in range(radius + 1)
+        for pos in combinations(range(bits), k)
+    ]
+
+
+def embedding_probe_signatures(
+    emb: DataFrame,
+    bits: int = BITS_PER_TABLE,
+    tables: int = N_TABLES,
+    radius: int = PROBE_RADIUS,
+) -> DataFrame:
     """(vec_id, t, sig): each vector's bucket keys EXPANDED to its
-    hamming<=PROBE_RADIUS probe set (the bucket itself plus every
-    1-bit-flip neighbor — 1 + BITS_PER_TABLE rows per table).
+    hamming<=``radius`` probe set (the bucket itself plus every
+    <=radius-bit-flip neighbor — Σ_{k<=r} C(bits, k) rows per table;
+    1 + BITS_PER_TABLE at the registered defaults).
 
     Probe-side multiprobe: the stored/base signature side stays one row
     per (vector, table) — only the probing side fans out, so the
@@ -660,11 +691,9 @@ def embedding_probe_signatures(emb: DataFrame) -> DataFrame:
     from the probing side alone: flipping a's differing bit lands
     exactly on b's bucket.
     """
-    masks = F.array(
-        F.lit(0), *[F.lit(1 << r) for r in range(BITS_PER_TABLE)]
-    )
+    masks = F.array(*[F.lit(m) for m in _probe_masks(bits, radius)])
     return (
-        embedding_signatures(emb)
+        embedding_signatures(emb, bits, tables)
         .select("vec_id", "t", "sig", F.explode(masks).alias("m"))
         .select("vec_id", "t", F.expr("sig ^ m").alias("sig"))
     )
@@ -723,10 +752,30 @@ def dedup_embedding_cosine(
     dup-heavy corpus the pair set can rival the corpus, and the
     fallback is a shuffle hash join on vec_id, not an executor OOM.
     """
-    from spark_etl_pipeline_spark.operators.dedup import _pair_side
     emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
-    a = embedding_probe_signatures(emb).alias("a")  # probing side fans out
-    b = embedding_signatures(emb).alias("b")  # base side: one row/bucket
+    return embedding_near_dup_pairs(emb, broadcast=broadcast)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = COS_DUP_THRESHOLD,
+    broadcast: bool | str = "auto",
+    bits: int = BITS_PER_TABLE,
+    tables: int = N_TABLES,
+    radius: int = PROBE_RADIUS,
+) -> DataFrame:
+    """The multiprobe-LSH near-dup pipeline over ``emb(vec_id, v)``,
+    with every scale knob exposed: :func:`dedup_embedding_cosine` calls
+    it at the registered sf-corpus defaults; a 100-TB deployment raises
+    ``bits`` with corpus size (b ≈ log2(n/β) for target bucket
+    occupancy β keeps candidate work ~n·β, i.e. linear — see
+    ``tools/scale_bench.py``'s fixed-bits vs scaled-bits A/B and the
+    BASELINE.md 10× section for the measured curve).
+    """
+    from spark_etl_pipeline_spark.operators.dedup import _pair_side
+
+    a = embedding_probe_signatures(emb, bits, tables, radius).alias("a")
+    b = embedding_signatures(emb, bits, tables).alias("b")  # one row/bucket
     cand = (
         a.join(
             b,
@@ -758,7 +807,7 @@ def dedup_embedding_cosine(
             "vec_b",
             (F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
         )
-        .filter(F.col("cos") >= COS_DUP_THRESHOLD)
+        .filter(F.col("cos") >= threshold)
     )
 
 

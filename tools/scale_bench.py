@@ -17,8 +17,11 @@ and per-document duplicate structure UNCHANGED:
   corpus's internal near-dup structure WITHOUT creating cross-replica
   duplicates (a plain copy would turn every doc into a 10-way exact-dup
   cluster and blow candidate pairs up 45×, which sf1 does not do).
+- ``embeddings``: vec_id offset per replica; replicas 1..9 are rotated
+  by a fixed random orthogonal matrix (see ``_replica_rotator``) — the
+  embedding-space twin of the token-suffix trick.
 
-Then times the five most expensive headline queries at both scales with
+Then times the six most expensive headline queries at both scales with
 bench.py's exact methodology (schema-warmed, noop sink, multi-file
 layout) and prints one JSON line with per-query sf0.1→sf1 wall ratios.
 A ratio near DATA_SCALE (10) is linear scaling on fixed cores; well
@@ -42,13 +45,51 @@ QUERIES = [
     "docs_dedup_corpus",
     "dedup_minhash_lsh",
     "docs_dedup_incremental",
+    "dedup_embedding_cosine",
 ]
-TABLES = ["lineitem", "part", "documents"]
+TABLES = ["lineitem", "part", "documents", "embeddings"]
 N_FILES = 8  # per-table files at base scale (bench.py layout)
 
 ORDER_OFFSET = 100_000_000
 PART_OFFSET = 10_000_000
 DOC_OFFSET = 10_000_000
+VEC_OFFSET = 10_000_000
+
+
+def _replica_rotator(i: int):
+    """array<float> -> array<float> pandas UDF applying replica ``i``'s
+    fixed random rotation (QR of seeded gaussian — exactly orthogonal).
+
+    Rotation preserves every WITHIN-replica inner product bit-for-bit
+    in exact arithmetic (float32 re-storage moves threshold-grazing
+    cosines by ~1e-7), so each replica reproduces the corpus's internal
+    near-dup structure; cross-replica cosines become ~isotropic random
+    (sd ≈ 1/sqrt(DIM)), the same near-threshold tail a real 10× corpus
+    carries. A plain copy would instead make every vector a 10-way
+    exact dup (cos 1.0) across replicas — 45× verified pairs, which a
+    real 10× corpus does NOT have.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_etl_pipeline_spark.operators.similarity import DIM
+
+    q, _ = np.linalg.qr(
+        np.random.default_rng(7000 + i).standard_normal((DIM, DIM))
+    )
+    qlist = q.tolist()
+
+    @pandas_udf("array<float>")
+    def rot(col: pd.Series) -> pd.Series:
+        m = np.asarray(qlist, dtype=np.float64)
+        return col.map(
+            lambda v: (m @ np.asarray(v, dtype=np.float64))
+            .astype(np.float32)
+            .tolist()
+        )
+
+    return rot
 
 
 def build_scaled(spark, sf_dir: str, root: str, scale: int) -> None:
@@ -60,6 +101,8 @@ def build_scaled(spark, sf_dir: str, root: str, scale: int) -> None:
     from spark_etl_pipeline_spark.plans.registry import table
 
     for name in TABLES:
+        if os.path.exists(f"{root}/{name}.parquet/_SUCCESS"):
+            continue
         base = table(spark, sf_dir, name)
         reps = []
         for i in range(scale):
@@ -83,6 +126,12 @@ def build_scaled(spark, sf_dir: str, root: str, scale: int) -> None:
                         "text",
                         F.expr(f"regexp_replace(text, '(\\\\S+)', '$1_x{i}')"),
                     )
+            elif name == "embeddings":
+                r = r.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(i * VEC_OFFSET)
+                )
+                if i > 0:
+                    r = r.withColumn("embedding", _replica_rotator(i)("embedding"))
             reps.append(r)
         df = reduce(DataFrame.unionByName, reps)
         df.repartition(N_FILES * scale).write.mode("overwrite").parquet(
@@ -108,6 +157,76 @@ def time_queries(spark, qs, sf_dir: str, runs: int) -> dict[str, float]:
     return out
 
 
+def lsh_occupancy_ab(
+    spark, base_root: str, scaled_root: str, scale: int, runs: int
+) -> dict:
+    """Fixed-bits vs occupancy-targeted-bits LSH at 10× corpus size.
+
+    At fixed b, expected candidate pairs grow ~n²/2^b — quadratic; the
+    operating rule for a growing corpus is b ≈ log2(n/β) for a target
+    bucket occupancy β, which holds candidates at ~n·β — linear. This
+    measures both at ``scale``× data: same multiprobe pipeline
+    (``embedding_near_dup_pairs``), only ``bits`` differs. Candidate
+    counts are the direct evidence; wall uses bench.py's noop-write
+    min-of-runs methodology.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spark_etl_pipeline_spark.operators.similarity import (
+        BITS_PER_TABLE,
+        _vec,
+        embedding_near_dup_pairs,
+        embedding_probe_signatures,
+        embedding_signatures,
+    )
+    from spark_etl_pipeline_spark.plans.registry import table
+
+    b_scaled = BITS_PER_TABLE + math.ceil(math.log2(scale))
+    out = {}
+    for tag, root, bits in (
+        (f"base_b{BITS_PER_TABLE}", base_root, BITS_PER_TABLE),
+        (f"x{scale}_b{BITS_PER_TABLE}", scaled_root, BITS_PER_TABLE),
+        (f"x{scale}_b{b_scaled}", scaled_root, b_scaled),
+    ):
+        emb = table(spark, root, "embeddings").select(
+            "vec_id", _vec().alias("v")
+        )
+        a = embedding_probe_signatures(emb, bits).alias("a")
+        b = embedding_signatures(emb, bits).alias("b")
+        n_cand = (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+        pipe = embedding_near_dup_pairs(emb, bits=bits)
+        n_pairs = pipe.count()
+        best = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            embedding_near_dup_pairs(emb, bits=bits).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[tag] = {
+            "bits": bits,
+            "n_candidates": n_cand,
+            "n_pairs": n_pairs,
+            "wall": round(best, 3),
+        }
+        print(f"[scale] lsh A/B {tag}: cand={n_cand} pairs={n_pairs} "
+              f"wall={best:.3f}s", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--scale", type=int, default=10)
@@ -125,20 +244,18 @@ def main() -> int:
     # base-scale copy in the same multi-file layout bench.py uses
     base_root = f"/tmp/spark_graft_scale/base_{N_FILES}f"
     scaled_root = f"/tmp/spark_graft_scale/x{args.scale}"
-    if not os.path.exists(f"{base_root}/_DONE"):
-        from spark_etl_pipeline_spark.plans.registry import table
+    from spark_etl_pipeline_spark.plans.registry import table
 
-        for name in TABLES:
-            table(spark, args.sf_dir, name).repartition(N_FILES).write.mode(
-                "overwrite"
-            ).parquet(f"{base_root}/{name}.parquet")
-        open(f"{base_root}/_DONE", "w").write("ok")
-    if not os.path.exists(f"{scaled_root}/_DONE"):
-        t0 = time.monotonic()
-        build_scaled(spark, args.sf_dir, scaled_root, args.scale)
-        open(f"{scaled_root}/_DONE", "w").write("ok")
-        print(f"[scale] dataset built in {time.monotonic() - t0:.1f}s",
-              file=sys.stderr)
+    for name in TABLES:
+        if os.path.exists(f"{base_root}/{name}.parquet/_SUCCESS"):
+            continue
+        table(spark, args.sf_dir, name).repartition(N_FILES).write.mode(
+            "overwrite"
+        ).parquet(f"{base_root}/{name}.parquet")
+    t0 = time.monotonic()
+    build_scaled(spark, args.sf_dir, scaled_root, args.scale)
+    print(f"[scale] dataset staged in {time.monotonic() - t0:.1f}s",
+          file=sys.stderr)
 
     # Scale-CORRECTNESS check before timing: the replicas are disjoint
     # same-shaped components, so the exact graph query must return
@@ -171,6 +288,9 @@ def main() -> int:
             q: round(scaled[q] / base[q], 2) if base[q] > 0 else None
             for q in QUERIES
         },
+        "lsh_occupancy_ab": lsh_occupancy_ab(
+            spark, base_root, scaled_root, args.scale, args.runs
+        ),
     }
     print(json.dumps(report))
     spark.stop()
