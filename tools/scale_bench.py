@@ -39,6 +39,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 QUERIES = [
     "graph_reachability",
     "mm_decode_features",
@@ -70,7 +72,6 @@ def _replica_rotator(i: int):
     real 10× corpus does NOT have.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from spark_etl_pipeline_spark.operators.similarity import DIM
