@@ -49,9 +49,10 @@ COS_DUP_THRESHOLD = 0.4
 #: dup band 0.15 → ~0.49 (measured 9/59 → 29/59 true pairs at
 #: sf0.01), for 7× probe rows on ONE join side and ZERO extra stored
 #: tables — the storage-free alternative to stacking more hash tables
-#: (multi-probe LSH, Lv et al., VLDB'07). The profile/drift queries
-#: (sim_threshold_profile, sim_embedding_drift) intentionally stay at
-#: radius 0: they characterize the BASE bucketing itself.
+#: (multi-probe LSH, Lv et al., VLDB'07). Every signature consumer
+#: (cosine dedup, the embedding store probe, quantized rerank,
+#: cluster profiling, the threshold histogram) probes at this radius,
+#: each oracle carrying the same hamming<=1 candidate predicate.
 PROBE_RADIUS = 1
 
 

@@ -603,3 +603,35 @@ def test_probe_join_equals_hamming_radius(spark):
     assert got == expected, (
         f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
     )
+
+
+def test_probe_masks_and_bits_knob_contract(spark):
+    """API pins for the scale knobs: the mask set is exactly the
+    popcount<=radius neighborhood (count Σ C(b,k), radius-0 probe
+    first — the order the registered plans snapshot), and signatures
+    built at non-default bits stay inside their 2^bits bucket space
+    across all tables."""
+    from spark_etl_pipeline_spark.operators.similarity import (
+        _probe_masks,
+        embedding_signatures,
+    )
+
+    assert _probe_masks(6, 1) == [0, 1, 2, 4, 8, 16, 32]
+    for bits, radius in ((6, 1), (10, 1), (6, 2), (8, 3)):
+        masks = _probe_masks(bits, radius)
+        assert len(masks) == sum(
+            math.comb(bits, k) for k in range(radius + 1)
+        )
+        assert len(set(masks)) == len(masks)
+        assert all(bin(m).count("1") <= radius and m < 2**bits for m in masks)
+        assert masks[0] == 0
+
+    rng = random.Random(707)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, v array<double>",
+    )
+    for bits in (6, 9):
+        rows = embedding_signatures(emb, bits=bits).collect()
+        assert len(rows) == 40 * 2  # one row per vector per table
+        assert all(0 <= r.sig < 2**bits for r in rows)
