@@ -700,6 +700,78 @@ def embedding_probe_signatures(
     )
 
 
+def embedding_directed_probe_signatures(
+    emb: DataFrame,
+    probes: int,
+    bits: int = BITS_PER_TABLE,
+    tables: int = N_TABLES,
+) -> DataFrame:
+    """(vec_id, t, sig): QUERY-DIRECTED multiprobe — each vector probes
+    its own bucket plus only the ``probes`` 1-bit-flip neighbors whose
+    hyperplane margins are smallest (Lv et al., VLDB'07: probe buckets
+    in order of boundary distance, not exhaustively).
+
+    A hamming-1 pair differs exactly on a plane that separates the two
+    vectors, and the probability a θ-pair straddles plane j falls as
+    its margin |⟨v, h_j⟩| grows — so flipping the low-margin bits first
+    buys most of radius-1 recall at (1 + probes)/(1 + bits) of the
+    probe rows: the knob between ``radius=0`` and full radius-1 when
+    the probe side's fan-out is the cost driver (e.g. probing a very
+    large stored signature table). ``probes=bits`` IS radius-1
+    multiprobe (equivalence pinned by
+    ``test_directed_probes_full_equals_radius_one``).
+
+    All-JVM single projection per table: one dot array feeds both the
+    signature bits (same ``dot > 0.0`` predicate as
+    :func:`embedding_signatures`, so buckets agree bit-for-bit) and
+    the margin ranking (``array_sort`` on (|dot|, bit) structs —
+    deterministic tie-break on bit index).
+    """
+    if not 0 <= probes <= bits:
+        raise ValueError(f"probes must be in [0, {bits}], got {probes}")
+    per_table = []
+    for t in range(tables):
+        dots = "array({})".format(
+            ",".join(
+                dot_expr(
+                    "v",
+                    "array({})".format(
+                        ",".join(f"{w}.0D" for w in _plane(t * bits + r))
+                    ),
+                )
+                for r in range(bits)
+            )
+        )
+        per_table.append(
+            f"""named_struct(
+                't', {t},
+                'sig', aggregate(
+                    zip_with({dots}, sequence(0, {bits - 1}),
+                             (d, r) -> CASE WHEN d > 0.0D
+                                       THEN shiftleft(1L, r) ELSE 0L END),
+                    0L, (s, x) -> s + x),
+                'masks', transform(
+                    slice(array_sort(
+                        zip_with({dots}, sequence(0, {bits - 1}),
+                                 (d, r) -> named_struct('m', abs(d), 'r', r))
+                    ), 1, {probes}),
+                    x -> shiftleft(1L, x.r)))"""
+        )
+    all_tables = "array({})".format(",".join(per_table))
+    return (
+        emb.select("vec_id", F.explode(F.expr(all_tables)).alias("x"))
+        .select(
+            "vec_id",
+            "x.t",
+            "x.sig",
+            F.explode(
+                F.concat(F.array(F.lit(0).cast("long")), F.col("x.masks"))
+            ).alias("m"),
+        )
+        .select("vec_id", "t", F.expr("sig ^ m").alias("sig"))
+    )
+
+
 #: Shared oracle candidate CTE: hamming<=1 bucket collision in any
 #: table (the multiprobe contract; DuckDB brute-forces the hamming
 #: predicate — the oracle states WHAT, the engine's probe-explode
