@@ -1302,15 +1302,19 @@ def _planted_corpus(docs: DataFrame) -> DataFrame:
 @register(
     "dedup_containment_onesided",
     oracle=f"""
-    WITH docs2 AS (
-        SELECT doc_id, text FROM documents
+    WITH base AS (
+        SELECT doc_id, text, n_chars FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    docs2 AS (
+        SELECT doc_id, text FROM base
         UNION ALL
         SELECT {PLANTED_DOC_ID} AS doc_id,
-               (SELECT text FROM documents
+               (SELECT text FROM base
                 WHERE len(string_split_regex(trim(text), '\\s+')) >= {SHINGLE_N}
                 ORDER BY n_chars, doc_id LIMIT 1)
                || ' ' ||
-               (SELECT text FROM documents
+               (SELECT text FROM base
                 ORDER BY n_chars DESC, doc_id DESC LIMIT 1) AS text
     ),
     toks AS (
@@ -1371,7 +1375,9 @@ def dedup_containment_onesided(spark: SparkSession, sf_dir: str) -> DataFrame:
     result with cont_a = 1.0. The pytest twin asserts both halves:
     present here, absent from the two-sided candidate set.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
     corpus = _planted_corpus(docs)
     shingles = shingle_set(corpus)
     cand = onesided_candidates(shingles)

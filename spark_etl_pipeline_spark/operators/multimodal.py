@@ -76,8 +76,16 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
     Stands in for reading real image/audio bytes; the binary column and
     typed metadata are exactly what a production table would carry.
+    NULL-source rows (no bytes to decode — a guaranteed row class at
+    100-TB ingest, surfaced by the round-8 null-injection sweep) are
+    dropped HERE, the family's single ingest gate, so every downstream
+    worker sees a non-null payload and every oracle mirrors the same
+    absent-row semantics with a ``text IS NOT NULL``-equivalent guard.
+    A no-op on clean corpora. The Arrow workers still guard
+    ``payload is None`` defensively — the operators stay total for
+    callers that bypass this gate.
     """
-    return docs.select(
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
@@ -169,6 +177,8 @@ def decode_features(payloads: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 data = bytes(payload)
                 w, h = _decode(data)
                 rows.append(
@@ -199,6 +209,8 @@ def frame_sample(payloads: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 data = bytes(payload)
                 for i in range(0, len(data), FRAME_BYTES):
                     rows.append(
@@ -242,6 +254,8 @@ def resize_payload(payloads: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 data = bytes(payload)
                 stride = max(1, -(-len(data) // RESIZE_TARGET_BYTES))
                 small = data[::stride]
@@ -273,7 +287,7 @@ def resize_payload(payloads: DataFrame) -> DataFrame:
            md5(text) AS content_md5,
            CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 512 + 16 AS width,
            CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 512 + 16 AS height
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,7 +326,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(length(text) AS BIGINT) AS n,
                greatest(CAST(ceil(length(text) / {RESIZE_TARGET_BYTES}.0) AS BIGINT), 1)
                    AS stride
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     r AS (
         SELECT doc_id, n, stride,
@@ -369,6 +383,8 @@ def audio_windows(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 b = bytes(payload)
                 n = len(b)
                 if n < WINDOW_BYTES:
@@ -453,6 +469,8 @@ def perceptual_hash(payloads: DataFrame) -> DataFrame:
         for pdf in it:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 b = bytes(payload)
                 n = len(b)
                 if n == 0:
@@ -561,6 +579,8 @@ def payload_impurity(payloads: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
                 data = bytes(payload)
                 n = len(data)
                 if n == 0:

@@ -56,6 +56,30 @@ COS_DUP_THRESHOLD = 0.4
 PROBE_RADIUS = 1
 
 
+def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v): the embedding corpus restricted to USABLE vectors.
+
+    Empty embedding arrays — upstream decode failures, a guaranteed row
+    class at 100-TB ingest — carry no geometry: their dot folds are 0,
+    so every norm is 0 and the first cosine hits ANSI
+    ``DIVIDE_BY_ZERO``, killing the whole query for one damaged row
+    (surfaced by the round-8 null-injection sweep,
+    ``tools/stage_hostile.py``). The family therefore drops them at
+    load, and every oracle carries the matching
+    ``len(embedding) > 0`` — a no-op on clean corpora, so registered
+    results are unchanged. All-zero vectors (norm 0 with nonzero
+    length) remain undefined-cosine inputs by contract: a production
+    quality gate should drop them upstream; the check is not done here
+    because float-vs-double norm summation is not bit-portable across
+    engines.
+    """
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.size("embedding") > 0)
+        .select("vec_id", _vec().alias("v"))
+    )
+
+
 def _vec(col: str = "embedding") -> Column:
     """float array → double array (both engines compute in double)."""
     return F.expr(f"transform({col}, x -> cast(x as double))")
@@ -201,7 +225,8 @@ def topk_cosine(
 @register(
     "sim_topk_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_duck_cos('q.v', 'c.v')} AS cos
@@ -217,7 +242,7 @@ def topk_cosine(
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for the 10-vector query set (ANN baseline)."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     return topk_cosine(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
 
@@ -265,7 +290,8 @@ _SIG_DUCK = " + ".join(
 @register(
     "sim_ann_hyperplane",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     sigs AS (SELECT vec_id, CAST({_SIG_DUCK} AS BIGINT) AS sig FROM e)
     SELECT vec_id, sig,
            COUNT(*) OVER (PARTITION BY sig) AS bucket_size
@@ -285,7 +311,7 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning at any scale. At scale, near-neighbor candidates are
     generated per bucket, Σ bucket² work.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     sigs = emb.select("vec_id", F.expr(_SIG_SPARK).cast("bigint").alias("sig"))
     counts = sigs.groupBy("sig").agg(F.count(F.lit(1)).alias("bucket_size"))
     return sigs.join(F.broadcast(counts), "sig").select(
@@ -296,7 +322,8 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_search",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id % {CENTROID_STRIDE} = 0),
     assign AS (
@@ -347,9 +374,9 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     never appear twice: each neighbor lives in exactly one cell and the
     probed cells are distinct.
     """
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec().alias("v")
-    ).withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})"))
+    emb = load_vectors(spark, sf_dir).withColumn(
+        "nrm", F.expr(f"sqrt({dot_expr('v', 'v')})")
+    )
     cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
@@ -443,7 +470,8 @@ def _ivf_scored_sql(nprobe: int) -> str:
 @register(
     "sim_ivf_nprobe2",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     {_IVF_CENTS_ASSIGN},
     {_ivf_scored_sql(2)}
     SELECT query_id, neighbor_id, cos
@@ -469,7 +497,8 @@ def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_recall",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     exact_scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_duck_cos('q.v', 'c.v')} AS cos
@@ -535,7 +564,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     exact = topk_cosine(emb.filter(F.col("vec_id") < N_QUERIES), emb, k=3).select(
         "query_id", "neighbor_id"
     )
@@ -563,7 +592,8 @@ def _ann_recall(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
 @register(
     "sim_ann_recall_nprobe2",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     exact_scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_duck_cos('q.v', 'c.v')} AS cos
@@ -788,7 +818,8 @@ _DUCK_CAND_MULTIPROBE = """cand AS (
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     sigs AS (
         {_DUCK_TABLE_SIGS}
     ),
@@ -825,7 +856,7 @@ def dedup_embedding_cosine(
     dup-heavy corpus the pair set can rival the corpus, and the
     fallback is a shuffle hash join on vec_id, not an executor OOM.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     return embedding_near_dup_pairs(emb, broadcast=broadcast)
 
 
@@ -950,7 +981,8 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
 #: c1, a2 (final assignment), c2 (final centroids). Reused by
 #: sim_kmeans and the kmeans-backed IVF search.
 _KMEANS_CTES = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
     a1 AS (
         SELECT vec_id, cid AS cell FROM (
@@ -1014,7 +1046,7 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same two rounds as CTEs, and the integer-numerator means make
     both engines' centroids bit-identical.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     assign, cents_df = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
     counts = assign.groupBy(F.col("cell").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members")
@@ -1039,7 +1071,8 @@ QUANT_LEVELS = 127  # symmetric int8 range [-127, 127]
 @register(
     "sim_embed_quantize",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     scaled AS (
         SELECT vec_id, v,
                CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
@@ -1073,7 +1106,7 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by a pytest rather than the oracle (it is a property, not a
     value).
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     mx = "array_max(transform(v, x -> abs(x)))"
     scaled = emb.withColumn(
         "scale",
@@ -1216,7 +1249,8 @@ def probe_embedding_store(
 @register(
     "sim_embedding_store",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     sigs AS (
         {_DUCK_TABLE_SIGS}
     ),
@@ -1242,7 +1276,7 @@ def sim_embedding_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     is_delta = F.col("vec_id") % 4 == 3
     store = tempfile.mkdtemp(prefix="spark_etl_embstore_")
     build_embedding_store(emb.filter(~is_delta), store)
@@ -1283,7 +1317,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid tables persist exactly like the embedding store
     (build-once, probe-per-batch).
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     assign, _cents = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
     nrm = F.expr(f"sqrt({dot_expr('v', 'v')})")
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1416,7 +1450,7 @@ def sim_ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes :func:`kmeans_iterate` (bit-exact cells) and
     :func:`sim_embed_quantize`'s quantizer (checksum-oracled).
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     assign, _cents = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
     mx = "array_max(transform(v, x -> abs(x)))"
     scale = (
@@ -1509,6 +1543,7 @@ def sim_ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0
     ),
     sigs AS (
         {_DUCK_TABLE_SIGS}
@@ -1578,7 +1613,8 @@ def sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_threshold_profile",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0),
     sigs AS (
         {_DUCK_TABLE_SIGS}
     ),
@@ -1608,7 +1644,7 @@ def sim_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Binning by ``floor(cos·10)`` is deterministic because the cosine
     itself is bit-identical on both engines.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", _vec().alias("v"))
+    emb = load_vectors(spark, sf_dir)
     a = embedding_probe_signatures(emb).alias("a")
     b = embedding_signatures(emb).alias("b")
     cand = (
@@ -1652,6 +1688,7 @@ def sim_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE len(embedding) > 0
     ),
     sigs AS (
         {_DUCK_TABLE_SIGS}

@@ -110,6 +110,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+        WHERE text IS NOT NULL
     ), m AS (
         SELECT doc_id,
                len(t) AS n_tokens,
@@ -134,7 +135,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics + keep/drop flag (the filter an LLM
     data pipeline applies before training). All metrics are integer
     counts; each ratio is one double division → engine-exact."""
-    docs = with_tokens(table(spark, sf_dir, "documents"))
+    docs = with_tokens(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     scored = docs.select("doc_id", *quality_columns())
     return scored.withColumn(
         "keep",
@@ -167,7 +170,7 @@ def _vote_expr_spark() -> Column:
     oracle="""
     WITH toks AS (
         SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ), hits AS (
         SELECT doc_id, lang,
                len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS h_en,
@@ -191,7 +194,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID, reported as a (actual, predicted)
     confusion table. The vote is a constant-time expression per row — no
     shuffle until the tiny final aggregate."""
-    docs = with_tokens(table(spark, sf_dir, "documents"))
+    docs = with_tokens(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     return (
         docs.withColumn("predicted", _vote_expr_spark())
         .groupBy("lang", "predicted")
@@ -204,6 +209,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+        WHERE text IS NOT NULL
     )
     SELECT doc_id,
            list_reduce(
@@ -221,7 +227,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive rate, giving O(1)-state exact-order dedup keys. Pure
     expression per row: embarrassingly parallel at any scale.
     """
-    docs = with_tokens(table(spark, sf_dir, "documents"))
+    docs = with_tokens(
+        table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     fold = (
         "aggregate(transform(tokens, x -> {h}), cast(0 as bigint), "
         "(acc, h) -> (acc * 131 + h) % 2147483647)"
@@ -327,7 +335,8 @@ def _bigram_count(engine: str, bg: str) -> str:
     WITH scored AS (
         SELECT lang,
                {scores}
-        FROM (SELECT lang, lower(text) AS t FROM documents)
+        FROM (SELECT lang, lower(text) AS t FROM documents
+              WHERE text IS NOT NULL)
     ),
     pred AS (
         SELECT lang,
@@ -356,8 +365,10 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex, no explode); argmax with a deterministic tiebreak. Per-row
     constant work, one tiny aggregate shuffle.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "lang", F.lower(F.col("text")).alias("t")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("lang", F.lower(F.col("text")).alias("t"))
     )
     scores = {
         lang: F.expr(" + ".join(_bigram_count("spark", bg) for bg in bgs))

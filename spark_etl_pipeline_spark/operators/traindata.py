@@ -561,12 +561,26 @@ def bounded_stratum_rank(
         F.ceil(F.lit(STRAT_SAFETY) * F.col(k_col) * STRAT_HASH_MOD / F.col("n_str")),
     ).cast("bigint")
     t = targets.withColumn("thr", thr)
-    joined = docs_h.join(F.broadcast(t), stratum)
+    # Null-safe (<=>) stratum joins: a NULL stratum is real data (the
+    # "unknown" bucket every 100-TB corpus carries) and must be SAMPLED
+    # like any other — a plain equi-join drops it silently, which the
+    # round-8 null-injection sweep caught (window-based oracles keep
+    # the NULL partition). No-op on corpora without null strata.
+    joined = docs_h.alias("d").join(
+        F.broadcast(t.alias("t")),
+        F.expr(f"d.`{stratum}` <=> t.`{stratum}`"),
+    ).drop(F.col(f"t.`{stratum}`"))
     pre_n = joined.groupBy(stratum).agg(
         F.sum(F.when(F.col("h") < F.col("thr"), 1).otherwise(0)).alias("n_pre")
     )
-    bounded = joined.join(F.broadcast(pre_n), stratum).filter(
-        (F.col("h") < F.col("thr")) | (F.col("n_pre") < F.col(k_col))
+    bounded = (
+        joined.alias("j")
+        .join(
+            F.broadcast(pre_n.alias("p")),
+            F.expr(f"j.`{stratum}` <=> p.`{stratum}`"),
+        )
+        .drop(F.col(f"p.`{stratum}`"))
+        .filter((F.col("h") < F.col("thr")) | (F.col("n_pre") < F.col(k_col)))
     )
     w = Window.partitionBy(stratum).orderBy("h", "doc_id")
     return bounded.withColumn("rk", F.row_number().over(w))

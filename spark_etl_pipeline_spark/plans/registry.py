@@ -306,6 +306,12 @@ _EMIT_LAST = (
     "sim_threshold_profile",  # r7, refactored r8
     "docs_dedup_semantic",  # r7, refactored r8
     "sim_embedding_store",  # r6, refactored r8
+    # (Round 8's NULL-robustness pass — ``tools/stage_hostile.py``
+    # findings — also touched ~26 builders/oracles in lockstep with
+    # absent-row/null-safe guards that are NO-OPS on the driver's
+    # pristine corpus: results and value-hashes are unchanged, verified
+    # by a full 222/222 clean-data rehearsal after the pass, so those
+    # queries keep their age-order rotation slots.) ---
     # --- then the remaining 23 r4-stale rows (``text_decontaminate``
     # … ``rel_sort_limit``) + the oldest r5-green rows. ---
     "text_decontaminate",  # r4

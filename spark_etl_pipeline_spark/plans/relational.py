@@ -1948,7 +1948,7 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sort(list(CAST(round(l_quantity*100) AS BIGINT)))
                    AS qtys
         FROM lineitem
-        WHERE l_orderkey <= 1000
+        WHERE l_orderkey <= 1000 AND l_quantity IS NOT NULL
         GROUP BY l_orderkey
     )
     SELECT l_orderkey,
@@ -1973,7 +1973,13 @@ def rel_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero additional exchanges. The fold keeps bigint cents; the
     per-element division is integer div — nothing float anywhere.
     """
-    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    # l_quantity IS NOT NULL in BOTH engines: Spark's collect_list
+    # silently drops nulls while DuckDB's list() keeps them (round-8
+    # null-injection finding) — the explicit filter makes the shared
+    # semantics visible instead of relying on collect_list's behavior.
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_orderkey") <= 1000) & F.col("l_quantity").isNotNull()
+    )
     arrs = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(cents("l_quantity"))).alias("qtys")
     )

@@ -77,9 +77,14 @@ def main(argv: list[str] | None = None) -> int:
 
     duck = duckdb.connect()
     for t in TABLES:
-        duck.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
-        )
+        # driver layout is one file per table; hostile/staged copies
+        # (tools/stage_hostile.py) are directories of part files
+        path = f"{args.sf_dir}/{t}.parquet"
+        import os
+
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
