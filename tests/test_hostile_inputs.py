@@ -1,0 +1,113 @@
+"""Damaged-row regression net: the round-8 null-injection findings,
+pinned as a permanent oracle-parity test on a HOSTILE corpus copy.
+
+``tools/stage_hostile.py --mode nulls`` nulls ~3% of every non-key
+scalar column and empties ~2% of arrays; the full 222-query sweep of
+that copy at sf0.01 originally surfaced 26 real divergences (empty
+embedding arrays → ANSI DIVIDE_BY_ZERO across the similarity family,
+null payloads crashing multimodal Arrow workers, the NULL stratum
+dropped by an equi-join, collect_list-vs-list() null asymmetry, null
+text semantic splits). This module re-stages the same damage at
+sf0.001 per test session and drives exactly those queries against
+their DuckDB oracles — so any regression back toward null-fragility
+fails CI, not a future hostile sweep.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from spark_etl_pipeline_spark.plans import registry
+from tests.conftest import SF_SMOKE
+
+#: The 26 queries the round-8 nulls sweep flagged, by failure class.
+HOSTILE_QUERIES = (
+    # similarity family: empty arrays used to zero norms → DIVIDE_BY_ZERO
+    "sim_topk_cosine",
+    "sim_ivf_search",
+    "sim_ivf_nprobe2",
+    "sim_ivf_kmeans",
+    "sim_kmeans",
+    "sim_ann_recall",
+    "sim_ann_recall_nprobe2",
+    "sim_ivf_quantized_rerank",
+    "sim_embedding_clusters",
+    "sim_threshold_profile",
+    "dedup_embedding_cosine",
+    "docs_dedup_semantic",
+    # multimodal family: null payloads used to crash the Arrow workers
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_audio_window",
+    "mm_phash_buckets",
+    "mm_frame_dedup",
+    "mm_payload_impurity",
+    # text family: null-text cross-engine semantic splits
+    "text_lang_id",
+    "text_lang_id_ngram",
+    "text_quality_score",
+    "text_fingerprint",
+    # traindata: NULL stratum silently dropped by the equi-join
+    "text_stratified_sample",
+    # dedup: planted-corpus extremes ordered over nullable n_chars
+    "dedup_containment_onesided",
+    # relational: collect_list drops nulls, DuckDB list() keeps them
+    "rel_higher_order_funcs",
+)
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(spark, tmp_path_factory):
+    """The sf0.001 corpus with deterministic null/empty damage."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "nulls")
+    stage("nulls", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def hostile_duck(hostile_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{hostile_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(
+        by=list(pdf.columns), na_position="last"
+    ).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", HOSTILE_QUERIES)
+def test_agrees_with_oracle_on_damaged_rows(spark, hostile_dir, hostile_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, hostile_dir).toPandas()
+    duck_pdf = hostile_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

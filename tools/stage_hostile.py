@@ -40,7 +40,7 @@ def _is_key(col: str) -> bool:
     return col.endswith("key") or col.endswith("_id") or col in ("ts",)
 
 
-def stage(mode: str, sf_dir: str, out: str) -> None:
+def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -48,12 +48,14 @@ def stage(mode: str, sf_dir: str, out: str) -> None:
     sys.path.insert(0, ".")
     from spark_etl_pipeline_spark.plans.registry import TABLES, table
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
+    own_session = spark is None
+    if own_session:
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
     for t in TABLES:
         df = table(spark, sf_dir, t)
         if mode == "shuffled":
@@ -104,7 +106,8 @@ def stage(mode: str, sf_dir: str, out: str) -> None:
             df = df.select(*out_cols)
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         print(f"[hostile] staged {t} ({mode})", file=sys.stderr)
-    spark.stop()
+    if own_session:
+        spark.stop()
 
 
 def main() -> int:
