@@ -18,19 +18,26 @@ from pyspark.sql import functions as F
 
 
 def cents(col: str | Column, scale: int = 100) -> Column:
-    """Fixed-point view of a float column: round(x*scale) as bigint.
+    """Fixed-point view of a float column: try_cast(round(x*scale)) as
+    bigint.
 
     Integer sums are associative, so aggregates built on this are identical
     across Spark partition orders and across engines (see
-    plans/registry.py determinism rules).
+    plans/registry.py determinism rules). TRY_CAST, not CAST: a NaN or
+    ±Inf cell — the float damage any 100-TB corpus carries, probed by
+    ``tools/stage_hostile.py --mode floats`` — becomes NULL and drops
+    out of integer aggregates (SUM skips NULL in both engines, the same
+    absent-value semantics a NULL cell already gets) instead of killing
+    the whole query with an ANSI CAST_OVERFLOW. Identical to CAST on
+    every castable value.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * scale).cast("long")
+    return F.round(c * scale).try_cast("long")
 
 
 def cents_sql(expr: str, scale: int = 100) -> str:
-    """DuckDB twin of :func:`cents`."""
-    return f"CAST(round(({expr}) * {scale}) AS BIGINT)"
+    """DuckDB twin of :func:`cents` (TRY_CAST — see there)."""
+    return f"TRY_CAST(round(({expr}) * {scale}) AS BIGINT)"
 
 
 # ---------------------------------------------------------------------------

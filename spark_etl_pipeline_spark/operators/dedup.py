@@ -1669,7 +1669,7 @@ _MH_MATCHES_DUCK = " + ".join(
         JOIN sizes za ON za.doc_id = c.doc_a
         JOIN sizes zb ON zb.doc_id = c.doc_b
     )
-    SELECT CAST(round((est - exact) * 10.0) AS INTEGER) AS err_bucket,
+    SELECT TRY_CAST(round((est - exact) * 10.0) AS INTEGER) AS err_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM scored
     GROUP BY 1
@@ -1713,7 +1713,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.groupBy(
-        F.expr("cast(round((est - exact) * 10.0) as int)").alias("err_bucket")
+        F.expr("try_cast(round((est - exact) * 10.0) as int)").alias("err_bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
 
 

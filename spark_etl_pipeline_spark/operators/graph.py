@@ -497,7 +497,7 @@ _REACHABILITY_ORACLE = f"""
     dist AS (SELECT node, MIN(d) AS hop FROM lv GROUP BY node)
     SELECT CAST(hop AS INTEGER) AS hop,
            COUNT(*) AS n_parts,
-           CAST(SUM(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(TRY_CAST(round(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
                AS retail_cents
     FROM dist JOIN part p ON p.p_partkey = dist.node
     GROUP BY hop
@@ -554,7 +554,7 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("hop").cast("int").alias("hop"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.sum(F.expr("cast(round(p_retailprice * 100) as bigint)")).alias(
+            F.sum(F.expr("try_cast(round(p_retailprice * 100) as bigint)")).alias(
                 "retail_cents"
             ),
         )

@@ -81,7 +81,17 @@ def profile(df: DataFrame, columns: list[str] | None = None, approx: bool = Fals
     SELECT 'o_totalprice', COUNT(*),
            CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT o_totalprice),
-           CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+           -- special doubles render differently per engine ('nan'/'inf'
+           -- vs 'NaN'/'Infinity'); the profile contract canonicalizes
+           -- on the Java tokens, so the oracle states them explicitly
+           CASE WHEN isnan(MIN(o_totalprice)) THEN 'NaN'
+                WHEN MIN(o_totalprice) = 'inf'::DOUBLE THEN 'Infinity'
+                WHEN MIN(o_totalprice) = '-inf'::DOUBLE THEN '-Infinity'
+                ELSE CAST(MIN(o_totalprice) AS VARCHAR) END,
+           CASE WHEN isnan(MAX(o_totalprice)) THEN 'NaN'
+                WHEN MAX(o_totalprice) = 'inf'::DOUBLE THEN 'Infinity'
+                WHEN MAX(o_totalprice) = '-inf'::DOUBLE THEN '-Infinity'
+                ELSE CAST(MAX(o_totalprice) AS VARCHAR) END
     FROM orders
     """,
 )
@@ -277,7 +287,7 @@ _CHI2_ORACLE = """
     contrib AS (
         SELECT c.event_type,
                c.o,
-               CAST(round(
+               TRY_CAST(round(
                    power(CAST(c.o AS DOUBLE)
                          - CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)
                            / CAST(g.gtot AS DOUBLE), 2)
@@ -336,7 +346,7 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "o",
             F.expr(
-                "cast(round(power(cast(o as double) - cast(rtot as double) * "
+                "try_cast(round(power(cast(o as double) - cast(rtot as double) * "
                 "cast(ctot as double) / cast(gtot as double), 2) / "
                 "(cast(rtot as double) * cast(ctot as double) / "
                 "cast(gtot as double)) * 1000000) as bigint)"

@@ -997,7 +997,7 @@ _KMEANS_CTES = f"""
     c1 AS (
         SELECT cid, list(val ORDER BY d) AS cv FROM (
             SELECT x.cell AS cid, g.d,
-                   CAST(SUM(CAST(round(e.v[g.d] * {KMEANS_SCALE}) AS BIGINT)) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(round(e.v[g.d] * {KMEANS_SCALE}) AS BIGINT)) AS DOUBLE)
                        / {KMEANS_SCALE}.0 / COUNT(*) AS val
             FROM a1 x JOIN e ON e.vec_id = x.vec_id
             CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS d) g
@@ -1017,7 +1017,7 @@ _KMEANS_CTES = f"""
     c2 AS (
         SELECT cid, list(val ORDER BY d) AS cv FROM (
             SELECT x.cell AS cid, g.d,
-                   CAST(SUM(CAST(round(e.v[g.d] * {KMEANS_SCALE}) AS BIGINT)) AS DOUBLE)
+                   CAST(SUM(TRY_CAST(round(e.v[g.d] * {KMEANS_SCALE}) AS BIGINT)) AS DOUBLE)
                        / {KMEANS_SCALE}.0 / COUNT(*) AS val
             FROM a2 x JOIN e ON e.vec_id = x.vec_id
             CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS d) g
@@ -1085,10 +1085,10 @@ QUANT_LEVELS = 127  # symmetric int8 range [-127, 127]
     SELECT vec_id, scale,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(generate_series(1, {DIM}),
-                   i -> CAST(round(v[i] * scale) AS BIGINT) * i)),
+                   i -> TRY_CAST(round(v[i] * scale) AS BIGINT) * i)),
                (s, x) -> s + x) AS checksum,
            CAST(len(list_filter(v,
-               x -> abs(CAST(round(x * scale) AS BIGINT)) = {QUANT_LEVELS}))
+               x -> abs(TRY_CAST(round(x * scale) AS BIGINT)) = {QUANT_LEVELS}))
                AS BIGINT) AS n_sat
     FROM scaled
     """,
@@ -1119,13 +1119,13 @@ def sim_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "scale",
         F.expr(
-            f"aggregate(zip_with(transform(v, x -> cast(round(x * scale) as bigint)), "
+            f"aggregate(zip_with(transform(v, x -> try_cast(round(x * scale) as bigint)), "
             f"sequence(1L, {DIM}L), (q, i) -> q * i), "
             "cast(0 as bigint), (s, x) -> s + x)"
         ).alias("checksum"),
         F.expr(
             f"cast(size(filter(v, x -> "
-            f"abs(cast(round(x * scale) as bigint)) = {QUANT_LEVELS})) as bigint)"
+            f"abs(try_cast(round(x * scale) as bigint)) = {QUANT_LEVELS})) as bigint)"
         ).alias("n_sat"),
     )
 
@@ -1384,7 +1384,7 @@ _SCALE_DUCK = (
     {_KMEANS_CTES},
     qz AS (
         SELECT vec_id, v,
-               list_transform(v, x -> CAST(round(x * ({_SCALE_DUCK})) AS BIGINT))
+               list_transform(v, x -> TRY_CAST(round(x * ({_SCALE_DUCK})) AS BIGINT))
                    AS q
         FROM e
     ),
@@ -1461,7 +1461,7 @@ def sim_ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         "v",
         F.expr(
-            f"transform(v, x -> cast(round(x * ({scale})) as bigint))"
+            f"transform(v, x -> try_cast(round(x * ({scale})) as bigint))"
         ).alias("q"),
     ).withColumn(
         "qq",
@@ -1780,7 +1780,7 @@ def docs_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dims AS (
         SELECT label, half, t.dim,
-               SUM(CAST(round(v[t.dim] * 1000000) AS BIGINT)) AS s_micro,
+               SUM(TRY_CAST(round(v[t.dim] * 1000000) AS BIGINT)) AS s_micro,
                COUNT(*) AS n
         FROM e, LATERAL unnest(generate_series(1, len(v))) t(dim)
         GROUP BY label, half, t.dim
@@ -1797,7 +1797,7 @@ def docs_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT label,
            CAST(any_value(n_a) AS BIGINT) AS n_a,
            CAST(any_value(n_b) AS BIGINT) AS n_b,
-           sqrt(CAST(SUM(CAST(round(power((ma - mb) / 1000000.0, 2)
+           sqrt(CAST(SUM(TRY_CAST(round(power((ma - mb) / 1000000.0, 2)
                                     * 1000000000000) AS BIGINT)) AS DOUBLE)
                 / 1000000000000.0) AS drift_l2
     FROM joined GROUP BY label
@@ -1830,7 +1830,7 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "half", (F.col("pos") + 1).alias("dim"))
         .agg(
-            F.sum(F.expr("cast(round(x * 1000000) as bigint)")).alias(
+            F.sum(F.expr("try_cast(round(x * 1000000) as bigint)")).alias(
                 "s_micro"
             ),
             F.count(F.lit(1)).alias("n"),
@@ -1858,7 +1858,7 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(
             F.sum(
                 F.expr(
-                    "cast(round(power((ma - mb) / 1000000.0, 2) "
+                    "try_cast(round(power((ma - mb) / 1000000.0, 2) "
                     "* 1000000000000) as bigint)"
                 )
             ).cast("double")

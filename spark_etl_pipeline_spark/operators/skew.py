@@ -117,7 +117,7 @@ def salted_join(
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+           CAST(SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
                AS total_value
     FROM events
     GROUP BY user_id
@@ -139,7 +139,7 @@ def events_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         {
             "n_events": F.count(F.lit(1)),
-            "cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+            "cents": F.sum(F.round(F.col("value") * 100).try_cast("long")),
         },
         salt=8,
     )

@@ -936,7 +936,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 #: idf is the log-free Robertson form (N - df + 0.5)/(df + 0.5): strictly
 #: monotone in df like the ln() form, so rankings are identical, but free
 #: of cross-libm ln() ulp skew (same trade documented at docs_tfidf_topk).
-_BM25_MICRO = f"""cast(round(
+_BM25_MICRO = f"""try_cast(round(
     ((cast(n_docs as double) - cast(doc_freq as double) + 0.5)
      / (cast(doc_freq as double) + 0.5))
     * (cast(tf as double) * ({BM25_K1} + 1.0))
@@ -1059,11 +1059,11 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc AS (SELECT SUM(tf) AS n_c FROM cells),
     terms AS (
         SELECT c.source,
-               CAST(round(abs(CAST(c.tf AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
+               TRY_CAST(round(abs(CAST(c.tf AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
                               - CAST(ct.tf_c AS DOUBLE)
                                 / CAST(nc.n_c AS DOUBLE))
                           * 1000000) AS BIGINT) AS d_micro,
-               CAST(round(CAST(ct.tf_c AS DOUBLE) / CAST(nc.n_c AS DOUBLE)
+               TRY_CAST(round(CAST(ct.tf_c AS DOUBLE) / CAST(nc.n_c AS DOUBLE)
                           * 1000000) AS BIGINT) AS q_micro
         FROM cells c
         JOIN ns ON ns.source = c.source
@@ -1115,12 +1115,12 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.expr(
-                "cast(round(abs(cast(tf as double) / cast(n_s as double) - "
+                "try_cast(round(abs(cast(tf as double) / cast(n_s as double) - "
                 "cast(tf_c as double) / cast(n_c as double)) * 1000000) "
                 "as bigint)"
             ).alias("d_micro"),
             F.expr(
-                "cast(round(cast(tf_c as double) / cast(n_c as double) "
+                "try_cast(round(cast(tf_c as double) / cast(n_c as double) "
                 "* 1000000) as bigint)"
             ).alias("q_micro"),
         )

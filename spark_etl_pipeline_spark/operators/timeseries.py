@@ -42,7 +42,7 @@ from spark_etl_pipeline_spark.plans.registry import register, table
 #: Session inactivity gap: 30 minutes, in integer microseconds.
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
-_CENTS = "cast(round(value * 100) as bigint)"
+_CENTS = "try_cast(round(value * 100) as bigint)"
 
 
 # ---------------------------------------------------------------------------
@@ -55,7 +55,7 @@ _CENTS = "cast(round(value * 100) as bigint)"
     oracle="""
     WITH c AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
     hourly AS (
@@ -172,7 +172,7 @@ def tag_sessions(
     oracle=f"""
     WITH o AS (
         SELECT user_id, event_id, ts, epoch_us(ts) AS us,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
     marked AS (
@@ -248,7 +248,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS d,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+               CAST(SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM events GROUP BY event_type, date_trunc('day', ts)
     )
     SELECT event_type,
@@ -312,7 +312,7 @@ def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
     hourly AS (
@@ -490,7 +490,7 @@ def merge_rollup(
     "events_incremental_rollup",
     oracle="""
     WITH c AS (
-        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        SELECT event_type, TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     )
     SELECT event_type,
@@ -541,7 +541,7 @@ _ACF_LAGGED_DUCK = "\n        UNION ALL\n".join(
     oracle=f"""
     WITH c AS (
         SELECT event_type, date_trunc('hour', ts) AS h,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
     hourly AS (
@@ -685,7 +685,7 @@ ANOM_SIGMA = 3.0
     oracle=f"""
     WITH c AS (
         SELECT user_id, event_id, event_type,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
     m AS (
@@ -976,7 +976,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT isodow(ts) AS dow, hour(ts) AS hod,
                CAST(ts AS DATE) AS d,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
     cell AS (
@@ -1318,7 +1318,7 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     )
     SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
@@ -1395,7 +1395,7 @@ EWMA_ALPHA = "0.3"  # shared SQL literal → identical double in both engines
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(round(value * 100) AS BIGINT))
+               SUM(TRY_CAST(round(value * 100) AS BIGINT))
                    - {CUSUM_TARGET_CENTS} - {CUSUM_SLACK_CENTS} AS y
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
@@ -1467,7 +1467,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     series AS (
@@ -1736,7 +1736,7 @@ _HB = "CAST(0.2 AS DOUBLE)"  # trend smoothing
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     series AS (
@@ -1837,7 +1837,7 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     series0 AS (
@@ -1943,7 +1943,7 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(value * 100) AS BIGINT)) AS cents
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     series AS (

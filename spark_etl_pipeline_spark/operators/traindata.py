@@ -681,7 +681,7 @@ ROLL_WINDOW = 5  # current event + 4 preceding
     oracle=f"""
     WITH c AS (
         SELECT user_id, event_id, event_type,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     )
     SELECT user_id, event_id, event_type,
@@ -717,7 +717,7 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
     wf = w.rowsBetween(-(ROLL_WINDOW - 1), Window.currentRow)
-    cents = F.expr("cast(round(value * 100) as bigint)")
+    cents = F.expr("try_cast(round(value * 100) as bigint)")
     roll_cents = F.sum(cents).over(wf)
     roll_n = F.count(F.lit(1)).over(wf)
     return events.select(
@@ -741,7 +741,7 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
         SELECT event_id, event_type,
-               CAST(round(value * 100) AS BIGINT) AS cents
+               TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
     ),
     stats AS (
@@ -782,7 +782,7 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = table(spark, sf_dir, "events")
     c = events.select(
-        "event_id", "event_type", F.expr("cast(round(value * 100) as bigint)").alias("cents")
+        "event_id", "event_type", F.expr("try_cast(round(value * 100) as bigint)").alias("cents")
     )
     stats = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -861,7 +861,7 @@ MIX_TOTAL = 200  # sampled corpus size across all languages
     targets AS (
         SELECT unnest(langs) AS lang,
                CAST(unnest(ns) AS BIGINT) AS n_docs,
-               CAST(round({MIX_TOTAL} * unnest(ws) /
+               TRY_CAST(round({MIX_TOTAL} * unnest(ws) /
                     list_reduce(list_prepend(0.0::DOUBLE, ws), (a, x) -> a + x))
                     AS BIGINT) AS target_n
         FROM arr
@@ -917,7 +917,7 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"transform(cs, x -> named_struct("
                 f"'lang', x.lang, 'n_docs', cast(x.n as bigint), "
-                f"'target_n', cast(round({MIX_TOTAL} * sqrt(cast(x.n as double)) / total) as bigint)))"
+                f"'target_n', try_cast(round({MIX_TOTAL} * sqrt(cast(x.n as double)) / total) as bigint)))"
             )
         ).alias("t")
     ).select("t.lang", "t.n_docs", "t.target_n")
@@ -1408,7 +1408,7 @@ def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
         SELECT event_id, user_id, ts, event_type,
                COUNT(*) OVER w AS n_prior_events,
-               COALESCE(SUM(CAST(round(value*100) AS BIGINT)) OVER w, 0)
+               COALESCE(SUM(TRY_CAST(round(value*100) AS BIGINT)) OVER w, 0)
                    AS prior_value_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -1450,7 +1450,7 @@ def events_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.count(F.lit(1)).over(w).alias("n_prior_events"),
             F.coalesce(
-                F.sum(F.expr("cast(round(value*100) as bigint)")).over(w),
+                F.sum(F.expr("try_cast(round(value*100) as bigint)")).over(w),
                 F.lit(0),
             ).alias("prior_value_cents"),
         )
@@ -1470,7 +1470,7 @@ def events_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_value_deciles",
     oracle="""
-    WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS vc FROM events),
+    WITH v AS (SELECT TRY_CAST(round(value*100) AS BIGINT) AS vc FROM events),
     b AS (
         SELECT quantile_disc(vc,
             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
@@ -1602,7 +1602,7 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_value_winsorized",
     oracle="""
     WITH v AS (
-        SELECT event_type, CAST(round(value*100) AS BIGINT) AS vc FROM events
+        SELECT event_type, TRY_CAST(round(value*100) AS BIGINT) AS vc FROM events
     ),
     b AS (
         SELECT quantile_disc(vc, 0.05) AS lo, quantile_disc(vc, 0.95) AS hi

@@ -253,7 +253,7 @@ def clickstream_pipeline(
                CASE WHEN event_type IN ('purchase','click')
                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
                     WHEN event_type IN ('view','error')
-                        THEN CAST(round(value) AS BIGINT)
+                        THEN TRY_CAST(round(value) AS BIGINT)
                END AS code
         FROM events
     ),
@@ -296,7 +296,7 @@ def etl_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").isin("purchase", "click"),
             F.get_json_object("props", "$.k").cast("long"),
         )
-        .when(F.col("event_type").isin("view", "error"), F.round("value").cast("long"))
+        .when(F.col("event_type").isin("view", "error"), F.round("value").try_cast("long"))
         .alias("code"),
     )
     joined = (

@@ -9,7 +9,7 @@ generated straight from this registry.
 Determinism rules for oracle-checked queries (both sides must follow them):
 
 - **Money/quantity aggregates use integer-cents arithmetic**:
-  ``CAST(round(x * 100) AS BIGINT)`` before SUM, divide back at the end.
+  ``TRY_CAST(round(x * 100) AS BIGINT)`` before SUM, divide back at the end.
   Integer sums are associative, so Spark's partition-order float summation
   and DuckDB's sequential summation produce bit-identical results.
 - **Averages** are computed as ``exact_integer_sum / count`` in *double*

@@ -29,16 +29,16 @@ from spark_etl_pipeline_spark.plans.registry import register, table
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
-           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
-           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
-           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l_discount*100) AS BIGINT))
-                    * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
-           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
-           CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+           CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+           CAST(SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+           CAST(SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - TRY_CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+           CAST(SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - TRY_CAST(round(l_discount*100) AS BIGINT))
+                    * (100 + TRY_CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+           CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+           CAST(SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+           CAST(SUM(TRY_CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
@@ -77,8 +77,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                    * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+    SELECT CAST(SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)
+                    * TRY_CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -106,8 +106,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_orders",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+           CAST(SUM(TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - TRY_CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -117,8 +117,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                 * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC,
+    ORDER BY SUM(TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)
+                 * (100 - TRY_CAST(round(l.l_discount*100) AS BIGINT))) DESC,
              o.o_orderkey
     LIMIT 10
     """,
@@ -163,8 +163,8 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+           CAST(SUM(TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - TRY_CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -223,7 +223,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+           CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
     FROM lineitem
     WHERE l_returnflag IN ('A','R') AND l_linestatus = 'F'
       AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -371,7 +371,7 @@ def rel_rename_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
     )
     SELECT l.l_returnflag, COUNT(*) AS n,
-           CAST(SUM(CAST(round(l.l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+           CAST(SUM(TRY_CAST(round(l.l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
     FROM lineitem l
     JOIN dim d ON l.l_partkey = d.l_partkey AND l.l_suppkey = d.l_suppkey
     WHERE l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
@@ -408,7 +408,7 @@ def rel_join_inner_2key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment,
            COUNT(*) AS n_rows,
            COUNT(o.o_orderkey) AS n_matched,
-           CAST(SUM(COALESCE(CAST(round(o.o_totalprice*100) AS BIGINT), 0)) AS DOUBLE)/100.0 AS sum_price
+           CAST(SUM(COALESCE(TRY_CAST(round(o.o_totalprice*100) AS BIGINT), 0)) AS DOUBLE)/100.0 AS sum_price
     FROM customer c
     LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
       ON c.c_custkey = o.o_custkey
@@ -470,7 +470,7 @@ def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH neg AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0),
          big AS (SELECT o_custkey,
-                        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS big_total
+                        CAST(SUM(TRY_CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS big_total
                  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey)
     SELECT COALESCE(n.c_custkey, b.o_custkey) AS custkey,
            n.c_acctbal AS acctbal, b.big_total AS big_total
@@ -579,8 +579,8 @@ def rel_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT o_custkey) AS n_cust,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
-           CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price
+           CAST(SUM(TRY_CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+           CAST(SUM(TRY_CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*) AS avg_price
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -605,7 +605,7 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+           CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -657,9 +657,9 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'O'
-                         THEN CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS qty_O,
+                         THEN TRY_CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS qty_O,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
-                         THEN CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS qty_F
+                         THEN TRY_CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS DOUBLE)/100.0 AS qty_F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -747,7 +747,7 @@ def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_window_running",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT))
+           CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT))
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
@@ -779,7 +779,7 @@ def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_window_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+           CAST(SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT))
                 OVER w AS DOUBLE)/100.0 / COUNT(*) OVER w AS moving_avg_price
     FROM lineitem WHERE l_suppkey <= 5
     WINDOW w AS (PARTITION BY l_suppkey
@@ -817,7 +817,7 @@ def rel_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH buckets(bucket, lo, hi) AS (VALUES ('low', 0, 10), ('mid', 10, 25), ('high', 25, 51))
     SELECT b.bucket, COUNT(*) AS n,
-           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+           CAST(SUM(TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
     FROM lineitem l JOIN buckets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
     GROUP BY b.bucket
     """,
@@ -941,26 +941,42 @@ def rel_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           quantile_cont(l_extendedprice, 0.5) AS p50,
-           quantile_cont(l_extendedprice, 0.9) AS p90
+           quantile_cont(CASE WHEN isnan(l_extendedprice)
+                               OR isinf(l_extendedprice) THEN NULL
+                              ELSE l_extendedprice END, 0.5) AS p50,
+           quantile_cont(CASE WHEN isnan(l_extendedprice)
+                               OR isinf(l_extendedprice) THEN NULL
+                              ELSE l_extendedprice END, 0.9) AS p90
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group.
+    """Exact interpolated percentiles per group — of the FINITE
+    distribution.
 
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
     sort-and-interpolate definition — verified bit-identical on doubles.
-    Exact percentiles sort each group (one shuffle); at 100 TB prefer
-    ``approx_percentile`` (t-digest, map-side combinable) when a bounded
-    error is acceptable — kept exact here so the oracle can check it.
+    NaN/±Inf cells (the float damage class) are nulled INTO the
+    aggregate on both sides: the engines disagree on where specials
+    sort (Spark ranks NaN greatest; DuckDB lets it poison the
+    interpolation), and a percentile of measurement damage is
+    meaningless anyway — while ``n`` still counts every row, so the
+    damage stays visible. Exact percentiles sort each group (one
+    shuffle); at 100 TB prefer ``approx_percentile`` (t-digest,
+    map-side combinable) when a bounded error is acceptable — kept
+    exact here so the oracle can check it.
     """
+    finite = (
+        "CASE WHEN isnan(l_extendedprice) "
+        "  OR abs(l_extendedprice) = double('Infinity') THEN NULL "
+        "ELSE l_extendedprice END"
+    )
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr(f"percentile({finite}, 0.5)").alias("p50"),
+        F.expr(f"percentile({finite}, 0.9)").alias("p90"),
     )
 
 
@@ -1119,8 +1135,8 @@ def rel_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_filter",
     oracle="""
-    SELECT CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+    SELECT CAST(SUM(TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - TRY_CAST(round(l.l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
            COUNT(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
@@ -1192,7 +1208,7 @@ def etl_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+           CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -1205,7 +1221,7 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+               CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
         FROM v_gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -1293,8 +1309,8 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH j AS (
         SELECT p.p_type,
-               CAST(round(l.l_extendedprice*100) AS BIGINT)
-                   * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS disc_c
+               TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)
+                   * (100 - TRY_CAST(round(l.l_discount*100) AS BIGINT)) AS disc_c
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
@@ -1335,10 +1351,10 @@ Q18_MIN_QTY_CENTS = 30_000  # orders totalling > 300 units
     oracle=f"""
     WITH big AS (
         SELECT l_orderkey,
-               SUM(CAST(round(l_quantity*100) AS BIGINT)) AS qty_c
+               SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS qty_c
         FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > {Q18_MIN_QTY_CENTS}
+        HAVING SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) > {Q18_MIN_QTY_CENTS}
     )
     SELECT c.c_custkey, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -1441,8 +1457,8 @@ def rel_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _REV_DUCK = (
-    "CAST(round(l_extendedprice*100) AS BIGINT)"
-    " * (100 - CAST(round(l_discount*100) AS BIGINT))"
+    "TRY_CAST(round(l_extendedprice*100) AS BIGINT)"
+    " * (100 - TRY_CAST(round(l_discount*100) AS BIGINT))"
 )
 
 
@@ -1710,19 +1726,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_part AS (
         SELECT l_partkey,
-               SUM(CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents_sum,
+               SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS qty_cents_sum,
                COUNT(*) AS n
         FROM lineitem
         GROUP BY l_partkey
     )
     SELECT COUNT(*) AS n_lines,
-           CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+           CAST(SUM(TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)
                / 100.0 AS small_qty_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN per_part a ON a.l_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
-      AND CAST(round(l.l_quantity*100) AS BIGINT) * a.n * 5
+      AND TRY_CAST(round(l.l_quantity*100) AS BIGINT) * a.n * 5
           < a.qty_cents_sum
     """,
 )
@@ -1762,16 +1778,16 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_customers",
     oracle="""
     WITH pos AS (
-        SELECT SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS bal_sum,
+        SELECT SUM(TRY_CAST(round(c_acctbal*100) AS BIGINT)) AS bal_sum,
                COUNT(*) AS n
         FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_nationkey,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(round(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+           CAST(SUM(TRY_CAST(round(c.c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
                AS totacctbal
     FROM customer c, pos
-    WHERE CAST(round(c.c_acctbal*100) AS BIGINT) * pos.n > pos.bal_sum
+    WHERE TRY_CAST(round(c.c_acctbal*100) AS BIGINT) * pos.n > pos.bal_sum
       AND NOT EXISTS (
         SELECT 1 FROM orders o
         WHERE o.o_custkey = c.c_custkey
@@ -1895,11 +1911,11 @@ def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
         SELECT l_returnflag,
-               CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)
                    AS qty_cents,
-               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
                    AS price_cents,
-               CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(TRY_CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
                    AS disc_cents
         FROM lineitem
         GROUP BY l_returnflag
@@ -1945,10 +1961,11 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH arrs AS (
         SELECT l_orderkey,
-               list_sort(list(CAST(round(l_quantity*100) AS BIGINT)))
+               list_sort(list(TRY_CAST(round(l_quantity*100) AS BIGINT)))
                    AS qtys
         FROM lineitem
         WHERE l_orderkey <= 1000 AND l_quantity IS NOT NULL
+          AND NOT isnan(l_quantity) AND NOT isinf(l_quantity)
         GROUP BY l_orderkey
     )
     SELECT l_orderkey,
@@ -1978,7 +1995,10 @@ def rel_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-injection finding) — the explicit filter makes the shared
     # semantics visible instead of relying on collect_list's behavior.
     li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_orderkey") <= 1000) & F.col("l_quantity").isNotNull()
+        (F.col("l_orderkey") <= 1000)
+        & F.col("l_quantity").isNotNull()
+        & ~F.isnan("l_quantity")
+        & (F.abs("l_quantity") != F.lit(float("inf")))
     )
     arrs = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_list(cents("l_quantity"))).alias("qtys")
@@ -2010,7 +2030,7 @@ def rel_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH offers AS (
         SELECT l.l_partkey, l.l_suppkey,
-               MIN(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS offer_cents
+               MIN(TRY_CAST(round(l.l_extendedprice*100) AS BIGINT)) AS offer_cents
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -2097,8 +2117,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            year(o.o_orderdate) AS o_year,
            CAST(SUM({_REV_DUCK}
-                    - CAST(round(p.p_retailprice*100) AS BIGINT)
-                      * CAST(round(l.l_quantity) AS BIGINT) * 100)
+                    - TRY_CAST(round(p.p_retailprice*100) AS BIGINT)
+                      * TRY_CAST(round(l.l_quantity) AS BIGINT) * 100)
                 AS DOUBLE)/10000.0 AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -2128,7 +2148,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     profit4 = _rev_cents() - (
         cents("p_retailprice")
-        * F.round(F.col("l_quantity")).cast("long")
+        * F.round(F.col("l_quantity")).try_cast("long")
         * F.lit(100)
     )
     return (
@@ -2246,7 +2266,7 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH gp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
     shipped AS (
         SELECT l.l_partkey, l.l_suppkey,
-               SUM(CAST(round(l.l_quantity) AS BIGINT)) AS qty
+               SUM(TRY_CAST(round(l.l_quantity) AS BIGINT)) AS qty
         FROM lineitem l JOIN gp ON gp.p_partkey = l.l_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -2259,7 +2279,7 @@ def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.qty * 5 > t.tot
     )
     SELECT s.s_suppkey, s.s_name,
-           CAST(round(s.s_acctbal*100) AS BIGINT) AS acctbal_cents
+           TRY_CAST(round(s.s_acctbal*100) AS BIGINT) AS acctbal_cents
     FROM supplier s
     JOIN big b ON b.l_suppkey = s.s_suppkey
     WHERE s.s_nationkey < 5
@@ -2290,7 +2310,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = (
         li.join(F.broadcast(gp), gp.p_partkey == li.l_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+        .agg(F.sum(F.round(F.col("l_quantity")).try_cast("long")).alias("qty"))
     )
     part_tot = shipped.groupBy(F.col("l_partkey").alias("pt_key")).agg(
         F.sum("qty").alias("tot")
@@ -2398,14 +2418,14 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               SUM(CAST(round(l_quantity*100) AS BIGINT)) AS sx,
-               SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
-               SUM(CAST(round(l_quantity*100) AS BIGINT)
-                   * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
-               SUM(CAST(round(l_quantity*100) AS BIGINT)
-                   * CAST(round(l_quantity*100) AS BIGINT)) AS sxx,
-               SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-                   * CAST(round(l_extendedprice*100) AS BIGINT)) AS syy
+               SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS sx,
+               SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+               SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)
+                   * TRY_CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy,
+               SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)
+                   * TRY_CAST(round(l_quantity*100) AS BIGINT)) AS sxx,
+               SUM(TRY_CAST(round(l_extendedprice*100) AS BIGINT)
+                   * TRY_CAST(round(l_extendedprice*100) AS BIGINT)) AS syy
         FROM lineitem
         GROUP BY l_returnflag
     )
@@ -2462,7 +2482,7 @@ def rel_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
            COUNT(*) OVER w AS n_last_hour,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+           CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
                AS value_last_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -2522,7 +2542,7 @@ RFM_MONETARY_CENTS = (200_000_00, 100_000_00)  # >= $200k -> 3, >= $100k -> 2
                date_diff('day', max(o_orderdate), (SELECT refd FROM ref))
                    AS recency_days,
                COUNT(*) AS frequency,
-               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS monetary_cents
         FROM orders GROUP BY o_custkey
     )
@@ -2740,7 +2760,7 @@ def rel_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS cents
         FROM orders GROUP BY o_custkey
     ),
@@ -2780,7 +2800,7 @@ def rel_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("cents")
+        F.sum(F.expr("try_cast(round(o_totalprice * 100) as bigint)")).alias("cents")
     )
     tot = rev.agg(
         F.sum("cents").cast("bigint").alias("total_cents"),
@@ -2814,7 +2834,7 @@ def rel_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               CAST(SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS cents
         FROM orders GROUP BY o_custkey
     ),
@@ -2858,7 +2878,7 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
-        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("cents")
+        F.sum(F.expr("try_cast(round(o_totalprice * 100) as bigint)")).alias("cents")
     )
     w = Window.orderBy("cents", "o_custkey")
     ranked = rev.select("cents", F.row_number().over(w).alias("i"))
@@ -2898,7 +2918,7 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         FROM orders GROUP BY 1
     )
     SELECT strftime(s.m, '%Y-%m') AS month,
@@ -2941,7 +2961,7 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                    COUNT(*) AS n_orders,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                   SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
             FROM v_rec_orders GROUP BY 1
         )
         SELECT date_format(s.m, 'yyyy-MM') AS month,
@@ -3015,13 +3035,13 @@ def rel_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n,
     LATERAL (
         SELECT c.c_name,
-               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+               CAST(SUM(TRY_CAST(round(o.o_totalprice * 100) AS BIGINT))
                     AS DOUBLE) / 100.0 AS revenue,
                c.c_custkey
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         WHERE c.c_nationkey = n.n_nationkey
         GROUP BY c.c_name, c.c_custkey
-        ORDER BY SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC,
+        ORDER BY SUM(TRY_CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC,
                  c.c_custkey
         LIMIT 2
     ) t
@@ -3047,14 +3067,14 @@ def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_lat_nation n,
         LATERAL (
             SELECT c.c_name,
-                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   CAST(SUM(TRY_CAST(round(o.o_totalprice * 100) AS BIGINT))
                         AS DOUBLE) / 100.0 AS revenue,
                    c.c_custkey
             FROM v_lat_customer c
             JOIN v_lat_orders o ON o.o_custkey = c.c_custkey
             WHERE c.c_nationkey = n.n_nationkey
             GROUP BY c.c_name, c.c_custkey
-            ORDER BY SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC,
+            ORDER BY SUM(TRY_CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC,
                      c.c_custkey
             LIMIT 2
         ) t
@@ -3072,7 +3092,7 @@ def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+           CAST(SUM(TRY_CAST(round(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
                / 100.0 AS total_retail
     FROM part
     WHERE p_name LIKE '%widget%' AND p_type LIKE 'ECO%'
@@ -3099,7 +3119,7 @@ def rel_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             (
-                F.sum(F.expr("cast(round(p_retailprice * 100) as bigint)"))
+                F.sum(F.expr("try_cast(round(p_retailprice * 100) as bigint)"))
                 .cast("double")
                 / 100.0
             ).alias("total_retail"),
@@ -3171,14 +3191,14 @@ def rel_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT p.p_type, l.l_suppkey,
-               SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY p.p_type, l.l_suppkey
     ),
     tot AS (SELECT p_type, SUM(cents) AS total FROM rev GROUP BY p_type)
     SELECT r.p_type,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-           CAST(SUM(CAST(round(
+           CAST(SUM(TRY_CAST(round(
                power(CAST(r.cents AS DOUBLE) / CAST(t.total AS DOUBLE), 2)
                * 1000000) AS BIGINT)) AS BIGINT) AS hhi_micro
     FROM rev r JOIN tot t ON t.p_type = r.p_type
@@ -3213,7 +3233,7 @@ def rel_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
             F.sum(
                 F.expr(
-                    "cast(round(power(cast(cents as double) "
+                    "try_cast(round(power(cast(cents as double) "
                     "/ cast(total as double), 2) * 1000000) as bigint)"
                 )
             )
@@ -3319,7 +3339,7 @@ _BENFORD_CASE = "CASE first_digit " + " ".join(
     "rel_benford_deviation",
     oracle=f"""
     WITH digits AS (
-        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        SELECT CAST(substr(CAST(TRY_CAST(round(o_totalprice * 100) AS BIGINT)
                                 AS VARCHAR), 1, 1) AS INTEGER) AS first_digit
         FROM orders WHERE o_totalprice > 0
     ),
@@ -3330,7 +3350,7 @@ _BENFORD_CASE = "CASE first_digit " + " ".join(
     SELECT first_digit,
            CAST(n AS BIGINT) AS n,
            CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
-           CAST(round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+           TRY_CAST(round(abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
                           - {_BENFORD_CASE}) * 1000000) AS BIGINT)
                AS deviation_micro
     FROM counts CROSS JOIN tot
@@ -3354,7 +3374,7 @@ def rel_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     digits = o.filter(F.col("o_totalprice") > 0).select(
         F.expr(
-            "cast(substr(cast(cast(round(o_totalprice * 100) as bigint) "
+            "cast(substr(cast(try_cast(round(o_totalprice * 100) as bigint) "
             "as string), 1, 1) as int)"
         ).alias("first_digit")
     )
@@ -3369,7 +3389,7 @@ def rel_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "share"
             ),
             F.expr(
-                f"cast(round(abs(cast(n as double) / cast(total as double) "
+                f"try_cast(round(abs(cast(n as double) / cast(total as double) "
                 f"- {_BENFORD_CASE}) * 1000000) as bigint)"
             ).alias("deviation_micro"),
         )
@@ -3388,7 +3408,7 @@ ALLOC_UNITS = 1_000_000
     oracle=f"""
     WITH rev AS (
         SELECT n.n_name,
-               SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+               SUM(TRY_CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -3477,14 +3497,14 @@ def rel_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
         SELECT l_orderkey, l_linenumber,
-               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+               TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
         FROM lineitem WHERE l_orderkey % 97 != 0
     ),
     b AS (
         SELECT l_orderkey, l_linenumber,
                CASE WHEN l_orderkey % 89 = 0
-                    THEN CAST(round(l_extendedprice * 100) AS BIGINT) + 1
-                    ELSE CAST(round(l_extendedprice * 100) AS BIGINT) END
+                    THEN TRY_CAST(round(l_extendedprice * 100) AS BIGINT) + 1
+                    ELSE TRY_CAST(round(l_extendedprice * 100) AS BIGINT) END
                    AS price_cents
         FROM lineitem
     )

@@ -258,9 +258,9 @@ def stream_pysource_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(TRY_CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
                AS price_cents,
-           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(TRY_CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                AS qty_cents
     FROM lineitem
     GROUP BY l_returnflag
@@ -292,11 +292,11 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.sum(
-                    F.expr("cast(round(l_extendedprice * 100) as bigint)")
+                    F.expr("try_cast(round(l_extendedprice * 100) as bigint)")
                 )
                 .cast("bigint")
                 .alias("price_cents"),
-                F.sum(F.expr("cast(round(l_quantity * 100) as bigint)"))
+                F.sum(F.expr("try_cast(round(l_quantity * 100) as bigint)"))
                 .cast("bigint")
                 .alias("qty_cents"),
             )

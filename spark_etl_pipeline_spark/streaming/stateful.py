@@ -53,7 +53,15 @@ def running_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            # finite values only: pandas .sum() already skips NaN, but
+            # a single +-Inf cell would poison the running total forever
+            # (and NaN-vs-skip semantics differ from SQL SUM) — damaged
+            # measurements drop out of the total while n_events still
+            # counts them, mirroring the oracle's CASE filter
+            v = pdf["value"]
+            import numpy as np
+
+            total += float(v[np.isfinite(v)].sum())
         state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}

@@ -78,7 +78,7 @@ def stream_events_tumbling(
                AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+           CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -129,7 +129,7 @@ def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+           CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -251,7 +251,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+           CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
     FROM g GROUP BY grain, bucket, event_type
     """,
 )
@@ -380,7 +380,7 @@ def stream_events_dedup(
     deduped AS (SELECT DISTINCT * FROM replayed)
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+           CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
                AS sum_value
     FROM deduped
     GROUP BY event_type
@@ -408,7 +408,8 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           round(SUM(value), 2) AS total_value
+           round(SUM(CASE WHEN isnan(value) OR isinf(value)
+                          THEN NULL ELSE value END), 2) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -476,7 +477,7 @@ def stream_profiles_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+           CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
     FROM g GROUP BY grain, bucket, event_type
     """,
 )
@@ -650,7 +651,7 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped AS (SELECT DISTINCT * FROM replayed)
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
+           CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0
                AS sum_value
     FROM deduped
     GROUP BY event_type
@@ -749,7 +750,7 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment AS mktsegment,
            e.event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(e.value*100) AS BIGINT)) AS DOUBLE)/100.0
+           CAST(SUM(TRY_CAST(round(e.value*100) AS BIGINT)) AS DOUBLE)/100.0
                AS sum_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id

@@ -111,3 +111,71 @@ def test_agrees_with_oracle_on_damaged_rows(spark, hostile_dir, hostile_duck, na
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+#: Root-cause representatives of the 75 queries the NaN/Inf sweep
+#: flagged before the TRY_CAST conversion (one per failure shape plus
+#: the cents-family heads) — the full list is in the round-8 hostile
+#: artifact; these pin every distinct fix.
+FLOAT_QUERIES = (
+    "q1_pricing_summary",      # cents() CAST_OVERFLOW (the 62-query class)
+    "q6_forecast_revenue",
+    "q9_product_profit",       # raw round().cast on quantity
+    "q20_potential_promotion",
+    "events_ewma",             # timeseries cents folds
+    "events_sessionize",
+    "events_skew_salted_agg",  # inline salted-agg cast
+    "etl_events_pipeline",     # reference-parity pipeline value cast
+    "graph_reachability",      # retail-cents fold inside BFS
+    "profile_orders",          # special-double string rendering
+    "rel_percentiles",         # NaN poisons quantile interpolation
+    "rel_higher_order_funcs",  # collect_list vs list() with NULLed NaN
+    "stream_profiles_drain",   # stateful pandas sum skipna vs SQL SUM
+    "stream_tumbling_drain",   # streaming window cents
+)
+
+
+@pytest.fixture(scope="module")
+def floats_dir(spark, tmp_path_factory):
+    """The sf0.001 corpus with deterministic NaN/±Inf damage."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "floats")
+    stage("floats", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def floats_duck(floats_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{floats_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FLOAT_QUERIES)
+def test_agrees_with_oracle_on_nan_inf(spark, floats_dir, floats_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, floats_dir).toPandas()
+    duck_pdf = floats_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

@@ -62,6 +62,38 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
             df = df.orderBy(
                 F.xxhash64(*[F.col(c) for c in df.columns])
             ).repartition(13)
+        elif mode == "floats":
+            # NaN / +Inf / -Inf into ~1% of non-key float/double cells:
+            # the parquet-legal float damage every 100-TB corpus carries
+            # (bad upstream math, sensor glitches, div-by-zero leaks).
+            row_salt = [F.col(x) for x in df.columns]
+            out_cols = []
+            for field in df.schema.fields:
+                c = field.name
+                if _is_key(c) or not isinstance(
+                    field.dataType, (T.DoubleType, T.FloatType)
+                ):
+                    out_cols.append(F.col(c))
+                    continue
+                coin = F.pmod(F.xxhash64(F.lit(c), *row_salt), F.lit(MOD))
+                ftype = field.dataType.simpleString()
+                out_cols.append(
+                    F.when(
+                        coin < int(MOD * 0.005),
+                        F.expr(f"cast('NaN' as {ftype})"),
+                    )
+                    .when(
+                        coin < int(MOD * 0.0075),
+                        F.expr(f"cast('Infinity' as {ftype})"),
+                    )
+                    .when(
+                        coin < int(MOD * 0.01),
+                        F.expr(f"cast('-Infinity' as {ftype})"),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            df = df.select(*out_cols)
         else:
             # per-cell deterministic coin: hash(col name, WHOLE ROW) —
             # the row fingerprint salt keeps low-cardinality columns
@@ -112,7 +144,9 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
 
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["shuffled", "nulls"], required=True)
+    p.add_argument(
+        "--mode", choices=["shuffled", "nulls", "floats"], required=True
+    )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--out", required=True)
     a = p.parse_args()
