@@ -611,7 +611,12 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (hierarchical subtotals + grand total)."""
+    """ROLLUP grouping sets (hierarchical subtotals + grand total).
+
+    Empty-input note: on a zero-row table Spark emits 0 rows while
+    ANSI/DuckDB emit the ``()`` grand-total row — a pinned, documented
+    divergence (``test_grouping_sets_empty_input_divergence_pinned``).
+    """
     li = table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -639,7 +644,11 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all subtotal combinations)."""
+    """CUBE grouping sets (all subtotal combinations).
+
+    Empty-input note: same pinned Spark-vs-ANSI divergence as
+    ``rel_rollup`` — 0 rows vs the single ``()`` grouping-set row.
+    """
     orders = table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
@@ -1215,7 +1224,11 @@ def etl_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form behind rollup/cube) via
-    the SQL API — one Expand + one aggregate, not one scan per set."""
+    the SQL API — one Expand + one aggregate, not one scan per set.
+
+    Empty-input note: the ``()`` set carries the same pinned
+    Spark-vs-ANSI divergence as ``rel_rollup`` (0 rows vs 1).
+    """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_gs_lineitem")
     return spark.sql(
         """
@@ -1441,11 +1454,22 @@ def rel_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     between reading one status partition and reading the table. The
     oracle runs the same filter over the flat table: pruning must be
     invisible in the result.
+
+    The read supplies the known schema explicitly: it skips footer
+    inference, and it is what keeps the cold-start case alive — a
+    born-partitioned table with zero partitions yet (the empty-input
+    sweep stages exactly this) is uninferrable but reads fine as an
+    empty frame when the schema is declared.
     """
     from spark_etl_pipeline_spark.sources import read_parquet
 
     root = _partitioned_orders_copy(spark, sf_dir)
-    df = read_parquet(spark, root, predicate=F.col("o_orderstatus") == "F")
+    df = read_parquet(
+        spark,
+        root,
+        predicate=F.col("o_orderstatus") == "F",
+        schema=table(spark, sf_dir, "orders").schema,
+    )
     return df.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
 
 

@@ -30,6 +30,7 @@ def read_parquet(
     path: str,
     columns: list[str] | None = None,
     predicate: Column | None = None,
+    schema=None,
 ) -> DataFrame:
     """Parquet scan with optional projection/filter applied immediately.
 
@@ -38,8 +39,22 @@ def read_parquet(
     documents intent: the scan should show PushedFilters + a pruned
     ReadSchema in ``explain``, and partition-column predicates prune
     whole directories before any file IO.
+
+    Pass ``schema`` (a ``StructType``) for any dataset whose schema the
+    caller already knows. Two reasons: (1) inference reads file footers
+    — on a 100-TB dataset with millions of files that is a real listing
+    cost; (2) a born-partitioned table that has not received data yet
+    (zero partition directories, just ``_SUCCESS``) cannot be inferred
+    at all — the cold-start read fails with UNABLE_TO_INFER_SCHEMA
+    unless the schema is supplied. Partition columns present in
+    ``schema`` are re-read from directory names and appended after the
+    data columns, so use an explicit ``select`` (or ``columns=``) when
+    column order matters.
     """
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     if predicate is not None:
         df = df.filter(predicate)
     if columns:

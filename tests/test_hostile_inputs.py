@@ -179,3 +179,101 @@ def test_agrees_with_oracle_on_nan_inf(spark, floats_dir, floats_duck, name):
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+#: One representative per operator family for the EMPTY corpus (the
+#: cold-start layout: a fresh source / empty date slice / upstream
+#: filter that matched nothing). The round-8 empty sweep ran all 222
+#: registered queries against zero-row tables: 218 agreed with DuckDB
+#: outright, `rel_partition_prune` crashed on schema inference (fixed
+#: — the read now declares its schema), and the three grouping-set
+#: queries hit the documented Spark-vs-ANSI divergence pinned below.
+EMPTY_QUERIES = (
+    "q1_pricing_summary",       # grouped aggregate → 0 rows
+    "rel_agg_stats",            # global aggregate → one all-NULL/0 row
+    "rel_window_rank",          # window functions over nothing
+    "rel_partition_prune",      # cold-start partitioned root (the fix)
+    "dedup_minhash_lsh",        # LSH banding with no documents
+    "sim_topk_cosine",          # ANN with no embeddings
+    "mm_decode_features",       # Arrow mapInPandas with zero batches
+    "text_quality_score",       # text scoring over nothing
+    "graph_pagerank_suppliers", # iterative algorithm, empty graph
+    "etl_events_pipeline",      # reference-parity ETL, no events
+    "stream_dedup_drain",       # streaming drain of an empty source
+    "events_gap_fill_lerp",     # calendar spine off NULL min/max
+)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    """The corpus schemas with ZERO rows (cold-start layout)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "empty")
+    stage("empty", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_agrees_with_oracle_on_empty_input(spark, empty_dir, empty_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, empty_dir).toPandas()
+    duck_pdf = empty_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.mark.parametrize(
+    "name", ("rel_rollup", "rel_cube", "rel_grouping_sets")
+)
+def test_grouping_sets_empty_input_divergence_pinned(
+    spark, empty_dir, empty_duck, name
+):
+    """KNOWN cross-engine divergence, pinned so it can never drift
+    silently: on EMPTY input, ANSI SQL (and DuckDB/Postgres) still
+    emit one row for the ``()`` grouping set — a global aggregate
+    always yields a row — while Spark's Expand-based rewrite produces
+    zero rows (the Expand emits nothing, so the downstream hash
+    aggregate with a grouping-id key has nothing to group). Unioning
+    a guarded grand-total row would cost a second full scan of the
+    fact table on every NON-empty run — the wrong trade at 100 TB for
+    a zero-row edge case — so the divergence is documented here
+    instead. If either engine changes behavior, this test fails and
+    the decision gets revisited.
+    """
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, empty_dir).toPandas()
+    duck_pdf = empty_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == 0, f"{name}: Spark now emits {len(spark_pdf)} rows"
+    assert len(duck_pdf) == 1, f"{name}: DuckDB now emits {len(duck_pdf)} rows"
+    # the single ANSI row IS the () grouping set: count 0, NULL keys
+    n_col = "n"
+    assert int(duck_pdf[n_col].iloc[0]) == 0

@@ -10,6 +10,12 @@ exercise:
   assumptions). Parquet TIMESTAMP(NANOS) columns are normalized to
   micros by the shared loader before re-write, so both engines read
   the copy identically.
+- ``empty``: same schemas, ZERO rows — the cold-start / empty-slice
+  layout (a fresh source, an empty date partition, a filter that
+  matched nothing upstream). Every query must return its defined
+  empty-input result without crashing, and agree with DuckDB on what
+  that result IS (0 rows for grouped aggregates, 1 all-NULL row for
+  global aggregates, empty joins/windows).
 - ``nulls``: same tables with a deterministic ~3% of values in
   non-key scalar columns nulled (xxhash64-seeded per cell), plus ~2%
   of array columns emptied. Both engines see the SAME damaged rows, so
@@ -58,7 +64,9 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
         )
     for t in TABLES:
         df = table(spark, sf_dir, t)
-        if mode == "shuffled":
+        if mode == "empty":
+            df = df.limit(0).coalesce(1)
+        elif mode == "shuffled":
             df = df.orderBy(
                 F.xxhash64(*[F.col(c) for c in df.columns])
             ).repartition(13)
@@ -145,7 +153,8 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "--mode", choices=["shuffled", "nulls", "floats"], required=True
+        "--mode", choices=["shuffled", "nulls", "floats", "empty"],
+        required=True
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--out", required=True)
