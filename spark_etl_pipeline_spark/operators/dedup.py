@@ -238,20 +238,26 @@ def jaccard_verified_sets(
 @register(
     "dedup_exact",
     oracle="""
-    SELECT md5(lower(trim(text))) AS content_hash,
+    SELECT md5(lower(replace(trim(text), 'İ', 'i'))) AS content_hash,
            MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_copies
     FROM documents
-    GROUP BY md5(lower(trim(text)))
+    GROUP BY md5(lower(replace(trim(text), 'İ', 'i')))
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup: group by normalized-text hash, keep the
     smallest doc_id. One hash aggregate — the 100 TB plan is identical
-    (shuffle on a 128-bit hash, never on the text itself)."""
+    (shuffle on a 128-bit hash, never on the text itself). The 'İ' →
+    'i' fold before lower() keeps Java full-lowercasing and utf8proc
+    simple-lowercasing in agreement (see ``text.LOWER_SPARK``)."""
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"))
+        docs.groupBy(
+            F.md5(
+                F.lower(F.translate(F.trim(F.col("text")), "İ", "i"))
+            ).alias("content_hash")
+        )
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -162,9 +162,14 @@ def _decode_fake(payload: bytes) -> tuple[int, int]:
     """Deterministic FAKE decode: dimensions derived from content md5.
 
     Marked fake on purpose — it keeps the full Arrow/mapInPandas path
-    executable and oracle-checkable without native decoders.
+    executable and oracle-checkable without native decoders. The hash
+    is taken over the UPPERCASE HEX rendering of the bytes (2 chars
+    per byte — the ``mm_audio_window`` contract): a 1:1 encoding of
+    the payload, chosen because DuckDB's md5 cannot hash BLOBs, so
+    the oracle mirrors it with ``md5(hex(encode(text)))``. With real
+    decoders this whole function is replaced anyway.
     """
-    h = hashlib.md5(payload).hexdigest()
+    h = hashlib.md5(payload.hex().upper().encode()).hexdigest()
     return int(h[:2], 16) % 512 + 16, int(h[2:4], 16) % 512 + 16
 
 
@@ -186,7 +191,10 @@ def decode_features(payloads: DataFrame) -> DataFrame:
                         int(doc_id),
                         len(data),
                         data[0] if data else None,
-                        hashlib.md5(data).hexdigest(),
+                        # hash-the-hex contract (see _decode_fake)
+                        hashlib.md5(
+                            data.hex().upper().encode()
+                        ).hexdigest(),
                         w,
                         h,
                     )
@@ -213,11 +221,15 @@ def frame_sample(payloads: DataFrame) -> DataFrame:
                     continue
                 data = bytes(payload)
                 for i in range(0, len(data), FRAME_BYTES):
+                    frame = data[i : i + FRAME_BYTES]
                     rows.append(
                         (
                             int(doc_id),
                             i // FRAME_BYTES,
-                            hashlib.md5(data[i : i + FRAME_BYTES]).hexdigest(),
+                            # hash-the-hex contract (see _decode_fake)
+                            hashlib.md5(
+                                frame.hex().upper().encode()
+                            ).hexdigest(),
                         )
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
@@ -264,7 +276,10 @@ def resize_payload(payloads: DataFrame) -> DataFrame:
                         int(doc_id),
                         len(data),
                         len(small),
-                        hashlib.md5(small).hexdigest(),
+                        # hash-the-hex contract (see _decode_fake)
+                        hashlib.md5(
+                            small.hex().upper().encode()
+                        ).hexdigest(),
                     )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
@@ -273,21 +288,28 @@ def resize_payload(payloads: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registered queries (text is pure ASCII, so byte offsets == char offsets
-# and the DuckDB oracle can mirror the byte math with string functions)
+# Registered queries. Every oracle does TRUE BYTE math over
+# hex(encode(text)) — 2 hex chars per byte — never char math over the
+# text: on non-ASCII corpora (the round-8 unicode sweep) character
+# offsets and byte offsets diverge, and the payloads ARE bytes.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "mm_decode_features",
     oracle="""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    )
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte,
-           md5(text) AS content_md5,
-           CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 512 + 16 AS width,
-           CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 512 + 16 AS height
-    FROM documents WHERE text IS NOT NULL
+           CAST(n AS BIGINT) AS n_bytes,
+           TRY_CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) AS first_byte,
+           md5(hx) AS content_md5,
+           CAST(('0x' || substr(md5(hx), 1, 2)) AS INTEGER) % 512 + 16 AS width,
+           CAST(('0x' || substr(md5(hx), 3, 2)) AS INTEGER) % 512 + 16 AS height
+    FROM p
     """,
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,19 +319,39 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_payload(docs))
 
 
+#: Byte-true frame decomposition shared by ``mm_frame_sample`` and
+#: ``mm_frame_dedup`` (one definition, so the two oracles cannot drift):
+#: every payload split into {FRAME_BYTES}-byte frames, each frame
+#: hashed via the hex contract.
+_FRAMES_HEX_CTE = f"""
+    WITH p AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               unnest(generate_series(0,
+                   CAST(ceil(n / {FRAME_BYTES}.0) AS INTEGER) - 1))
+                   AS frame_idx,
+               hx
+        FROM p WHERE n > 0
+    ),
+    h AS (
+        SELECT doc_id, frame_idx,
+               md5(substr(hx, frame_idx * {2 * FRAME_BYTES} + 1,
+                   {2 * FRAME_BYTES})) AS frame_md5
+        FROM f
+    )
+"""
+
+
 @register(
     "mm_frame_sample",
     oracle=f"""
-    WITH f AS (
-        SELECT doc_id,
-               unnest(generate_series(0,
-                   CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER) - 1)) AS frame_idx,
-               text
-        FROM documents WHERE length(text) > 0
-    )
-    SELECT doc_id, frame_idx,
-           md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
-    FROM f
+    {_FRAMES_HEX_CTE}
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, frame_md5
+    FROM h
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,22 +364,23 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize",
     oracle=f"""
     WITH s AS (
-        SELECT doc_id, text,
-               CAST(length(text) AS BIGINT) AS n,
-               greatest(CAST(ceil(length(text) / {RESIZE_TARGET_BYTES}.0) AS BIGINT), 1)
-                   AS stride
+        SELECT doc_id, hex(encode(text)) AS hx,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n,
+               greatest(CAST(ceil(octet_length(encode(text))
+                   / {RESIZE_TARGET_BYTES}.0) AS BIGINT), 1) AS stride
         FROM documents WHERE text IS NOT NULL
     ),
     r AS (
         SELECT doc_id, n, stride,
                array_to_string(list_transform(
                    generate_series(0, CAST(ceil(n / CAST(stride AS DOUBLE)) AS BIGINT) - 1),
-                   i -> substr(text, CAST(i * stride + 1 AS INTEGER), 1)), '') AS small
+                   i -> substr(hx, CAST(i * stride AS INTEGER) * 2 + 1, 2)),
+                   '') AS small_hx
         FROM s
     )
     SELECT doc_id, n AS orig_bytes,
-           CAST(length(small) AS BIGINT) AS resized_bytes,
-           md5(small) AS resized_md5
+           CAST(length(small_hx) // 2 AS BIGINT) AS resized_bytes,
+           md5(small_hx) AS resized_md5
     FROM r
     """,
 )
@@ -649,20 +692,7 @@ def mm_payload_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_frame_dedup",
     oracle=f"""
-    WITH f AS (
-        SELECT doc_id,
-               unnest(generate_series(0,
-                   CAST(ceil(length(text) / {FRAME_BYTES}.0) AS INTEGER) - 1))
-                   AS frame_idx,
-               text
-        FROM documents WHERE length(text) > 0
-    ),
-    h AS (
-        SELECT doc_id,
-               md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
-                   AS frame_md5
-        FROM f
-    )
+    {_FRAMES_HEX_CTE}
     SELECT frame_md5,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences

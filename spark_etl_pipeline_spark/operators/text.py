@@ -285,12 +285,38 @@ def text_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: leading space) so Java regex and RE2 tokenize identically.
 BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
 
+#: U+0130 (LATIN CAPITAL LETTER I WITH DOT ABOVE, 'İ') is the one code
+#: point where the two engines' lowercasing disagrees on real corpus
+#: text: Java's full Unicode mapping (Spark) lowers it to 'i' + U+0307
+#: combining dot (TWO code points) while utf8proc's simple mapping
+#: (DuckDB) lowers it to plain 'i'. Surfaced by the round-8 unicode
+#: hostile sweep (Turkish text is common in web corpora). Every
+#: lowercase entry point folds 'İ' → 'i' FIRST, in both engines, so
+#: tokenization, hashing, and n-gram math see identical strings; a
+#: no-op on text without U+0130.
+LOWER_SPARK = "lower(translate(text, 'İ', 'i'))"
+LOWER_DUCK = "lower(replace(text, 'İ', 'i'))"
+
+#: The ONE Spark-side BPE token-count expression, shared by
+#: ``text_bpe_token_count`` and ``text_tokenizer_fertility``. Spark SQL
+#: string literals consume backslash escapes ('\\s' in the literal is
+#: needed to reach the regex as '\s'), so interpolating BPE_PATTERN
+#: verbatim into a Spark expr silently drops the '\s' from the negated
+#: class — equivalent on space-separated ASCII text (which is why it
+#: survived every clean sweep) but an undercount on hostile Unicode,
+#: where punctuation runs merge across whitespace. Keeping the literal
+#: here once makes that mistake unrepeatable.
+BPE_EXTRACT_SPARK = (
+    f"size(regexp_extract_all({LOWER_SPARK},"
+    " ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\\\s]+', 0))"
+)
+
 
 @register(
     "text_bpe_token_count",
     oracle=f"""
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS bpe_tokens,
+           len(regexp_extract_all({LOWER_DUCK}, '{BPE_PATTERN}')) AS bpe_tokens,
            len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
     FROM documents
     """,
@@ -306,9 +332,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.expr(
-            f"size(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\\\s]+', 0))"
-        ).alias("bpe_tokens"),
+        F.expr(BPE_EXTRACT_SPARK).alias("bpe_tokens"),
         F.expr(r"size(split(trim(text), '\\s+'))").alias("ws_tokens"),
     )
 
@@ -335,7 +359,8 @@ def _bigram_count(engine: str, bg: str) -> str:
     WITH scored AS (
         SELECT lang,
                {scores}
-        FROM (SELECT lang, lower(text) AS t FROM documents
+        FROM (SELECT lang, lower(replace(text, 'İ', 'i')) AS t
+              FROM documents
               WHERE text IS NOT NULL)
     ),
     pred AS (
@@ -368,7 +393,10 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())
-        .select("lang", F.lower(F.col("text")).alias("t"))
+        .select(
+            "lang",
+            F.lower(F.translate(F.col("text"), "İ", "i")).alias("t"),
+        )
     )
     scores = {
         lang: F.expr(" + ".join(_bigram_count("spark", bg) for bg in bgs))
@@ -690,7 +718,7 @@ def normalize_text(col: Column) -> Column:
     (casing, tabs, CRLF, trailing blanks) collapse to one canonical
     byte string. Pure per-row JVM expressions — no UDF, no shuffle.
     """
-    c = F.lower(col)
+    c = F.lower(F.translate(col, "İ", "i"))
     c = F.regexp_replace(c, "[\\x00-\\x1F]", "")
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
@@ -701,7 +729,7 @@ def normalize_text(col: Column) -> Column:
     oracle=r"""
     WITH n AS (
         SELECT doc_id,
-               trim(regexp_replace(regexp_replace(lower(text),
+               trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i')),
                     '[\x00-\x1F]', '', 'g'), '\s+', ' ', 'g')) AS norm
         FROM documents
     )
@@ -1184,10 +1212,17 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, text: str, size: int):
             import re
 
-            toks = (text or "").strip()
+            # re.ASCII pins \s to [ \t\n\r\f\v]: Python's default \s is
+            # Unicode-aware (NEL U+0085, NBSP U+00A0, ideographic
+            # spaces...) while the oracle's RE2 \s and the JVM twin's
+            # Java \s are ASCII-only — the round-8 unicode sweep caught
+            # this Python-side split diverging on NEL/NBSP text. strip
+            # matches the oracle's trim() (spaces only) for the same
+            # reason.
+            toks = (text or "").strip(" ")
             if not toks:
                 return
-            parts = re.split(r"\s+", toks)
+            parts = re.split(r"\s+", toks, flags=re.ASCII)
             for i in range(0, len(parts), size):
                 yield i // size, min(size, len(parts) - i), parts[i]
 
@@ -1211,7 +1246,7 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH counts AS (
         SELECT lang,
-               len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+               len(regexp_extract_all({LOWER_DUCK}, '{BPE_PATTERN}'))
                    AS bpe_tokens,
                len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
         FROM documents
@@ -1242,9 +1277,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     counts = docs.select(
         "lang",
-        F.expr(
-            f"size(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0))"
-        ).alias("bpe_tokens"),
+        F.expr(BPE_EXTRACT_SPARK).alias("bpe_tokens"),
         F.expr(f"size({TOKENS_SPARK})").alias("ws_tokens"),
     )
     return counts.groupBy("lang").agg(

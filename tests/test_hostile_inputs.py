@@ -277,3 +277,80 @@ def test_grouping_sets_empty_input_divergence_pinned(
     # the single ANSI row IS the () grouping set: count 0, NULL keys
     n_col = "n"
     assert int(duck_pdf[n_col].iloc[0]) == 0
+
+
+#: The 9 queries the round-8 unicode sweep flagged (plus neighbors on
+#: the same helpers), by root cause: (1) U+0130 'İ' lowercases to
+#: 'i'+combining-dot under Java's full mapping but plain 'i' under
+#: utf8proc — every lowercase entry point now folds 'İ'→'i' first
+#: (text.LOWER_SPARK/LOWER_DUCK); (2) Python's Unicode-aware \s in the
+#: chunking UDTF matched NEL/NBSP that RE2/Java \s do not — pinned to
+#: re.ASCII; (3) the multimodal oracles did CHARACTER math over text
+#: where the engine does BYTE math over the utf-8 payload — all
+#: converted to hex(encode(text)) byte math (the mm_audio_window
+#: contract); (4) interpolating BPE_PATTERN into a Spark SQL literal
+#: silently ate the '\s' escape — both BPE sites now share one
+#: correctly-escaped BPE_EXTRACT_SPARK constant.
+UNICODE_QUERIES = (
+    "dedup_exact",
+    "text_normalize",
+    "text_bpe_token_count",
+    "text_tokenizer_fertility",
+    "text_chunks_udtf",
+    "text_lang_id_ngram",
+    "text_quality_score",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_frame_dedup",
+    "mm_audio_window",
+    "mm_phash_buckets",
+)
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(spark, tmp_path_factory):
+    """The sf0.001 corpus with deterministic hostile-Unicode text."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "unicode")
+    stage("unicode", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{unicode_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_QUERIES)
+def test_agrees_with_oracle_on_hostile_unicode(
+    spark, unicode_dir, unicode_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, unicode_dir).toPandas()
+    duck_pdf = unicode_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

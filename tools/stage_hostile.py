@@ -16,6 +16,17 @@ exercise:
   empty-input result without crashing, and agree with DuckDB on what
   that result IS (0 rows for grouped aggregates, 1 all-NULL row for
   global aggregates, empty joins/windows).
+- ``unicode``: same tables, with a deterministic ~8% of
+  ``documents.text`` cells damaged with hostile-but-legal Unicode —
+  emoji ZWJ sequences, spaceless CJK, RTL scripts, zero-width
+  joiners inside words, a 500-char unbroken token, fullwidth/math
+  alphanumerics, case-folding traps (dotless i, eszett), and mixed
+  control whitespace. Web corpora carry ALL of this; the sweep
+  tests that tokenization, shingling, language-ID, quality scoring,
+  and fingerprinting agree cross-engine on it (UTF-16 code-unit vs
+  code-point length, regex class semantics, casefold behavior).
+  ``n_chars`` is recomputed from the damaged text so the corpus
+  stays internally consistent.
 - ``nulls``: same tables with a deterministic ~3% of values in
   non-key scalar columns nulled (xxhash64-seeded per cell), plus ~2%
   of array columns emptied. Both engines see the SAME damaged rows, so
@@ -40,6 +51,34 @@ import sys
 NULL_FRAC = 0.03
 EMPTY_ARRAY_FRAC = 0.02
 MOD = 1_000_000
+
+#: Hostile-but-parquet-legal Unicode snippets, one damage class each
+#: (explicit escapes -- several of these characters are invisible).
+UNICODE_SNIPPETS = (
+    # emoji ZWJ family sequence + astral emoji + combining accents
+    "\U0001F469\u200d\U0001F469\u200d\U0001F467\u200d\U0001F466 "
+    "\U0001F680\U0001F525\U0001F4AF caf\u00e9 na\u00efve",
+    # spaceless CJK (no word boundaries for whitespace tokenizers)
+    "\u6df1\u5ea6\u5b66\u4e60\u6a21\u578b\u5728\u5927\u89c4\u6a21"
+    "\u8bed\u6599\u5e93\u4e0a\u7684\u9884\u8bad\u7ec3\u6548\u679c"
+    "\u663e\u8457\u63d0\u5347",
+    # RTL Arabic + pointed Hebrew (bidi + combining marks)
+    "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627"
+    "\u0644\u0645 \u05e9\u05b8\u05c1\u05dc\u05d5\u05b9\u05dd "
+    "\u05e2\u05d5\u05b9\u05dc\u05b8\u05dd",
+    # zero-width space/non-joiner/joiner/BOM inside ASCII words
+    "da\u200bta\u200cpipe\u200dline\ufeffshuffle",
+    # unbroken 500-char token (chunkers/shinglers must not choke)
+    "x" * 500,
+    # math Fraktur (astral), fullwidth forms, Roman numeral, fractions
+    "\U0001D518\U0001D52B\U0001D526\U0001D520\U0001D52C\U0001D521"
+    "\U0001D522 \uff46\uff55\uff4c\uff4c\uff57\uff49\uff44\uff54"
+    "\uff48 \u216b \u00bd \u00b5",
+    # mixed control whitespace: CRLF, tab, NEL, NBSP
+    "line1\r\nline2\ttab\u0085next\u00a0nbsp",
+    # casefold traps: Turkish dotted/dotless i, German eszett
+    "\u0130stanbul \u0131ss\u0131z STRASSE stra\u00dfe",
+)
 
 
 def _is_key(col: str) -> bool:
@@ -66,6 +105,39 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
         df = table(spark, sf_dir, t)
         if mode == "empty":
             df = df.limit(0).coalesce(1)
+        elif mode == "unicode":
+            if t == "documents":
+                arr = F.array(*[F.lit(s) for s in UNICODE_SNIPPETS])
+                coin = F.pmod(
+                    F.xxhash64(F.lit("unicode"), F.col("doc_id")),
+                    F.lit(MOD),
+                )
+                pick = F.element_at(
+                    arr,
+                    (F.pmod(coin, F.lit(len(UNICODE_SNIPPETS))) + 1).cast(
+                        "int"
+                    ),
+                )
+                # 4% prepend (hostile tokens inside real text), 4% full
+                # replacement (the document IS the hostile content)
+                damaged = (
+                    F.when(
+                        coin < int(MOD * 0.04),
+                        F.concat_ws(" ", pick, F.col("text")),
+                    )
+                    .when(
+                        coin < int(MOD * 0.08),
+                        F.concat_ws(" ", pick, pick, pick),
+                    )
+                    .otherwise(F.col("text"))
+                )
+                df = df.withColumn("text", damaged).withColumn(
+                    "n_chars",
+                    F.when(
+                        coin < int(MOD * 0.08),
+                        F.length(F.col("text")).cast("long"),
+                    ).otherwise(F.col("n_chars")),
+                )
         elif mode == "shuffled":
             df = df.orderBy(
                 F.xxhash64(*[F.col(c) for c in df.columns])
@@ -153,7 +225,8 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "--mode", choices=["shuffled", "nulls", "floats", "empty"],
+        "--mode",
+        choices=["shuffled", "nulls", "floats", "empty", "unicode"],
         required=True
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
