@@ -1911,16 +1911,27 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = series.select(
         "event_type",
         F.expr("cast(size(xs) as bigint)").alias("n_days"),
+        # The n_days < 2 guard matters: Spark's sequence(a, b) with
+        # b < a produces a DESCENDING sequence (not empty like
+        # DuckDB's generate_series), so a single-day series — a
+        # guaranteed group class on any live corpus, caught by the
+        # one-row hostile sweep — would index element_at(xs, 2) out
+        # of bounds instead of yielding zero pairwise slopes.
         F.expr(
-            "sort_array(flatten(transform(sequence(1, size(xs) - 1), "
+            "CASE WHEN size(xs) < 2 THEN cast(array() as array<double>) "
+            "ELSE sort_array(flatten(transform(sequence(1, size(xs) - 1), "
             "i -> transform(sequence(i + 1, size(xs)), "
             "j -> (element_at(xs, cast(j as int)) - element_at(xs, cast(i as int)))"
             " / (element_at(dd, cast(j as int)) - element_at(dd, cast(i as int)))"
-            "))))"
+            ")))) END"
         ).alias("sl"),
     )
+    # Empty slope set (single-day series) → NULL median: Spark's
+    # element_at is 1-based and throws on index 0, where the oracle's
+    # sl[0] is simply NULL — make the undefined-median case explicit.
     med = F.expr(
-        "CASE WHEN size(sl) % 2 = 1 "
+        "CASE WHEN size(sl) = 0 THEN cast(null as double) "
+        "WHEN size(sl) % 2 = 1 "
         "THEN element_at(sl, cast(size(sl) div 2 + 1 as int)) "
         "ELSE (element_at(sl, cast(size(sl) div 2 as int)) "
         "      + element_at(sl, cast(size(sl) div 2 + 1 as int))) / 2.0 END"

@@ -2455,8 +2455,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
-           / (sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
-              * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy))
+           / nullif(sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+                    * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy), 0)
                AS qty_price_corr
     FROM s
     """,
@@ -2487,15 +2487,18 @@ def rel_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).alias("syy"),
     )
     nd = F.col("n").cast("double")
+    # try_divide, with nullif(denominator, 0) in the oracle: an n=1 (or
+    # constant-valued) group has zero variance, so the closed form hits
+    # 0/0 — ANSI Spark would throw DIVIDE_BY_ZERO (the one-row hostile
+    # sweep caught exactly that) and correlation is undefined anyway.
+    # Both engines emit NULL for such groups.
     return s.select(
         "l_returnflag",
         "n",
-        (
-            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-            / (
-                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-            )
+        F.try_divide(
+            nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"),
+            F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")),
         ).alias("qty_price_corr"),
     )
 

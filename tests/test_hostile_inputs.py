@@ -354,3 +354,72 @@ def test_agrees_with_oracle_on_hostile_unicode(
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+#: The n=1 findings of the one-row hostile sweep plus the statistics
+#: family most exposed to degenerate groups. Two crash classes fixed:
+#: rel_corr_stats hit ANSI DIVIDE_BY_ZERO on a zero-variance group
+#: (now try_divide / nullif(den, 0) → NULL in both engines), and
+#: events_theilsen_trend indexed out of bounds because Spark's
+#: sequence(a, b) with b < a is DESCENDING (not empty like DuckDB's
+#: generate_series) — a single-day series produced sequence(2, 1) and
+#: element_at(xs, 2) instead of zero pairwise slopes.
+SINGLE_ROW_QUERIES = (
+    "rel_corr_stats",
+    "events_theilsen_trend",
+    "rel_agg_stats",
+    "rel_percentiles",
+    "events_cusum_drift",
+    "events_rolling_median",
+    "events_mad_outliers",
+    "events_autocorr",
+    "rel_gini_revenue",
+)
+
+
+@pytest.fixture(scope="module")
+def single_dir(spark, tmp_path_factory):
+    """The corpus cut to exactly one row per table."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "single")
+    stage("single", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def single_duck(single_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{single_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SINGLE_ROW_QUERIES)
+def test_agrees_with_oracle_on_single_row(
+    spark, single_dir, single_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, single_dir).toPandas()
+    duck_pdf = single_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

@@ -16,6 +16,12 @@ exercise:
   empty-input result without crashing, and agree with DuckDB on what
   that result IS (0 rows for grouped aggregates, 1 all-NULL row for
   global aggregates, empty joins/windows).
+- ``single``: same schemas, exactly ONE row per table — the
+  degenerate-statistics layout (a brand-new series, a group with one
+  member). Sample variance, correlation, pairwise-slope sets, and
+  median interpolation all hit their n=1 edge; Spark's ANSI division
+  and 1-based ``element_at``/descending ``sequence`` semantics make
+  this a CRASH class, not just a value-divergence class.
 - ``unicode``: same tables, with a deterministic ~8% of
   ``documents.text`` cells damaged with hostile-but-legal Unicode —
   emoji ZWJ sequences, spaceless CJK, RTL scripts, zero-width
@@ -105,6 +111,8 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
         df = table(spark, sf_dir, t)
         if mode == "empty":
             df = df.limit(0).coalesce(1)
+        elif mode == "single":
+            df = df.limit(1).coalesce(1)
         elif mode == "unicode":
             if t == "documents":
                 arr = F.array(*[F.lit(s) for s in UNICODE_SNIPPETS])
@@ -226,7 +234,9 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "--mode",
-        choices=["shuffled", "nulls", "floats", "empty", "unicode"],
+        choices=[
+            "shuffled", "nulls", "floats", "empty", "unicode", "single",
+        ],
         required=True
     )
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
