@@ -16,6 +16,12 @@ exercise:
   empty-input result without crashing, and agree with DuckDB on what
   that result IS (0 rows for grouped aggregates, 1 all-NULL row for
   global aggregates, empty joins/windows).
+- ``dup3``: every row tripled — a deliberate VIOLATION of the corpus
+  contract (doc_id/vec_id/event_id are declared unique). Run to map
+  the contract boundary, not as a pass/fail gate: the engine's
+  set-based operators behave sanely under it (identical LSH pairs,
+  per-row fan-outs), while several DuckDB oracle mirrors — written
+  against the contract — legitimately diverge. See COVERAGE.md.
 - ``single``: same schemas, exactly ONE row per table — the
   degenerate-statistics layout (a brand-new series, a group with one
   member). Sample variance, correlation, pairwise-slope sets, and
@@ -113,6 +119,8 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
             df = df.limit(0).coalesce(1)
         elif mode == "single":
             df = df.limit(1).coalesce(1)
+        elif mode == "dup3":
+            df = df.unionByName(df).unionByName(df).coalesce(2)
         elif mode == "unicode":
             if t == "documents":
                 arr = F.array(*[F.lit(s) for s in UNICODE_SNIPPETS])
@@ -236,6 +244,7 @@ def main() -> int:
         "--mode",
         choices=[
             "shuffled", "nulls", "floats", "empty", "unicode", "single",
+            "dup3",
         ],
         required=True
     )
