@@ -44,6 +44,41 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 _CENTS = "try_cast(round(value * 100) as bigint)"
 
+#: Valid operating epoch for SPINE-GENERATING analytics (gap-fill,
+#: autocorrelation's dense grid, the calendar dimension). These
+#: operators size their output by sequence(min_ts, max_ts) — so a
+#: SINGLE corrupt timestamp (an epoch-zero sentinel from an unset
+#: field, a 1900/2200 garbage instant) stretches the generated grid
+#: to a multi-century, multi-million-row spine per key. The
+#: hostile-timestamps sweep OOM'd the gap-fill exactly that way. The
+#: gate drops out-of-epoch rows before grid construction, in BOTH
+#: engines (the oracles carry the same WHERE) — the same
+#: ingest-gate pattern as the similarity family's empty-vector gate
+#: and multimodal's null-payload gate, and a no-op on clean corpora.
+#: Operators without data-driven generation (sessionize, windows,
+#: recurrences over observed rows) are volume-bounded and stay
+#: ungated.
+#: The gate is two-sided: a static lower bound (epoch-zero sentinels,
+#: pre-history garbage) and the FUTURE-CLOCK guard ``ts <= now`` —
+#: an event timestamped after wall-clock now is clock-skew garbage by
+#: definition, and it is the upper bound that actually matters: one
+#: future instant inflates min/max-driven grids and (in streaming)
+#: advances watermarks past all real data. Both engines evaluate
+#: their own ``now`` — microseconds apart, which only matters for
+#: rows inside that sliver, i.e. never for the garbage this gates.
+TS_EPOCH_LO = "1990-01-01"
+TS_EPOCH_DUCK = (
+    f"ts >= TIMESTAMP '{TS_EPOCH_LO}' AND ts <= CAST(now() AS TIMESTAMP)"
+)
+
+
+def epoch_gated(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Drop rows outside the declared operating epoch (see above)."""
+    return df.filter(
+        (F.col(col) >= F.lit(TS_EPOCH_LO).cast("timestamp_ntz"))
+        & (F.col(col) <= F.expr("localtimestamp()"))
+    )
+
 
 # ---------------------------------------------------------------------------
 # Gap-fill / resample onto a fixed hourly spine
@@ -57,6 +92,7 @@ _CENTS = "try_cast(round(value * 100) as bigint)"
         SELECT event_type, date_trunc('hour', ts) AS h,
                TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
     ),
     hourly AS (
         SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
@@ -100,7 +136,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     so keys parallelize; the spine join is broadcast-sized whenever
     |keys| x |hours| is (AQE decides).
     """
-    events = table(spark, sf_dir, "events")
+    events = epoch_gated(table(spark, sf_dir, "events"))
     hourly = (
         events.select(
             "event_type",
@@ -314,6 +350,7 @@ def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, date_trunc('hour', ts) AS h,
                TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
     ),
     hourly AS (
         SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
@@ -377,7 +414,7 @@ def events_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, and the lerp is the identical IEEE754 op tree in
     both engines — bit-exact, no epsilon anywhere.
     """
-    events = table(spark, sf_dir, "events")
+    events = epoch_gated(table(spark, sf_dir, "events"))
     hourly = (
         events.select(
             "event_type",
@@ -543,6 +580,7 @@ _ACF_LAGGED_DUCK = "\n        UNION ALL\n".join(
         SELECT event_type, date_trunc('hour', ts) AS h,
                TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
     ),
     hourly AS (
         SELECT event_type, h, CAST(SUM(cents) AS BIGINT) AS cents
@@ -604,7 +642,7 @@ def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents → squares ≲1e12, ×1e4 buckets ≲1e16), and at larger scale
     the sums switch to DECIMAL(38,0) unchanged in shape.
     """
-    events = table(spark, sf_dir, "events")
+    events = epoch_gated(table(spark, sf_dir, "events"))
     hourly = (
         events.select(
             "event_type",

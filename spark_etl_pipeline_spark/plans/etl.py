@@ -256,6 +256,8 @@ def clickstream_pipeline(
                         THEN TRY_CAST(round(value) AS BIGINT)
                END AS code
         FROM events
+        WHERE ts >= TIMESTAMP '1990-01-01'
+          AND ts <= CAST(now() AS TIMESTAMP)
     ),
     joined AS (
         SELECT n.user_key, n.transaction_date, n.transaction_time,
@@ -278,8 +280,18 @@ def etl_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTC→KST date/time split, id fallback, dim join (no broadcast hint —
     customer scales with the data; AQE decides at runtime) with a
     null-padded 'signup' branch (the reference's 'login' branch), dedup.
+
+    The epoch gate (``timeseries.epoch_gated``) matters here for a
+    subtle reason: the engine converts UTC→KST with the NAMED zone
+    (full IANA history — before 1908 Seoul was LMT +8:27:52, 1948-61
+    was +8:30, 1987-88 had DST) while the oracle mirrors the modern
+    fixed +9:00. Inside the declared epoch (1990+) the two are
+    identical; a single pre-1990 garbage timestamp would expose the
+    historical-offset divergence the hostile-timestamps sweep caught.
     """
-    events = table(spark, sf_dir, "events")
+    from spark_etl_pipeline_spark.operators.timeseries import epoch_gated
+
+    events = epoch_gated(table(spark, sf_dir, "events"))
     cust = table(spark, sf_dir, "customer")
 
     kst = F.from_utc_timestamp("ts", "Asia/Seoul")

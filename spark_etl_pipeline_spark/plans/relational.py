@@ -2636,6 +2636,8 @@ def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1990-01-01'
+          AND o_orderdate <= CAST(now() AS TIMESTAMP)
     ),
     days AS (
         SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b
@@ -2660,9 +2662,14 @@ def rel_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max (``sequence`` + explode over a single aggregated row) — no
     hand-maintained CSV, and the spine tracks the data automatically.
     Output is |days| rows regardless of fact volume; the bounds
-    aggregate is map-side combinable.
+    aggregate is map-side combinable. The epoch gate matters here more
+    than anywhere: the spine's SIZE is min/max-driven, so one
+    epoch-zero sentinel or far-future garbage date would stretch the
+    calendar to centuries (see ``timeseries.TS_EPOCH_LO``).
     """
-    orders = table(spark, sf_dir, "orders")
+    from spark_etl_pipeline_spark.operators.timeseries import epoch_gated
+
+    orders = epoch_gated(table(spark, sf_dir, "orders"), "o_orderdate")
     days = (
         orders.agg(
             F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
@@ -2939,6 +2946,8 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m,
                CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
         FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1990-01-01'
+          AND o_orderdate <= CAST(now() AS TIMESTAMP)
         UNION ALL
         SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE m < mx
     ),
@@ -2946,7 +2955,10 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                COUNT(*) AS n_orders,
                SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
-        FROM orders GROUP BY 1
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1990-01-01'
+          AND o_orderdate <= CAST(now() AS TIMESTAMP)
+        GROUP BY 1
     )
     SELECT strftime(s.m, '%Y-%m') AS month,
            CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
@@ -2971,11 +2983,20 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: recursion depth = number of months (engine-bounded by
     ``spark.sql.cteRecursionLevelLimit``, default 100 — fine for any
     sane calendar span; a multi-century spine belongs to sequence()).
+    That limit is also why the EPOCH GATE here is a crash guard, not
+    just hygiene: one pre-1990 garbage date stretches the month count
+    past the recursion cap and the query throws
+    RECURSION_LEVEL_LIMIT_EXCEEDED (hostile-timestamps sweep finding)
+    — gated, the depth is bounded by the declared operating epoch.
     The spine is rows-per-month tiny; monthly revenue is one map-side-
     combinable cents aggregate; the join is spine-sized and the
     cumulative window orders months only.
     """
-    table(spark, sf_dir, "orders").createOrReplaceTempView("v_rec_orders")
+    from spark_etl_pipeline_spark.operators.timeseries import epoch_gated
+
+    epoch_gated(
+        table(spark, sf_dir, "orders"), "o_orderdate"
+    ).createOrReplaceTempView("v_rec_orders")
     return spark.sql(
         """
         WITH RECURSIVE spine AS (

@@ -56,6 +56,33 @@ def repair_nanos(df: DataFrame, nanos: list[str]) -> DataFrame:
     return df
 
 
+def guard_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Drop events with garbage event times BEFORE they reach a watermark.
+
+    Watermarks advance to ``max(event time) - delay``: a SINGLE event
+    timestamped in the future (clock-skew garbage, a corrupted field)
+    pushes the watermark past every real row, evicting join/dedup state
+    and silently dropping the rest of the stream — the
+    hostile-timestamps sweep demonstrated exactly that with one 2038
+    instant. The guard is the standard two-sided ingest rule: reject
+    pre-epoch sentinels (epoch-zero "unset" defaults and earlier) and
+    anything timestamped after wall-clock now. Mirrors
+    ``operators.timeseries.epoch_gated`` (same bounds, batch flavor);
+    the streaming oracles carry the same WHERE. A no-op on any sane
+    corpus.
+    """
+    from spark_etl_pipeline_spark.operators.timeseries import TS_EPOCH_LO
+
+    try:
+        df.schema[col]
+    except KeyError:
+        return df
+    return df.filter(
+        (F.col(col) >= F.lit(TS_EPOCH_LO).cast("timestamp"))
+        & (F.col(col) <= F.current_timestamp())
+    )
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -83,7 +110,9 @@ def events_stream(
         .format("parquet")
         .load(f"{sf_dir}/{table_name}.*")
     )
-    return normalize_event_time(repair_nanos(stream, nanos), ts_col)
+    return guard_event_time(
+        normalize_event_time(repair_nanos(stream, nanos), ts_col), ts_col
+    )
 
 
 def stream_from_glob(
@@ -99,4 +128,6 @@ def stream_from_glob(
     dedup tests) and therefore already hold the schema + nanos sniff.
     """
     stream = spark.readStream.schema(schema).format("parquet").load(src_glob)
-    return normalize_event_time(repair_nanos(stream, nanos), ts_col)
+    return guard_event_time(
+        normalize_event_time(repair_nanos(stream, nanos), ts_col), ts_col
+    )

@@ -80,6 +80,7 @@ def stream_events_tumbling(
            COUNT(*) AS n,
            CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
     FROM events
+    WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
     GROUP BY 1, 2
     """,
 )
@@ -411,6 +412,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(SUM(CASE WHEN isnan(value) OR isinf(value)
                           THEN NULL ELSE value END), 2) AS total_value
     FROM events
+    WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
     GROUP BY user_id
     """,
 )
@@ -472,6 +474,8 @@ def stream_profiles_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ELSE date_trunc('day', e.ts) END AS bucket
         FROM events e
         CROSS JOIN (SELECT unnest(['hour', 'day']) AS grain) x
+        WHERE e.ts >= TIMESTAMP '1990-01-01'
+          AND e.ts <= CAST(now() AS TIMESTAMP)
     )
     SELECT grain,
            strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
@@ -564,7 +568,8 @@ def _drain_to_table(
                event_type
         FROM events
         CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
-        WHERE ts >= time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+          AND ts >= time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
           AND ts <  time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
                     + INTERVAL 1 HOUR
     )
@@ -598,6 +603,7 @@ def stream_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
     ),
     marked AS (
         SELECT user_id, ts,
@@ -644,9 +650,9 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_drain",
     oracle="""
     WITH replayed AS (
-        SELECT * FROM events
+        SELECT * FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
         UNION ALL
-        SELECT * FROM events WHERE event_id % 10 = 0
+        SELECT * FROM events WHERE event_id % 10 = 0 AND ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
     ),
     deduped AS (SELECT DISTINCT * FROM replayed)
     SELECT event_type,
@@ -713,8 +719,10 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_pairs,
            COUNT(DISTINCT p.event_id) AS n_purchases_with_click
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)) p
+    JOIN (SELECT * FROM events
+          WHERE event_type = 'click' AND ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)) c
       ON c.user_id = p.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR
      AND c.ts <  p.ts
@@ -754,6 +762,7 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.ts >= TIMESTAMP '1990-01-01' AND e.ts <= CAST(now() AS TIMESTAMP)
     GROUP BY 1, 2
     """,
 )

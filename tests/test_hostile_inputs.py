@@ -423,3 +423,80 @@ def test_agrees_with_oracle_on_single_row(
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+#: The hostile-timestamps findings: pre-1970/epoch-zero/2038/2200
+#: instants in ~2% of timestamp cells. Root causes fixed: (1) min/max-
+#: driven grids (gap-fill spines, the calendar dimension, the recursive
+#: month spine) let ONE garbage timestamp inflate the generated grid to
+#: centuries — the hourly spine OOM'd and the recursive CTE blew
+#: Spark's 100-level cap — all now behind the two-sided epoch gate
+#: (static 1990 floor + future-clock `ts <= now`); (2) one future
+#: instant advances streaming watermarks past all real data, evicting
+#: join/dedup state (stream sources now carry guard_event_time, the
+#: same gate); (3) the ETL's named-zone Asia/Seoul conversion follows
+#: full IANA history (pre-1908 LMT +8:27:52) where the oracle mirrors
+#: the modern fixed +9 — identical inside the gated epoch. Bounded
+#: per-observed-row operators (sessionize) need no gate and prove it
+#: here ungated.
+TIMES_QUERIES = (
+    "events_gap_fill",
+    "events_gap_fill_lerp",
+    "events_autocorr",
+    "rel_calendar_spine",
+    "rel_recursive_month_spine",
+    "etl_events_pipeline",
+    "stream_join_drain",
+    "stream_dedup_drain",
+    "stream_tumbling_drain",
+    "stream_upsert_drain",
+    "events_sessionize",
+)
+
+
+@pytest.fixture(scope="module")
+def times_dir(spark, tmp_path_factory):
+    """The sf0.001 corpus with hostile timestamp damage."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "times")
+    stage("times", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def times_duck(times_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{times_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TIMES_QUERIES)
+def test_agrees_with_oracle_on_hostile_timestamps(
+    spark, times_dir, times_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, times_dir).toPandas()
+    duck_pdf = times_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

@@ -16,6 +16,13 @@ exercise:
   empty-input result without crashing, and agree with DuckDB on what
   that result IS (0 rows for grouped aggregates, 1 all-NULL row for
   global aggregates, empty joins/windows).
+- ``times``: ~2% of timestamp cells replaced with hostile-but-legal
+  instants (pre-1970 with fractional seconds, epoch zero, past the
+  32-bit 2038 boundary, a far-future 2200 value — all inside
+  pandas' datetime64[ns] range so the gate can compare them).
+  Negative-epoch integer division truncates toward zero in some
+  engines and floors in others; date_trunc/datediff/windowing over
+  these instants is the probe.
 - ``dup3``: every row tripled — a deliberate VIOLATION of the corpus
   contract (doc_id/vec_id/event_id are declared unique). Run to map
   the contract boundary, not as a pass/fail gate: the engine's
@@ -121,6 +128,40 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
             df = df.limit(1).coalesce(1)
         elif mode == "dup3":
             df = df.unionByName(df).unionByName(df).coalesce(2)
+        elif mode == "times":
+            from datetime import datetime
+
+            pool = [
+                datetime(1900, 1, 1, 0, 0, 0),
+                datetime(1969, 12, 31, 23, 59, 59, 999999),
+                datetime(1970, 1, 1, 0, 0, 0),
+                datetime(2038, 1, 19, 3, 14, 8),
+                datetime(2200, 6, 15, 12, 34, 56, 789012),
+            ]
+            arr = F.array(
+                *[F.lit(p).cast("timestamp_ntz") for p in pool]
+            )
+            row_salt = [F.col(x) for x in df.columns]
+            out_cols = []
+            for field in df.schema.fields:
+                c = field.name
+                # the corpus loader yields TIMESTAMP_NTZ (parquet
+                # isAdjustedToUTC=false), not TIMESTAMP
+                if not isinstance(
+                    field.dataType, (T.TimestampType, T.TimestampNTZType)
+                ):
+                    out_cols.append(F.col(c))
+                    continue
+                coin = F.pmod(F.xxhash64(F.lit(c), *row_salt), F.lit(MOD))
+                pick = F.element_at(
+                    arr, (F.pmod(coin, F.lit(len(pool))) + 1).cast("int")
+                )
+                out_cols.append(
+                    F.when(coin < int(MOD * 0.02), pick)
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            df = df.select(*out_cols)
         elif mode == "unicode":
             if t == "documents":
                 arr = F.array(*[F.lit(s) for s in UNICODE_SNIPPETS])
@@ -244,7 +285,7 @@ def main() -> int:
         "--mode",
         choices=[
             "shuffled", "nulls", "floats", "empty", "unicode", "single",
-            "dup3",
+            "dup3", "times",
         ],
         required=True
     )
