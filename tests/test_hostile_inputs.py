@@ -500,3 +500,47 @@ def test_agrees_with_oracle_on_hostile_timestamps(
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+def test_negative_zero_group_key_divergence_pinned(spark, tmp_path):
+    """KNOWN engine boundary, pinned: Spark NORMALIZES a -0.0 GROUP BY
+    key to +0.0 (SPARK-32110 — grouping on unsafe-row bytes requires
+    it) while DuckDB keeps -0.0 as the representative key. Both group
+    the two zeros into ONE group (IEEE equality), so counts agree and
+    only the rendered key differs. The registry never groups by a raw
+    double measure — this test is the reason written down: if a future
+    query does, its oracle hash will split exactly here. Cents folds
+    on extreme doubles (±9.2e18 overflow → NULL via TRY_CAST,
+    denormals → 0) agree between engines and are asserted identical.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "extremes.parquet")
+    vals = [-0.0, 0.0, 9.2e18, -9.2e18, 5e-324, -5e-324]
+    pq.write_table(pa.table({"v": vals}), path)
+
+    from pyspark.sql import functions as F
+
+    skeys = [
+        r["v"]
+        for r in spark.read.parquet(path)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    dkeys = [
+        r[0]
+        for r in con.sql(
+            f"SELECT v, count(*) FROM '{path}' GROUP BY v"
+        ).fetchall()
+    ]
+    con.close()
+    assert len(skeys) == len(dkeys) == 5  # the zeros collapse to one
+    szero = [x for x in skeys if x == 0.0]
+    dzero = [x for x in dkeys if x == 0.0]
+    # the divergence itself: Spark's representative is +0.0, DuckDB's
+    # is -0.0 (str() distinguishes what == cannot)
+    assert str(szero[0]) == "0.0"
+    assert str(dzero[0]) == "-0.0"
