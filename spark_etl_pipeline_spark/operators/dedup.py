@@ -457,6 +457,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEV_THRESHOLD = 40  # max edit distance for a fuzzy-dup pair
+#: Documents longer than this are EXEMPT from edit-distance comparison.
+#: Exact Levenshtein is O(len²) per pair — ~10¹² cells for one
+#: megabyte-scale document pair, intractable in ANY engine — so a
+#: length cap is part of the operator's contract (the standard
+#: production-dedup design), mirrored exactly in the oracle. The cap
+#: never binds on the reference corpus (max document 553 chars).
+LEV_MAX_LEN = 10_000
 
 
 @register(
@@ -474,7 +481,8 @@ LEV_THRESHOLD = 40  # max edit distance for a fuzzy-dup pair
            levenshtein(a.text, b.text) AS edit_dist
     FROM keyed a
     JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.text, b.text) <= {LEV_THRESHOLD}
+    WHERE len(a.text) <= {LEV_MAX_LEN} AND len(b.text) <= {LEV_MAX_LEN}
+      AND levenshtein(a.text, b.text) <= {LEV_THRESHOLD}
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +491,22 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein is O(len²) per pair — viable only because the block join
     (shared first shingle) reduces candidates from n² to Σ block².
     Same definition in both engines → integer-exact oracle.
+
+    The distance is guarded by a LENGTH CAP inside the expression
+    (``when(len <= LEV_MAX_LEN, levenshtein(...))`` — expression-level
+    short-circuit, which codegen guarantees), not as a post-hoc filter.
+    The difference is fatal at scale: Catalyst pushes the
+    ``edit_dist`` filter INTO the join condition ahead of the
+    ``doc_id <`` dedup predicate, so every block-equal hash match —
+    including each document's SELF-match — evaluates the distance. On
+    ordinary rows that self-compare is invisible; one megabyte-scale
+    document (the ``giant`` hostile mode) turns it into a ~10¹²-cell
+    DP and the query never returns. Spark's thresholded
+    ``levenshtein(l, r, k)`` is NOT a rescue — measured ~35 s on one
+    100k-char self-pair (superlinear despite the bound) — so the cap
+    is the operator contract: documents beyond ``LEV_MAX_LEN`` are
+    exempt from fuzzy comparison, in both engines. The thresholded
+    form is still used under the cap for its early-abandon bound.
     """
     docs = table(spark, sf_dir, "documents")
     keyed = (
@@ -504,9 +528,17 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+            F.when(
+                (F.length("a.text") <= LEV_MAX_LEN)
+                & (F.length("b.text") <= LEV_MAX_LEN),
+                F.levenshtein(
+                    F.col("a.text"), F.col("b.text"), LEV_THRESHOLD
+                ),
+            )
+            .otherwise(F.lit(-1))
+            .alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= LEV_THRESHOLD)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 

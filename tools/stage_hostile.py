@@ -46,6 +46,27 @@ exercise:
   code-point length, regex class semantics, casefold behavior).
   ``n_chars`` is recomputed from the damaged text so the corpus
   stays internally consistent.
+- ``skew``: redirect a deterministic slice of N-side FOREIGN keys to
+  one hot value — 2% of ``lineitem`` rows onto one order (a ~1,200-item
+  basket vs the corpus max of 13), 10% of ``events`` onto one user,
+  3% of ``orders`` onto one customer, 30% of ``documents`` onto one
+  source. Primary keys stay unique (redirected lineitem rows re-derive
+  ``l_linenumber`` from the old composite key), so the corpus contract
+  holds; only the key DISTRIBUTION becomes hostile. This is the 100-TB
+  hot-key shape: giant groups for window/sessionize paths, a giant
+  basket for the pairwise graph structures, one source dominating the
+  mixture/cap operators. Correctness must be invariant (both engines
+  read the same damaged rows); the sweep also measures which operators'
+  COST explodes superlinearly with one hot key.
+- ``giant``: per-cell VOLUME damage — three ``documents.text`` cells
+  become ~1 MB payloads (repeated prose; a 512 KiB single unbroken
+  token; one word repeated 180k times), ``n_chars`` recomputed, and two
+  ``events.props`` cells gain a ~200 KB junk sibling value next to the
+  real ``"k"`` key. A 3,000×-average document and a bloated event
+  payload are guaranteed residents of any web-scale corpus; the probe
+  is bounded per-row memory in shingling/tokenizing/chunking (explode
+  fan-out, Arrow batch sizing, regex behavior on megabyte strings) and
+  JSON extraction that must survive giant sibling fields.
 - ``nulls``: same tables with a deterministic ~3% of values in
   non-key scalar columns nulled (xxhash64-seeded per cell), plus ~2%
   of array columns emptied. Both engines see the SAME damaged rows, so
@@ -195,6 +216,128 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
                         F.length(F.col("text")).cast("long"),
                     ).otherwise(F.col("n_chars")),
                 )
+        elif mode == "skew":
+            # FK redirection, never PK damage: the coin hashes the
+            # row's identity so both engines see identical rows.
+            if t == "lineitem":
+                hot = df.agg(F.min("l_orderkey")).collect()[0][0]
+                coin = F.pmod(
+                    F.xxhash64(
+                        F.lit("skew"), F.col("l_orderkey"),
+                        F.col("l_linenumber"),
+                    ),
+                    F.lit(MOD),
+                )
+                moved = coin < int(MOD * 0.02)
+                # one atomic select: chained withColumn would re-bind
+                # the coin against the already-rewritten linenumber.
+                # (The corpus has no composite-PK contract on
+                # lineitem, but folding the old key into the new
+                # linenumber keeps redirected rows attributable.)
+                df = df.select(
+                    *[
+                        F.when(moved, F.lit(hot))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c == "l_orderkey"
+                        else F.when(
+                            moved,
+                            (
+                                F.col("l_orderkey") * 100
+                                + F.col("l_linenumber")
+                            ).cast("int"),
+                        )
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c == "l_linenumber"
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            elif t == "events":
+                hot = df.agg(F.min("user_id")).collect()[0][0]
+                coin = F.pmod(
+                    F.xxhash64(F.lit("skew"), F.col("event_id")),
+                    F.lit(MOD),
+                )
+                df = df.withColumn(
+                    "user_id",
+                    F.when(coin < int(MOD * 0.10), F.lit(hot)).otherwise(
+                        F.col("user_id")
+                    ),
+                )
+            elif t == "orders":
+                hot = df.agg(F.min("o_custkey")).collect()[0][0]
+                coin = F.pmod(
+                    F.xxhash64(F.lit("skew"), F.col("o_orderkey")),
+                    F.lit(MOD),
+                )
+                df = df.withColumn(
+                    "o_custkey",
+                    F.when(coin < int(MOD * 0.03), F.lit(hot)).otherwise(
+                        F.col("o_custkey")
+                    ),
+                )
+            elif t == "documents":
+                hot = df.agg(F.min("source")).collect()[0][0]
+                coin = F.pmod(
+                    F.xxhash64(F.lit("skew"), F.col("doc_id")),
+                    F.lit(MOD),
+                )
+                df = df.withColumn(
+                    "source",
+                    F.when(coin < int(MOD * 0.30), F.lit(hot)).otherwise(
+                        F.col("source")
+                    ),
+                )
+        elif mode == "giant":
+            if t == "documents":
+                ids = [
+                    r[0]
+                    for r in df.select("doc_id")
+                    .orderBy("doc_id")
+                    .limit(3)
+                    .collect()
+                ]
+                prose = (
+                    "Large scale corpora carry documents far beyond "
+                    "the average size and every operator must stay "
+                    "bounded per row when one arrives. "
+                )
+                # built server-side with repeat() so the plan stays
+                # small while the CELLS are megabyte-scale
+                payloads = {
+                    ids[0]: F.repeat(F.lit(prose), 9000),   # ~1 MB prose
+                    ids[1]: F.repeat(F.lit("x"), 524288),   # unbroken token
+                    ids[2]: F.repeat(F.lit("spark "), 180000),  # hot word
+                }
+                text = F.col("text")
+                for did, payload in payloads.items():
+                    text = F.when(
+                        F.col("doc_id") == F.lit(did), payload
+                    ).otherwise(text)
+                df = df.withColumn("text", text).withColumn(
+                    "n_chars", F.length("text").cast("long")
+                )
+            elif t == "events":
+                ids = [
+                    r[0]
+                    for r in df.select("event_id")
+                    .orderBy("event_id")
+                    .limit(2)
+                    .collect()
+                ]
+                bloated = F.concat(
+                    F.lit('{"blob": "'),
+                    F.repeat(F.lit("v"), 200000),
+                    F.lit('", "k": 5}'),
+                )
+                df = df.withColumn(
+                    "props",
+                    F.when(
+                        F.col("event_id").isin(ids), bloated
+                    ).otherwise(F.col("props")),
+                )
         elif mode == "shuffled":
             df = df.orderBy(
                 F.xxhash64(*[F.col(c) for c in df.columns])
@@ -285,7 +428,7 @@ def main() -> int:
         "--mode",
         choices=[
             "shuffled", "nulls", "floats", "empty", "unicode", "single",
-            "dup3", "times",
+            "dup3", "times", "skew", "giant",
         ],
         required=True
     )
