@@ -138,23 +138,36 @@ def _shingle_hashes_spark() -> str:
     )
 
 
-_SHINGLES_DUCK = (
-    f"list_distinct(list_transform("
-    f"generate_series(1, greatest(len(t) - {DECON_NGRAM - 1}, 0)), "
-    f"i -> CAST(('0x' || substr(md5("
-    f"array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ')"
-    f"), 1, 8)) AS BIGINT)))"
-)
-
-
+# The oracle builds shingles with a WINDOW FRAME over unnested token
+# positions, not list-slicing inside list_transform: DuckDB's
+# ``t[i:i+k]`` inside a per-position lambda is O(i) per evaluation —
+# measured quadratic (9.5 s at 10k tokens, 91 s at 40k), a hang on the
+# ``giant`` hostile corpus's 180k-token document — while the
+# ``string_agg OVER (ROWS BETWEEN ...)`` form is O(n·k) (0.2 s at
+# 180k). Same distinct per-doc shingle set either way.
 @register(
     "text_decontaminate",
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
     ),
+    pos AS (
+        SELECT doc_id, len(t) AS nt, unnest(t) AS tok,
+               generate_subscripts(t, 1) AS i
+        FROM toks
+    ),
+    grams AS (
+        SELECT doc_id, i, nt,
+               string_agg(tok, ' ') OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW
+                   AND {DECON_NGRAM - 1} FOLLOWING) AS gram
+        FROM pos
+    ),
     sh AS (
-        SELECT doc_id, unnest({_SHINGLES_DUCK}) AS sh FROM toks
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS sh
+        FROM grams WHERE i <= nt - {DECON_NGRAM - 1}
     ),
     eval_sh AS (
         SELECT DISTINCT sh FROM sh WHERE doc_id % {EVAL_MOD} = 0
