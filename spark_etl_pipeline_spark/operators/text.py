@@ -571,19 +571,30 @@ _TRI_SPARK = (
         SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS max_word_ratio
         FROM wcc GROUP BY doc_id
     )
-    SELECT doc_id, top_bigram_ratio, dup_trigram_ratio, max_word_ratio,
-           (top_bigram_ratio <= {REP_TOP_BIGRAM_MAX}
-            AND dup_trigram_ratio <= {REP_DUP_TRIGRAM_MAX}
+    SELECT doc_id,
+           COALESCE(top_bigram_ratio, 0.0) AS top_bigram_ratio,
+           COALESCE(dup_trigram_ratio, 0.0) AS dup_trigram_ratio,
+           max_word_ratio,
+           (COALESCE(top_bigram_ratio, 0.0) <= {REP_TOP_BIGRAM_MAX}
+            AND COALESCE(dup_trigram_ratio, 0.0) <= {REP_DUP_TRIGRAM_MAX}
             AND max_word_ratio <= {REP_MAX_WORD_MAX}) AS keep
-    FROM bga
-    JOIN tric USING (doc_id)
-    JOIN wa USING (doc_id)
+    FROM wa
+    LEFT JOIN bga USING (doc_id)
+    LEFT JOIN tric USING (doc_id)
     """,
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-document repetition gate: fraction of the doc
     covered by its top bigram, by duplicated trigrams, and by its most
     frequent word; ``keep`` ANDs the three thresholds.
+
+    TOTAL-VERDICT contract: every document with at least one token gets
+    a row — a filter that silently loses documents from its keep/drop
+    report corrupts the downstream corpus. A doc too short to have a
+    gram family (the ``giant`` hostile corpus's single-token document
+    is the probe) counts that family as 0.0, vacuously non-repetitive;
+    the word family, defined for any tokenized doc, is the row spine in
+    both engines.
 
     Scale shape: ONE corpus scan — the three gram families explode from
     the same row as ('bg'|'tri'|'w')-tagged structs — then two stacked
@@ -622,8 +633,15 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_type.groupBy("doc_id")
         .agg(
-            pick("bg", top).alias("top_bigram_ratio"),
-            pick("tri", dup).alias("dup_trigram_ratio"),
+            # absent families (doc too short) are 0.0, not NULL — the
+            # total-verdict contract; 'w' stays bare (it defines the
+            # row's existence, so it is never absent here)
+            F.coalesce(pick("bg", top), F.lit(0.0)).alias(
+                "top_bigram_ratio"
+            ),
+            F.coalesce(pick("tri", dup), F.lit(0.0)).alias(
+                "dup_trigram_ratio"
+            ),
             pick("w", top).alias("max_word_ratio"),
         )
         .withColumn(

@@ -285,22 +285,42 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Applied in ORDER (email first so its digits can't half-match as an
 #: IP). Every pattern is RE2-safe (no backreferences/lookaround) so
-#: Java regex and DuckDB's RE2 match identically.
+#: Java regex and DuckDB's RE2 match identically. Quantifiers are
+#: RFC-BOUNDED ({1,64} local part, {1,255} domain), not open-ended
+#: `+`: Java's backtracking engine costs O(run²) to fail an unbounded
+#: class-run against a megabyte single-token document (the ``giant``
+#: hostile corpus hung here; RE2 is automaton-linear and never
+#: noticed), while a bound caps the per-position retry count. Both
+#: engines consume the same pattern strings, so matches stay identical.
 PII_PATTERNS = (
-    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    (r"[a-zA-Z0-9._%+-]{1,64}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,}",
+     "[EMAIL]"),
     (r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]"),
     (r"\d{6,}", "[NUM]"),
 )
 
 
 def scrub_pii(col: Column) -> tuple[Column, Column]:
-    """(scrubbed_text, n_redactions) for a string column."""
+    """(scrubbed_text, n_redactions) for a string column.
+
+    The email pattern is additionally gated on ``contains('@')`` —
+    semantics-identical (no ``@``, no match) but it skips the regex
+    scan entirely for the overwhelming share of documents, the cheap
+    vectorized prefilter that matters when one document is megabytes.
+    """
+    has_at = col.contains("@")
     n = F.lit(0)
-    scrubbed = col
     for pat, _tag in PII_PATTERNS:
-        n = n + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+        cnt = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        if "[EMAIL]" == _tag:
+            cnt = F.when(has_at, cnt).otherwise(F.lit(0))
+        n = n + cnt
+    scrubbed = col
     for pat, tag in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+        rep = F.regexp_replace(scrubbed, pat, tag)
+        if tag == "[EMAIL]":
+            rep = F.when(has_at, rep).otherwise(scrubbed)
+        scrubbed = rep
     return scrubbed, n.cast("bigint")
 
 
@@ -1159,12 +1179,16 @@ def _curation_oracle() -> str:
         FROM rwcc GROUP BY doc_id
     ),
     rep AS (
-        SELECT b.doc_id,
-               CASE WHEN b.r1 <= {REP_TOP_BIGRAM_MAX}
-                     AND t.r2 <= {REP_DUP_TRIGRAM_MAX}
+        -- word family is the spine; absent gram families count 0.0
+        -- (the repetition filter's total-verdict contract)
+        SELECT w.doc_id,
+               CASE WHEN COALESCE(b.r1, 0.0) <= {REP_TOP_BIGRAM_MAX}
+                     AND COALESCE(t.r2, 0.0) <= {REP_DUP_TRIGRAM_MAX}
                      AND w.r3 <= {REP_MAX_WORD_MAX}
                     THEN 1 ELSE 0 END AS rep_keep
-        FROM rbga b JOIN rtric t USING (doc_id) JOIN rwa w USING (doc_id)
+        FROM rwa w
+        LEFT JOIN rbga b USING (doc_id)
+        LEFT JOIN rtric t USING (doc_id)
     )
     SELECT d.doc_id, d.lang,
            q.qual_keep, r.rep_keep,
