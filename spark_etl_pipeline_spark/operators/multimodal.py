@@ -323,24 +323,31 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``mm_frame_dedup`` (one definition, so the two oracles cannot drift):
 #: every payload split into {FRAME_BYTES}-byte frames, each frame
 #: hashed via the hex contract.
+#: Frame chunks come from ``regexp_extract_all(hx, '.{{1,N}}')`` —
+#: one linear pass per payload — NOT from positional
+#: ``substr(hx, frame_idx*N + 1, N)``: DuckDB's VARCHAR substr is
+#: CHARACTER-indexed (an O(position) UTF-8 boundary scan per call),
+#: which makes per-index extraction over a megabyte hex rendering
+#: superlinear (and outright quadratic at byte grain — the ``giant``
+#: hostile corpus measured it as a hang in the impurity oracle).
+#: ``p`` is ``AS MATERIALIZED`` so the hex rendering itself is
+#: computed once per document, not re-inlined per consumer.
 _FRAMES_HEX_CTE = f"""
-    WITH p AS (
+    WITH p AS MATERIALIZED (
         SELECT doc_id, hex(encode(text)) AS hx,
                octet_length(encode(text)) AS n
         FROM documents
     ),
     f AS (
         SELECT doc_id,
-               unnest(generate_series(0,
-                   CAST(ceil(n / {FRAME_BYTES}.0) AS INTEGER) - 1))
-                   AS frame_idx,
-               hx
+               regexp_extract_all(hx, '.{{1,{2 * FRAME_BYTES}}}')
+                   AS chunks
         FROM p WHERE n > 0
     ),
     h AS (
-        SELECT doc_id, frame_idx,
-               md5(substr(hx, frame_idx * {2 * FRAME_BYTES} + 1,
-                   {2 * FRAME_BYTES})) AS frame_md5
+        SELECT doc_id,
+               generate_subscripts(chunks, 1) - 1 AS frame_idx,
+               md5(unnest(chunks)) AS frame_md5
         FROM f
     )
 """
@@ -649,26 +656,33 @@ def payload_impurity(payloads: DataFrame) -> DataFrame:
 @register(
     "mm_payload_impurity",
     oracle="""
-    WITH s AS (
+    WITH s AS MATERIALIZED (
         SELECT doc_id, hex(encode(text)) AS hx,
                CAST(octet_length(encode(text)) AS BIGINT) AS n
         FROM documents WHERE octet_length(encode(text)) > 0
     ),
+    -- bytes come from regexp_extract_all(hx, '..'), NOT from
+    -- substr(hx, i*2+1, 2) in a per-index lateral: DuckDB's VARCHAR
+    -- substr is CHARACTER-indexed, an O(position) UTF-8 boundary scan
+    -- per call, which makes the per-byte explode O(len^2) — a
+    -- measured hang on the giant hostile corpus's megabyte payloads.
+    -- The regex pair-split is one linear pass per document.
     b AS (
-        SELECT doc_id, n, substr(hx, i * 2 + 1, 2) AS byte
-        FROM s, LATERAL unnest(generate_series(0, CAST(n AS INTEGER) - 1)) t(i)
+        SELECT doc_id, unnest(regexp_extract_all(hx, '..')) AS byte
+        FROM s
     ),
     c AS (
-        SELECT doc_id, byte, any_value(n) AS n, COUNT(*) AS cnt
+        SELECT doc_id, byte, COUNT(*) AS cnt
         FROM b GROUP BY doc_id, byte
     )
-    SELECT doc_id,
-           CAST(any_value(n) AS BIGINT) AS n_bytes,
+    SELECT c.doc_id,
+           CAST(s.n AS BIGINT) AS n_bytes,
            CAST(COUNT(*) AS BIGINT) AS distinct_bytes,
-           1.0 - (CAST(SUM(cnt * cnt) AS DOUBLE)
-                  / (CAST(any_value(n) AS DOUBLE)
-                     * CAST(any_value(n) AS DOUBLE))) AS impurity
-    FROM c GROUP BY doc_id
+           1.0 - (CAST(SUM(c.cnt * c.cnt) AS DOUBLE)
+                  / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)))
+               AS impurity
+    FROM c JOIN s ON s.doc_id = c.doc_id
+    GROUP BY c.doc_id, s.n
     """,
 )
 def mm_payload_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
