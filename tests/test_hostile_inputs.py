@@ -502,6 +502,154 @@ def test_agrees_with_oracle_on_hostile_timestamps(
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
 
 
+#: Representatives of the round-8 ``skew`` sweep (one hot key owning a
+#: large slice of each N-side foreign key: a ~100x-max basket, a
+#: 15x-average user, one dominant source/customer). The full 222-query
+#: sweep was green on FIRST run — correctness is invariant under key
+#: distribution by construction — so these pin the families whose COST
+#: is the scale risk: pairwise graph structures on the near-clique
+#: basket, per-key windows over the giant user, per-source caps under
+#: one dominant source.
+SKEW_QUERIES = (
+    # hot basket → near-clique: degree-oriented triangles, k-core
+    # rounds, clustering coeff, bipartite BFS all stay bounded
+    "graph_triangles",
+    "graph_kcore",
+    "graph_clustering_coeff",
+    "graph_reachability",
+    # hot user → one giant per-key window partition
+    "events_sessionize",
+    "events_rolling_median",
+    "events_interarrival",
+    "events_user_diversity",
+    # hot source / hot customer → dominant-group aggregates
+    "docs_cap_per_source",
+    "docs_source_divergence",
+    "rel_pareto_customers",
+    "rel_rfm_segmentation",
+)
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "skew")
+    stage("skew", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def skew_duck(skew_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{skew_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SKEW_QUERIES)
+def test_agrees_with_oracle_on_hot_keys(spark, skew_dir, skew_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, skew_dir).toPandas()
+    duck_pdf = skew_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+#: Representatives of the round-8 ``giant`` sweep (~1 MB document
+#: cells, a 512 KiB single-token payload, bloated event JSON). This
+#: mode found an entire BUG CLASS — superlinear per-cell work that a
+#: bounded-size corpus can never expose: Catalyst evaluating an
+#: unbounded Levenshtein on block-equal SELF-matches, Java regex
+#: backtracking O(run²) on open-ended character-class quantifiers,
+#: DuckDB's character-indexed substr making per-byte explodes
+#: quadratic, CTE inlining re-rendering megabyte hex per exploded row,
+#: and the repetition filter silently dropping the single-token doc
+#: from its verdict (the total-verdict contract fix). Each pinned row
+#: is one of those fixes.
+GIANT_QUERIES = (
+    # fixed this round: hang class
+    "dedup_fuzzy_levenshtein",   # LEV_MAX_LEN cap, expression-gated
+    "text_pii_scrub",            # RFC-bounded quantifiers + @ gate
+    "text_decontaminate",        # window-frame shingle oracle
+    "mm_payload_impurity",       # linear regex byte split + MATERIALIZED
+    "mm_frame_dedup",            # linear frame chunks
+    "mm_frame_sample",
+    # fixed this round: total-verdict contract
+    "text_repetition_filter",
+    "docs_curation_pipeline",
+    # stressed-but-sound representatives (chunker fan-out, ranked
+    # retrieval, minhash over a 180k-shingle doc)
+    "text_chunks_udtf",
+    "docs_bm25_topk",
+    "dedup_minhash_lsh",
+)
+
+
+@pytest.fixture(scope="module")
+def giant_dir(spark, tmp_path_factory):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "giant")
+    stage("giant", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def giant_duck(giant_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{giant_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GIANT_QUERIES)
+def test_agrees_with_oracle_on_giant_cells(spark, giant_dir, giant_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, giant_dir).toPandas()
+    duck_pdf = giant_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
 def test_negative_zero_group_key_divergence_pinned(spark, tmp_path):
     """KNOWN engine boundary, pinned: Spark NORMALIZES a -0.0 GROUP BY
     key to +0.0 (SPARK-32110 — grouping on unsafe-row bytes requires
