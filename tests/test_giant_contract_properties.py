@@ -1,0 +1,274 @@
+"""Independent property tests for the giant-cell contract fixes.
+
+Round 8's ``giant`` hostile sweep changed three operator contracts
+(the Levenshtein length cap, the RFC-bounded PII patterns, the
+repetition filter's total verdict). Each is re-verified here against
+a plain-Python reference that shares no formulation with either the
+Spark builder or the DuckDB oracle — the same second-axis discipline
+as ``test_stat_properties.py`` — on randomized synthetic corpora that
+include the exact boundary shapes the sweep exposed (blocked pairs
+straddling the length cap, >64-char email local parts, megabyte
+no-match runs, single-token documents).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import pytest
+
+from spark_etl_pipeline_spark.operators.dedup import (
+    LEV_MAX_LEN,
+    LEV_THRESHOLD,
+)
+from spark_etl_pipeline_spark.operators.text import (
+    REP_DUP_TRIGRAM_MAX,
+    REP_MAX_WORD_MAX,
+    REP_TOP_BIGRAM_MAX,
+)
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _write_docs(spark, tmp_path_factory, rows, slug):
+    out = tmp_path_factory.mktemp(slug)
+    spark.createDataFrame(rows, DOC_SCHEMA).write.parquet(
+        str(out / "documents.parquet")
+    )
+    return str(out)
+
+
+def _doc(doc_id, text):
+    return (doc_id, text, "en", f"src{doc_id % 3}", len(text))
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein fuzzy dedup: block semantics + the LEV_MAX_LEN cap
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP edit distance (the reference; no banding, no blocks)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+@pytest.fixture(scope="module")
+def fuzzy_docs(spark, tmp_path_factory):
+    """Document families sharing a 3-token blocking prefix, with edits
+    planted on both sides of LEV_THRESHOLD, plus one over-cap doc that
+    shares a block (must be EXEMPT from comparison)."""
+    rng = random.Random(811)
+    vocab = ["data", "spark", "merge", "joins", "query", "scale"]
+    rows = []
+    doc_id = 0
+    for fam in range(12):
+        prefix = f"family {fam} prefix"
+        base_words = [rng.choice(vocab) for _ in range(12)]
+        base = prefix + " " + " ".join(base_words)
+        for variant in range(rng.randrange(2, 5)):
+            text = base
+            # 0–3 single-char edits: distance stays well under the
+            # threshold; every ~4th variant gets a 60-char tail that
+            # pushes it past LEV_THRESHOLD instead
+            if variant % 4 == 3:
+                text = base + " " + "z" * (LEV_THRESHOLD + 20)
+            else:
+                for _ in range(rng.randrange(0, 4)):
+                    pos = rng.randrange(len(prefix) + 1, len(text))
+                    text = text[:pos] + rng.choice("qxv") + text[pos + 1 :]
+            rows.append(_doc(doc_id, text))
+            doc_id += 1
+    # over-cap doc sharing block "family 0 prefix": the cap contract
+    # says it never enters a comparison, though its block collides
+    rows.append(_doc(doc_id, "family 0 prefix " + "x" * (LEV_MAX_LEN + 50)))
+    doc_id += 1
+    # short unblocked doc (fewer than 3 tokens): excluded entirely
+    rows.append(_doc(doc_id, "tiny one"))
+    return _write_docs(spark, tmp_path_factory, rows, "fuzzy_props"), rows
+
+
+def test_fuzzy_levenshtein_matches_python_blocked_dp(spark, fuzzy_docs):
+    from spark_etl_pipeline_spark.operators.dedup import (
+        dedup_fuzzy_levenshtein,
+    )
+
+    sf_dir, rows = fuzzy_docs
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in dedup_fuzzy_levenshtein(spark, sf_dir).collect()
+    }
+
+    blocks: dict[tuple[str, ...], list[tuple[int, str]]] = {}
+    for doc_id, text, *_ in rows:
+        toks = re.split(r"\s+", text.strip())
+        if len(toks) < 3:
+            continue
+        blocks.setdefault(tuple(toks[:3]), []).append((doc_id, text))
+    expected = {}
+    for members in blocks.values():
+        for i, (ida, ta) in enumerate(members):
+            for idb, tb in members[i + 1 :]:
+                a, b = (ida, ta), (idb, tb)
+                if a[0] > b[0]:
+                    a, b = b, a
+                if len(a[1]) > LEV_MAX_LEN or len(b[1]) > LEV_MAX_LEN:
+                    continue  # the cap contract
+                d = _lev(a[1], b[1])
+                if d <= LEV_THRESHOLD:
+                    expected[(a[0], b[0])] = d
+    assert got == expected
+    assert expected, "fixture must produce at least one true pair"
+    over_cap = max(r[0] for r in rows) - 1
+    assert not any(over_cap in pair for pair in got)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: planted entities + the bounded-quantifier window
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark, tmp_path_factory):
+    """Docs with planted emails/IPs/digit runs and parallel expected
+    scrubbed text built by DIRECT substitution at construction time
+    (no regex shared with the implementation)."""
+    rng = random.Random(823)
+    words = ["alpha", "beta", "gamma", "delta", "report", "metric"]
+    rows, expected = [], {}
+    doc_id = 0
+    for _ in range(40):
+        parts, scrubbed_parts, n_red = [], [], 0
+        for _ in range(rng.randrange(4, 14)):
+            roll = rng.random()
+            if roll < 0.15:
+                w = f"user{rng.randrange(99)}.x+tag@mail{rng.randrange(9)}.example.com"
+                s = "[EMAIL]"
+                n_red += 1
+            elif roll < 0.30:
+                w = f"10.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}"
+                s = "[IP]"
+                n_red += 1
+            elif roll < 0.45:
+                w = str(rng.randrange(10**6, 10**12))
+                s = "[NUM]"
+                n_red += 1
+            else:
+                w = rng.choice(words)
+                s = w
+            parts.append(w)
+            scrubbed_parts.append(s)
+        text = " ".join(parts)
+        rows.append(_doc(doc_id, text))
+        expected[doc_id] = (n_red, " ".join(scrubbed_parts))
+        doc_id += 1
+    # boundary pin: a 70-char local part — the {1,64} window matches
+    # the LAST 64 chars before the @, leaving a 6-char residue (the
+    # documented contract of the bounded pattern, identical in RE2)
+    long_local = "a" * 70 + "@ex.example.org"
+    rows.append(_doc(doc_id, long_local))
+    expected[doc_id] = (1, "a" * 6 + "[EMAIL]")
+    doc_id += 1
+    # a 100k-char class-run with no @: zero matches, text unchanged —
+    # and the test completing at all pins the linear-time contract
+    run = "x" * 100_000
+    rows.append(_doc(doc_id, run))
+    expected[doc_id] = (0, run)
+    return _write_docs(spark, tmp_path_factory, rows, "pii_props"), expected
+
+
+def test_pii_scrub_matches_planted_entities(spark, pii_docs):
+    from spark_etl_pipeline_spark.operators.traindata import text_pii_scrub
+
+    sf_dir, expected = pii_docs
+    got = {
+        r["doc_id"]: (r["n_redactions"], r["scrub_hash"])
+        for r in text_pii_scrub(spark, sf_dir).collect()
+    }
+    want = {
+        doc_id: (n, hashlib.md5(s.encode()).hexdigest())
+        for doc_id, (n, s) in expected.items()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Repetition filter: the total-verdict contract
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark, tmp_path_factory):
+    """Random docs spanning every gram-family boundary: single-token,
+    two-token, three-token, a pathological repeated-word doc, and
+    ordinary mixed docs."""
+    rng = random.Random(829)
+    vocab = ["red", "green", "blue", "cyan", "violet", "amber", "jade"]
+    rows = [
+        _doc(0, "solo"),
+        _doc(1, "pair pair"),
+        _doc(2, "one two three"),
+        _doc(3, " ".join(["loop"] * 30)),
+    ]
+    for doc_id in range(4, 60):
+        words = [rng.choice(vocab) for _ in range(rng.randrange(1, 40))]
+        rows.append(_doc(doc_id, " ".join(words)))
+    return _write_docs(spark, tmp_path_factory, rows, "rep_props"), rows
+
+
+def test_repetition_filter_total_verdict_matches_python(spark, rep_docs):
+    from spark_etl_pipeline_spark.operators.text import (
+        text_repetition_filter,
+    )
+
+    sf_dir, rows = rep_docs
+    got = {
+        r["doc_id"]: (
+            r["top_bigram_ratio"],
+            r["dup_trigram_ratio"],
+            r["max_word_ratio"],
+            r["keep"],
+        )
+        for r in text_repetition_filter(spark, sf_dir).collect()
+    }
+
+    expected = {}
+    for doc_id, text, *_ in rows:
+        toks = re.split(r"\s+", text.strip())
+        grams2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        grams3 = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        top_bg = (
+            max(grams2.count(g) for g in set(grams2)) / len(grams2)
+            if grams2
+            else 0.0
+        )
+        dup_tri = (
+            (len(grams3) - len(set(grams3))) / len(grams3) if grams3 else 0.0
+        )
+        max_w = max(toks.count(w) for w in set(toks)) / len(toks)
+        keep = (
+            top_bg <= REP_TOP_BIGRAM_MAX
+            and dup_tri <= REP_DUP_TRIGRAM_MAX
+            and max_w <= REP_MAX_WORD_MAX
+        )
+        expected[doc_id] = (top_bg, dup_tri, max_w, keep)
+    # the contract under test: EVERY tokenized doc has a verdict row
+    assert set(got) == set(expected)
+    assert got == expected
