@@ -151,11 +151,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps with integer division (``ts div 1000`` — a double division
     would lose precision above 2^53 nanos ≈ 1970+104 days).
     """
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
     nanos = _nanos_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if os.path.isdir(path):
+        # A directory of part files can span INGEST GENERATIONS with
+        # different footers (a column added mid-ingest, column order
+        # permuted by a different writer). Default inference trusts
+        # ONE file's footer — listing-order dependent: the evolved
+        # column silently vanishes (or analysis fails) whenever the
+        # sampled file predates it. mergeSchema unions footers by
+        # NAME and null-fills, the only drift-safe read; the
+        # driver's one-file-per-table layout skips this path.
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     for col in nanos:
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     return df

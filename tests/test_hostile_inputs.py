@@ -692,3 +692,97 @@ def test_negative_zero_group_key_divergence_pinned(spark, tmp_path):
     # is -0.0 (str() distinguishes what == cannot)
     assert str(szero[0]) == "0.0"
     assert str(dzero[0]) == "-0.0"
+
+
+#: Representatives of the round-8 ``drift`` sweep: every table's
+#: directory holds TWO parquet generations — 70% of rows in the full
+#: current schema, 30% in an older footer that LACKS one nullable
+#: column and stores the rest in REVERSED order. The bug class this
+#: mode exists to catch is single-footer schema inference: a reader
+#: that trusts one sampled file's footer for the whole directory
+#: either silently drops the evolved column for ALL rows or binds
+#: columns by position (listing-order-dependent either way). The
+#: engine's fix is ``mergeSchema`` on directory reads
+#: (``plans/registry.py: table``), mirrored on the oracle side by
+#: DuckDB ``union_by_name``; the full 222-query drift sweep is green
+#: (``REHEARSAL_r08_hostile.json: drift_sf0_01``). Each pinned query
+#: aggregates or filters directly over a drift-dropped column
+#: (l_tax / o_orderpriority / c_mktsegment / props / lang / label),
+#: so a regression to single-footer inference fails here, not in a
+#: future hostile sweep.
+DRIFT_QUERIES = (
+    "q1_pricing_summary",      # l_tax inside the charge fold
+    "q3_top_orders",           # c_mktsegment filter + o_orderpriority
+    "rel_cube",                # o_orderpriority as a cube dimension
+    "rel_variant_props",       # events.props VARIANT extraction
+    "etl_json_struct",         # events.props from_json
+    "text_lang_id",            # documents.lang verdict join
+    "docs_dedup_corpus",       # lang + embeddings.label
+    "sim_embedding_clusters",  # embeddings.label purity
+)
+
+
+@pytest.fixture(scope="module")
+def drift_dir(spark, tmp_path_factory):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "drift")
+    stage("drift", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def drift_duck(drift_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        # union_by_name mirrors the engine's mergeSchema: merge the two
+        # generations' footers by NAME and null-fill the dropped column
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{drift_dir}/{t}.parquet/*.parquet', union_by_name=true)"
+        )
+    yield con
+    con.close()
+
+
+def test_drift_directory_read_merges_generations(spark, drift_dir):
+    """The reader contract the drift mode exists to pin: a
+    two-generation directory comes back with the UNION schema, the
+    evolved column null-filled exactly on old-generation rows, and no
+    rows lost. A single-footer reader fails all three depending on
+    which generation it samples."""
+    df = registry.table(spark, drift_dir, "lineitem")
+    clean = registry.table(spark, SF_SMOKE, "lineitem")
+    assert set(df.columns) == set(clean.columns)  # l_tax survived
+    total = df.count()
+    assert total == clean.count()  # no generation dropped
+    missing = df.filter(df["l_tax"].isNull()).count()
+    # the old generation (~30%) lacks l_tax entirely; the clean corpus
+    # has none null, so every null here IS the null-filled generation
+    assert 0 < missing < total
+    assert clean.filter(clean["l_tax"].isNull()).count() == 0
+
+
+@pytest.mark.parametrize("name", DRIFT_QUERIES)
+def test_agrees_with_oracle_on_schema_drift(spark, drift_dir, drift_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, drift_dir).toPandas()
+    duck_pdf = drift_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

@@ -83,8 +83,16 @@ def main(argv: list[str] | None = None) -> int:
         import os
 
         if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+            # union_by_name: a staged directory can span schema
+            # generations (the drift mode); DuckDB must merge footers
+            # by name and null-fill, mirroring the engine's
+            # mergeSchema directory reads
+            duck.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{path}/*.parquet', union_by_name=true)"
+            )
+        else:
+            duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = entry.queries()
     oracles = entry.oracle_sql()

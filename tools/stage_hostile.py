@@ -67,6 +67,18 @@ exercise:
   is bounded per-row memory in shingling/tokenizing/chunking (explode
   fan-out, Arrow batch sizing, regex behavior on megabyte strings) and
   JSON extraction that must survive giant sibling fields.
+- ``drift``: schema evolution mid-ingest — every table's directory
+  holds TWO file generations: ~70% of rows in the full current
+  schema, ~30% in an older generation that LACKS one nullable
+  non-key column (lang / props / l_tax / o_orderpriority /
+  c_mktsegment / label) and stores its remaining columns in REVERSED
+  order. Any corpus ingested over months has this layout; readers
+  must merge by NAME across footers and null-fill the missing
+  column, never bind by position or trust one file's footer for the
+  directory. Readers that infer the directory schema from a single
+  file (listing-order dependent) either drop the new column for all
+  rows or fail analysis — the exact bug class this mode exists to
+  catch.
 - ``nulls``: same tables with a deterministic ~3% of values in
   non-key scalar columns nulled (xxhash64-seeded per cell), plus ~2%
   of array columns emptied. Both engines see the SAME damaged rows, so
@@ -338,6 +350,31 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
                         F.col("event_id").isin(ids), bloated
                     ).otherwise(F.col("props")),
                 )
+        elif mode == "drift":
+            drop_col = {
+                "documents": "lang",
+                "events": "props",
+                "lineitem": "l_tax",
+                "orders": "o_orderpriority",
+                "customer": "c_mktsegment",
+                "embeddings": "label",
+            }.get(t)
+            coin = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(MOD)
+            )
+            gen0 = df.filter(coin < int(MOD * 0.70))
+            gen1 = df.filter(coin >= int(MOD * 0.70))
+            old_cols = [
+                c for c in reversed(df.columns) if c != drop_col
+            ]
+            gen0.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            # older generation: appended with a DIFFERENT footer —
+            # fewer columns, reversed order — into the same directory
+            gen1.select(*old_cols).write.mode("append").parquet(
+                f"{out}/{t}.parquet"
+            )
+            print(f"[hostile] staged {t} ({mode})", file=sys.stderr)
+            continue
         elif mode == "shuffled":
             df = df.orderBy(
                 F.xxhash64(*[F.col(c) for c in df.columns])
@@ -428,7 +465,7 @@ def main() -> int:
         "--mode",
         choices=[
             "shuffled", "nulls", "floats", "empty", "unicode", "single",
-            "dup3", "times", "skew", "giant",
+            "dup3", "times", "skew", "giant", "drift",
         ],
         required=True
     )
