@@ -362,7 +362,12 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, nprobe=1)
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+def _ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    stride: int = CENTROID_STRIDE,
+) -> DataFrame:
     """Shared IVF plan: nearest-cell corpus assignment, top-``nprobe``
     cell probing on the (|Q|-bounded) query side, exact cosine inside
     the probed cells, top-3 per query.
@@ -373,11 +378,22 @@ def _ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     standard IVF quality/latency dial. A (query, neighbor) pair can
     never appear twice: each neighbor lives in exactly one cell and the
     probed cells are distinct.
+
+    ``stride`` is the SCALE knob for the stand-in centroid set (every
+    stride-th vec_id): cell count k = n/stride, so holding it constant
+    as the corpus grows makes the assignment fold n·k = n²/stride —
+    quadratic — and grows the broadcast centroid array ∝ n. A growing
+    deployment must scale stride so k tracks its probe budget (k kept
+    ∝ per-query candidate target n/k, i.e. stride ∝ candidates; see the
+    BASELINE.md IVF A/B). The registered queries pin the oracle's
+    ``CENTROID_STRIDE``; callers with a growing corpus pass their own.
+    The trained path (``sim_ivf_kmeans``) has no such term — its
+    k is fixed by ``KMEANS_K`` regardless of n.
     """
     emb = load_vectors(spark, sf_dir).withColumn(
         "nrm", F.expr(f"sqrt({dot_expr('v', 'v')})")
     )
-    cents = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+    cents = emb.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),

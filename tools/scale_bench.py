@@ -28,7 +28,15 @@ A ratio near DATA_SCALE (10) is linear scaling on fixed cores; well
 below 10 means the base run under-utilized local[32]; well above 10
 flags super-linear work. Results are recorded in BASELINE.md.
 
-    python tools/scale_bench.py [--scale 10] [--runs 2]
+    python tools/scale_bench.py [--scale 10] [--runs 2] [--full]
+
+``--full`` widens the evidence from the 6 most expensive queries to
+bench.py's ENTIRE headline set: every table is staged (orders /
+customer / supplier / events join the four above, with foreign keys
+offset by the SAME constant as their parent's primary key so joins
+stay replica-local; region/nation stay fixed like TPC-H dims), and two
+exact linearity witnesses (graph hop counts, q1 group aggregates) gate
+the timing run.
 """
 
 from __future__ import annotations
@@ -50,12 +58,43 @@ QUERIES = [
     "dedup_embedding_cosine",
 ]
 TABLES = ["lineitem", "part", "documents", "embeddings"]
+#: ``--full`` stages every table so the ENTIRE bench.py headline set can
+#: be timed at 10×. region/nation stay fixed (TPC-H dims don't scale
+#: with SF); every fact/dim that TPC-H scales gets replica-offset keys,
+#: with FOREIGN keys offset by the same constant as their parent's
+#: primary key so joins stay replica-local (disjoint same-shaped
+#: components — the sf1 cardinality structure).
+TABLES_FULL = [
+    "region", "nation", "customer", "supplier", "orders",
+] + TABLES + ["events"]
 N_FILES = 8  # per-table files at base scale (bench.py layout)
 
 ORDER_OFFSET = 100_000_000
 PART_OFFSET = 10_000_000
 DOC_OFFSET = 10_000_000
 VEC_OFFSET = 10_000_000
+CUST_OFFSET = 10_000_000
+SUPP_OFFSET = 10_000_000
+EVENT_OFFSET = 1_000_000_000
+USER_OFFSET = 10_000_000
+
+#: table -> [(key column, offset per replica)]; replica i adds i*offset.
+_KEY_OFFSETS = {
+    "lineitem": [
+        ("l_orderkey", ORDER_OFFSET),
+        ("l_partkey", PART_OFFSET),
+        ("l_suppkey", SUPP_OFFSET),
+    ],
+    "part": [("p_partkey", PART_OFFSET)],
+    "documents": [("doc_id", DOC_OFFSET)],
+    "embeddings": [("vec_id", VEC_OFFSET)],
+    "orders": [("o_orderkey", ORDER_OFFSET), ("o_custkey", CUST_OFFSET)],
+    "customer": [("c_custkey", CUST_OFFSET)],
+    "supplier": [("s_suppkey", SUPP_OFFSET)],
+    "events": [("event_id", EVENT_OFFSET), ("user_id", USER_OFFSET)],
+    "region": [],  # fixed dims, copied once
+    "nation": [],
+}
 
 
 def _replica_rotator(i: int):
@@ -93,7 +132,7 @@ def _replica_rotator(i: int):
     return rot
 
 
-def build_scaled(spark, sf_dir: str, root: str, scale: int) -> None:
+def build_scaled(spark, sf_dir: str, root: str, scale: int, tables=TABLES) -> None:
     from functools import reduce
 
     from pyspark.sql import DataFrame
@@ -101,38 +140,26 @@ def build_scaled(spark, sf_dir: str, root: str, scale: int) -> None:
 
     from spark_etl_pipeline_spark.plans.registry import table
 
-    for name in TABLES:
+    for name in tables:
         if os.path.exists(f"{root}/{name}.parquet/_SUCCESS"):
             continue
         base = table(spark, sf_dir, name)
+        if not _KEY_OFFSETS[name]:  # fixed dim: copy once, no replicas
+            base.write.mode("overwrite").parquet(f"{root}/{name}.parquet")
+            print(f"[scale] copied dim {name}", file=sys.stderr)
+            continue
         reps = []
         for i in range(scale):
             r = base
-            if name == "lineitem":
+            for key, offset in _KEY_OFFSETS[name]:
+                r = r.withColumn(key, F.col(key) + F.lit(i * offset))
+            if name == "documents" and i > 0:
                 r = r.withColumn(
-                    "l_orderkey", F.col("l_orderkey") + F.lit(i * ORDER_OFFSET)
-                ).withColumn(
-                    "l_partkey", F.col("l_partkey") + F.lit(i * PART_OFFSET)
+                    "text",
+                    F.expr(f"regexp_replace(text, '(\\\\S+)', '$1_x{i}')"),
                 )
-            elif name == "part":
-                r = r.withColumn(
-                    "p_partkey", F.col("p_partkey") + F.lit(i * PART_OFFSET)
-                )
-            elif name == "documents":
-                r = r.withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(i * DOC_OFFSET)
-                )
-                if i > 0:
-                    r = r.withColumn(
-                        "text",
-                        F.expr(f"regexp_replace(text, '(\\\\S+)', '$1_x{i}')"),
-                    )
-            elif name == "embeddings":
-                r = r.withColumn(
-                    "vec_id", F.col("vec_id") + F.lit(i * VEC_OFFSET)
-                )
-                if i > 0:
-                    r = r.withColumn("embedding", _replica_rotator(i)("embedding"))
+            elif name == "embeddings" and i > 0:
+                r = r.withColumn("embedding", _replica_rotator(i)("embedding"))
             reps.append(r)
         df = reduce(DataFrame.unionByName, reps)
         df.repartition(N_FILES * scale).write.mode("overwrite").parquet(
@@ -141,9 +168,11 @@ def build_scaled(spark, sf_dir: str, root: str, scale: int) -> None:
         print(f"[scale] built {name} x{scale}", file=sys.stderr)
 
 
-def time_queries(spark, qs, sf_dir: str, runs: int) -> dict[str, float]:
+def time_queries(
+    spark, qs, sf_dir: str, runs: int, names=QUERIES
+) -> dict[str, float]:
     out: dict[str, float] = {}
-    for name in QUERIES:
+    for name in names:
         builder = qs[name]
         builder(spark, sf_dir).schema  # plan analysis / listing warm-up
         best = None
@@ -228,12 +257,76 @@ def lsh_occupancy_ab(
     return out
 
 
+def ivf_stride_ab(
+    spark, base_root: str, scaled_root: str, scale: int, runs: int
+) -> dict:
+    """Fixed-stride vs scaled-stride IVF at ``scale``× corpus size.
+
+    ``sim_ivf_search``'s stand-in centroid set is every stride-th
+    vec_id, so cell count k = n/stride. At fixed stride, the
+    nearest-cell assignment fold costs n·k = n²/stride — QUADRATIC —
+    and the broadcast centroid array grows ∝ n. Scaling the stride with
+    the corpus holds k (and the fold's per-row cost) constant, trading
+    per-cell occupancy (probe cost per query, n/k) instead — the IVF
+    twin of the LSH b ≈ log2(n/β) occupancy rule. This measures the
+    pinned stride, a √scale stride (k ∝ √n — the classic IVF sizing),
+    and a scale-proportional stride (k fixed) on the same 10× corpus.
+    """
+    from spark_etl_pipeline_spark.operators.similarity import (
+        CENTROID_STRIDE,
+        _ivf_topk,
+    )
+
+    s0 = CENTROID_STRIDE
+    sqrt_s = int(round(s0 * scale**0.5))
+    grid = [
+        ("base", base_root, s0),
+        (f"x{scale}_fixed_stride", scaled_root, s0),       # k ∝ n
+        (f"x{scale}_sqrt_stride", scaled_root, sqrt_s),    # k ∝ √n
+        (f"x{scale}_scaled_stride", scaled_root, s0 * scale),  # k fixed
+    ]
+    out = {}
+    for tag, root, stride in grid:
+        _ivf_topk(spark, root, nprobe=1, stride=stride).schema
+        best = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            _ivf_topk(spark, root, nprobe=1, stride=stride).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[tag] = {"stride": stride, "wall": round(best, 3)}
+        print(f"[scale] ivf A/B {tag}: stride={stride} wall={best:.3f}s",
+              file=sys.stderr)
+    return out
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--scale", type=int, default=10)
     parser.add_argument("--runs", type=int, default=2)
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    parser.add_argument(
+        "--full",
+        action="store_true",
+        help=(
+            "stage ALL tables and time bench.py's entire headline set "
+            "(the default stages 4 tables and times the 6 most "
+            "expensive queries); skips the LSH occupancy A/B"
+        ),
+    )
+    parser.add_argument(
+        "--ivf-ab",
+        action="store_true",
+        help=(
+            "run ONLY the IVF stride A/B (fixed / sqrt / scaled stride "
+            "at scale× corpus) on the --full staging and exit"
+        ),
+    )
     args = parser.parse_args()
+    if args.ivf_ab:
+        args.full = True  # A/B reuses the full staging (embeddings)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from spark_etl_pipeline_spark.plans import registry
@@ -242,21 +335,40 @@ def main() -> int:
     spark = get_spark("scale_bench")
     qs = registry.queries()
 
+    tables = TABLES_FULL if args.full else TABLES
+    if args.full:
+        from bench import HEADLINE
+
+        names = [n for n in HEADLINE if n in qs]
+    else:
+        names = QUERIES
+
     # base-scale copy in the same multi-file layout bench.py uses
-    base_root = f"/tmp/spark_graft_scale/base_{N_FILES}f"
-    scaled_root = f"/tmp/spark_graft_scale/x{args.scale}"
+    suffix = "_full" if args.full else ""
+    base_root = f"/tmp/spark_graft_scale/base_{N_FILES}f{suffix}"
+    scaled_root = f"/tmp/spark_graft_scale/x{args.scale}{suffix}"
     from spark_etl_pipeline_spark.plans.registry import table
 
-    for name in TABLES:
+    for name in tables:
         if os.path.exists(f"{base_root}/{name}.parquet/_SUCCESS"):
             continue
         table(spark, args.sf_dir, name).repartition(N_FILES).write.mode(
             "overwrite"
         ).parquet(f"{base_root}/{name}.parquet")
     t0 = time.monotonic()
-    build_scaled(spark, args.sf_dir, scaled_root, args.scale)
+    build_scaled(spark, args.sf_dir, scaled_root, args.scale, tables=tables)
     print(f"[scale] dataset staged in {time.monotonic() - t0:.1f}s",
           file=sys.stderr)
+
+    if args.ivf_ab:
+        print(json.dumps({
+            "data_scale": args.scale,
+            "ivf_stride_ab": ivf_stride_ab(
+                spark, base_root, scaled_root, args.scale, args.runs
+            ),
+        }))
+        spark.stop()
+        return 0
 
     # Scale-CORRECTNESS check before timing: the replicas are disjoint
     # same-shaped components, so the exact graph query must return
@@ -279,20 +391,40 @@ def main() -> int:
     print(f"[scale] graph_reachability is exactly {args.scale}x base "
           f"at every hop ({sorted(base_hops)})", file=sys.stderr)
 
-    base = time_queries(spark, qs, base_root, args.runs)
-    scaled = time_queries(spark, qs, scaled_root, args.runs)
+    if args.full:
+        # Second linearity witness on the relational side: q1's
+        # per-group aggregates over `scale` disjoint replicas must be
+        # exactly scale× the base counts/sums (grouping keys replicate,
+        # integer-cents sums are exact — any deviation means the
+        # offsetting leaked or dropped rows).
+        b1 = {
+            (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+            for r in qs["q1_pricing_summary"](spark, base_root).collect()
+        }
+        s1 = {
+            (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+            for r in qs["q1_pricing_summary"](spark, scaled_root).collect()
+        }
+        assert s1 == {k: v * args.scale for k, v in b1.items()}, (b1, s1)
+        print(f"[scale] q1_pricing_summary counts are exactly "
+              f"{args.scale}x base in every group", file=sys.stderr)
+
+    base = time_queries(spark, qs, base_root, args.runs, names=names)
+    scaled = time_queries(spark, qs, scaled_root, args.runs, names=names)
     report = {
         "data_scale": args.scale,
+        "full": args.full,
         "base": base,
         "scaled": scaled,
         "wall_ratio": {
             q: round(scaled[q] / base[q], 2) if base[q] > 0 else None
-            for q in QUERIES
+            for q in names
         },
-        "lsh_occupancy_ab": lsh_occupancy_ab(
-            spark, base_root, scaled_root, args.scale, args.runs
-        ),
     }
+    if not args.full:
+        report["lsh_occupancy_ab"] = lsh_occupancy_ab(
+            spark, base_root, scaled_root, args.scale, args.runs
+        )
     print(json.dumps(report))
     spark.stop()
     return 0
