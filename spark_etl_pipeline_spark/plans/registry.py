@@ -143,13 +143,64 @@ def _nanos_columns(path: str) -> list[str]:
     ]
 
 
+def _unified_directory_schema(path: str, nanos: list[str]):
+    """Explicit Spark schema for a MULTI-GENERATION parquet directory,
+    or ``None`` when every footer already agrees.
+
+    A directory of part files can span INGEST GENERATIONS with
+    different footers: a column added mid-ingest, column order permuted
+    by a different writer, or a numeric column re-declared WIDER (float
+    → double, int → bigint — the widen class). Default inference trusts
+    ONE file's footer — listing-order dependent: the evolved column
+    silently vanishes or analysis fails whenever the sampled file
+    predates it. Spark's ``mergeSchema`` unions footers by name but
+    HARD-FAILS on any type promotion (CANNOT_MERGE_SCHEMAS on
+    float-vs-double), so heterogeneous directories instead get an
+    EXPLICIT unified schema: arrow's permissive footer union (by-name
+    null-fill + standard numeric promotion), handed to the reader,
+    which Spark 4's parquet type widening reads natively from both
+    generations. INT64-nano timestamp columns stay LongType here — the
+    ``nanosAsLong`` surface ``table()`` repairs afterward.
+
+    Cost model: one metadata-only footer read per file, driver-side —
+    O(files) and fine for this corpus's layouts; a 100-TB deployment
+    fronting millions of files declares its schema in a metastore and
+    skips inference entirely (the promotion semantics there are exactly
+    what this computes).
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    schemas = [pq.read_schema(f) for f in files]
+    if not schemas or all(s.equals(schemas[0]) for s in schemas[1:]):
+        return None  # homogeneous: one-footer inference is already safe
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    fields = []
+    for f in unified:
+        if f.name in nanos:
+            spark_type = T.LongType()  # read under nanosAsLong, repaired below
+        else:
+            spark_type = from_arrow_type(f.type)
+        fields.append(T.StructField(f.name, spark_type, nullable=True))
+    return T.StructType(fields)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table (TESTDATA.md layout) as a DataFrame.
 
     Nanosecond-timestamp parquet (the driver's ``events`` table) is read
     via the legacy nanos-as-long path and converted to microsecond
     timestamps with integer division (``ts div 1000`` — a double division
-    would lose precision above 2^53 nanos ≈ 1970+104 days).
+    would lose precision above 2^53 nanos ≈ 1970+104 days). Directories
+    whose part-file footers disagree (schema drift / numeric widening
+    mid-ingest) are read under an explicit unified schema — see
+    :func:`_unified_directory_schema`.
     """
     import os
 
@@ -159,15 +210,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     if os.path.isdir(path):
-        # A directory of part files can span INGEST GENERATIONS with
-        # different footers (a column added mid-ingest, column order
-        # permuted by a different writer). Default inference trusts
-        # ONE file's footer — listing-order dependent: the evolved
-        # column silently vanishes (or analysis fails) whenever the
-        # sampled file predates it. mergeSchema unions footers by
-        # NAME and null-fills, the only drift-safe read; the
-        # driver's one-file-per-table layout skips this path.
-        reader = reader.option("mergeSchema", "true")
+        unified = _unified_directory_schema(path, nanos)
+        if unified is not None:
+            reader = reader.schema(unified)
     df = reader.parquet(path)
     for col in nanos:
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))

@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType, TimestampNTZType
 
-from spark_etl_pipeline_spark.plans.registry import _nanos_columns
+from spark_etl_pipeline_spark.plans.registry import (
+    _nanos_columns,
+    _unified_directory_schema,
+)
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -97,11 +100,23 @@ def events_stream(
     stream accepts ``withWatermark(ts_col, ...)`` no matter which
     timestamp flavor the files carry (µs-LTZ, µs-NTZ, or INT64-NANOS).
     """
+    import os
+
     path = f"{sf_dir}/{table_name}.parquet"
     nanos = _nanos_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    # FileStreamSource takes its schema up front and never revisits it,
+    # so a directory spanning ingest generations MUST hand it the
+    # promoted footer union: single-footer inference here is
+    # listing-order dependent — sampling the narrow (float) generation
+    # makes every wide (double) file unreadable mid-stream
+    # (PARQUET_COLUMN_DATA_TYPE_MISMATCH), the widen-sweep finding.
+    schema = None
+    if os.path.isdir(path):
+        schema = _unified_directory_schema(path, nanos)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
     # FileStreamSource needs a directory base path; a glob keeps this
     # working when the dataset is a single file as well as a directory
     # of parts.

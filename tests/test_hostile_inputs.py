@@ -786,3 +786,102 @@ def test_agrees_with_oracle_on_schema_drift(spark, drift_dir, drift_duck, name):
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+#: Representatives of the round-8 ``widen`` sweep: the type-promotion
+#: flavor of ``drift`` — the ~30% older generation keeps every column
+#: but DECLARES one or two numerics narrower in its footer (float
+#: where the current schema says double, int/smallint where it says
+#: bigint/int) and reverses column order. Spark's ``mergeSchema``
+#: HARD-FAILS this directory (CANNOT_MERGE_SCHEMAS on float vs
+#: double), so ``registry.table()`` computes the promoted union
+#: schema itself (arrow permissive footer union → explicit read
+#: schema; ``plans/registry.py: _unified_directory_schema``) and the
+#: oracle mirrors it with DuckDB ``union_by_name``'s native
+#: promotion. The full 222-query widen sweep is green
+#: (``REHEARSAL_r08_hostile.json: widen_sf0_01``); each pinned query
+#: aggregates over a narrowed column, so a regression to mergeSchema
+#: (or a promotion disagreement between engines) fails here.
+WIDEN_QUERIES = (
+    "q1_pricing_summary",     # l_quantity (float gen) inside sum folds
+    "q6_forecast_revenue",    # l_quantity range filter + revenue fold
+    "rel_agg_stats",          # o_totalprice moments
+    "events_gap_fill",        # events.value (float gen) day grid
+    "events_value_winsorized",  # value quantile clamps
+    "q2_min_cost_supplier",   # s_acctbal + p_size
+    "docs_dedup_corpus",      # n_chars tie-break + embeddings.label
+    "rel_pareto_customers",   # c_acctbal / o_totalprice concentration
+    # the sweep's real find: FileStreamSource takes its schema up front,
+    # and single-footer inference over a two-generation directory is
+    # listing-order dependent — sampling the narrow (float) generation
+    # made every wide (double) file unreadable mid-stream. events_stream
+    # now hands it the promoted footer union.
+    "stream_tumbling_drain",
+)
+
+
+@pytest.fixture(scope="module")
+def widen_dir(spark, tmp_path_factory):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "widen")
+    stage("widen", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def widen_duck(widen_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{widen_dir}/{t}.parquet/*.parquet', union_by_name=true)"
+        )
+    yield con
+    con.close()
+
+
+def test_widen_directory_read_promotes_types(spark, widen_dir):
+    """The reader contract: a directory whose generations disagree on a
+    numeric column's declared width comes back under the PROMOTED type
+    with no rows lost and narrow-generation values preserved exactly
+    (float32 → double is exact). mergeSchema refuses this directory
+    outright — pinned so the fallback can never silently return."""
+    df = registry.table(spark, widen_dir, "lineitem")
+    clean = registry.table(spark, SF_SMOKE, "lineitem")
+    assert dict(df.dtypes)["l_quantity"] == "double"
+    # corpus declares int32; the old generation narrows to int16 —
+    # promotion restores the CURRENT declared width, not a wider one
+    assert dict(df.dtypes)["l_linenumber"] == "int"
+    assert df.count() == clean.count()
+    # the JVM surfaces this one as a raw py4j error, not a converted
+    # PySparkException — match the error class in the message instead
+    with pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+        spark.read.option("mergeSchema", "true").parquet(
+            f"{widen_dir}/lineitem.parquet"
+        ).schema
+
+
+@pytest.mark.parametrize("name", WIDEN_QUERIES)
+def test_agrees_with_oracle_on_widened_types(spark, widen_dir, widen_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, widen_dir).toPandas()
+    duck_pdf = widen_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"

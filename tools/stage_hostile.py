@@ -79,6 +79,17 @@ exercise:
   file (listing-order dependent) either drop the new column for all
   rows or fail analysis — the exact bug class this mode exists to
   catch.
+- ``widen``: the type-promotion flavor of ``drift`` — the ~30% older
+  generation keeps every column but DECLARES one or two numerics
+  NARROWER in the footer (float where the current schema says double,
+  int/smallint where it says bigint/int: the type a writer used
+  before the column's range outgrew it), plus reversed column order.
+  Spark's ``mergeSchema`` hard-fails this directory
+  (CANNOT_MERGE_SCHEMAS); the reader must compute the promoted union
+  schema itself (arrow permissive footer union → explicit read
+  schema, which Spark 4's parquet type widening serves natively) and
+  DuckDB's ``union_by_name`` must promote to the same types so the
+  gate stays in lockstep.
 - ``nulls``: same tables with a deterministic ~3% of values in
   non-key scalar columns nulled (xxhash64-seeded per cell), plus ~2%
   of array columns emptied. Both engines see the SAME damaged rows, so
@@ -350,6 +361,38 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
                         F.col("event_id").isin(ids), bloated
                     ).otherwise(F.col("props")),
                 )
+        elif mode == "widen":
+            narrow = {
+                "lineitem": {"l_quantity": "float", "l_linenumber": "smallint"},
+                "orders": {"o_totalprice": "float"},
+                "customer": {"c_acctbal": "float", "c_nationkey": "smallint"},
+                "supplier": {"s_acctbal": "float", "s_nationkey": "smallint"},
+                "part": {"p_retailprice": "float", "p_size": "int"},
+                "events": {"value": "float"},
+                "documents": {"n_chars": "int"},
+                "embeddings": {"label": "int"},
+            }.get(t, {})
+            coin = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(MOD)
+            )
+            gen0 = df.filter(coin < int(MOD * 0.70))
+            gen1 = df.filter(coin >= int(MOD * 0.70))
+            old_cols = [
+                F.col(c).cast(narrow[c]).alias(c) if c in narrow else F.col(c)
+                for c in reversed(df.columns)
+            ]
+            gen0.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            # older generation: same columns but one or two numerics
+            # DECLARED NARROWER in the footer (float vs double, int vs
+            # bigint — the type a writer used before the column's range
+            # outgrew it), plus reversed column order. mergeSchema
+            # refuses this directory outright (CANNOT_MERGE_SCHEMAS);
+            # the reader must compute the promoted union itself.
+            gen1.select(*old_cols).write.mode("append").parquet(
+                f"{out}/{t}.parquet"
+            )
+            print(f"[hostile] staged {t} ({mode})", file=sys.stderr)
+            continue
         elif mode == "drift":
             drop_col = {
                 "documents": "lang",
@@ -465,7 +508,7 @@ def main() -> int:
         "--mode",
         choices=[
             "shuffled", "nulls", "floats", "empty", "unicode", "single",
-            "dup3", "times", "skew", "giant", "drift",
+            "dup3", "times", "skew", "giant", "drift", "widen",
         ],
         required=True
     )
