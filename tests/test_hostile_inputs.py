@@ -885,3 +885,44 @@ def test_agrees_with_oracle_on_widened_types(spark, widen_dir, widen_duck, name)
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+def test_vector_element_type_drift_promotes_and_agrees(spark, tmp_path):
+    """A corpus that upgraded its embedding column float32 → float64
+    mid-ingest: the directory's footers disagree on the ARRAY ELEMENT
+    type (list<float> vs list<double>). The promoted union is
+    array<double> (arrow promotes element types the same way it does
+    scalars), Spark's parquet reader serves the float32 generation
+    under it natively (exact, float32 ⊂ double), and DuckDB's
+    union_by_name promotes identically — pinned end-to-end through the
+    top-k cosine query, whose scores must be bit-identical across
+    engines on the mixed directory."""
+    out = str(tmp_path / "embeddings.parquet")
+    base = registry.table(spark, SF_SMOKE, "embeddings")
+    from pyspark.sql import functions as F
+
+    gen0 = base.filter(F.col("vec_id") % 3 != 0)  # float32 (current)
+    gen1 = base.filter(F.col("vec_id") % 3 == 0).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    gen0.write.mode("overwrite").parquet(out)
+    gen1.write.mode("append").parquet(out)
+
+    df = registry.table(spark, str(tmp_path), "embeddings")
+    assert dict(df.dtypes)["embedding"] == "array<double>"
+    assert df.count() == base.count()
+
+    registry.load_all()
+    spec = registry.REGISTRY["sim_topk_cosine"]
+    spark_pdf = spec.builder(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{out}/*.parquet', union_by_name=true)"
+    )
+    duck_pdf = con.sql(spec.oracle).df()
+    con.close()
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    assert len(s) == len(d) and list(s.columns) == list(d.columns)
+    for col in s.columns:
+        assert [str(x) for x in s[col]] == [str(x) for x in d[col]], col
