@@ -320,3 +320,40 @@ def test_cusum_prefix_form_single_exchange_no_arrays(spark):
 
     n_exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert n_exchanges <= 2, f"{n_exchanges} exchanges; expected <=2"
+
+
+def test_unified_schema_read_keeps_pushdown_and_pruning(spark, tmp_path):
+    """An explicit promoted footer-union schema (the widen-directory
+    read, ``registry._unified_directory_schema``) must not cost the
+    scan its filter pushdown or column pruning: Spark treats a
+    user-provided schema exactly like an inferred one here, but a
+    refactor that, say, reads-then-casts would silently lose both and
+    still pass the oracle. q6 over a two-generation lineitem (old
+    generation declares l_quantity FLOAT) is the probe: the filter on
+    the WIDENED column itself must still reach PushedFilters, and
+    ReadSchema must stay at the query's four columns under the
+    promoted types."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lineitem.parquet")
+    base = registry.table(spark, SF_CORRECTNESS, "lineitem")
+    base.filter(F.col("l_orderkey") % 3 != 0).write.mode(
+        "overwrite"
+    ).parquet(out)
+    base.filter(F.col("l_orderkey") % 3 == 0).withColumn(
+        "l_quantity", F.col("l_quantity").cast("float")
+    ).select(*reversed(base.columns)).write.mode("append").parquet(out)
+
+    df = registry.REGISTRY["q6_forecast_revenue"].builder(
+        spark, str(tmp_path)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PushedFilters: [")
+    assert i != -1 and "l_quantity" in plan[i : plan.find("]", i)], (
+        "filter on the widened column was not pushed to the scan"
+    )
+    j = plan.find("ReadSchema: ")
+    read = plan[j : plan.find("\n", j)]
+    assert "l_quantity:double" in read, read  # promoted type at the scan
+    # pruned: the 11-column table scans only the query's 4 columns
+    assert read.count(":") <= 1 + 4, read
