@@ -148,6 +148,11 @@ def main() -> None:
             print(f"[bench] {name}: ERROR {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    # Stop the JVM BEFORE emitting the JSON line: under memory pressure
+    # the JVM's unified logging writes gc,alloc warnings to STDOUT
+    # (observed during the 30× scale run), and anything printed after
+    # the JSON would break the driver's parse-the-last-line contract.
+    spark.stop()
     print(
         json.dumps(
             {
@@ -159,7 +164,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -926,3 +926,40 @@ def test_vector_element_type_drift_promotes_and_agrees(spark, tmp_path):
     assert len(s) == len(d) and list(s.columns) == list(d.columns)
     for col in s.columns:
         assert [str(x) for x in s[col]] == [str(x) for x in d[col]], col
+
+
+def test_mixed_codec_directory_agrees(spark, tmp_path):
+    """A directory whose part files use DIFFERENT compression codecs
+    (snappy + zstd + uncompressed — the normal residue of changing a
+    writer default mid-ingest). Codec is per-file metadata, so both
+    engines must read the mix transparently; pinned end-to-end through
+    q1 because a codec problem would surface as row loss or a scan
+    error, not a value drift."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lineitem.parquet")
+    base = registry.table(spark, SF_SMOKE, "lineitem")
+    slices = [
+        (base.filter(F.col("l_orderkey") % 3 == 0), "snappy", "overwrite"),
+        (base.filter(F.col("l_orderkey") % 3 == 1), "zstd", "append"),
+        (base.filter(F.col("l_orderkey") % 3 == 2), "uncompressed", "append"),
+    ]
+    for df, codec, mode in slices:
+        df.write.mode(mode).option("compression", codec).parquet(out)
+
+    got = registry.table(spark, str(tmp_path), "lineitem")
+    assert got.count() == base.count()
+
+    registry.load_all()
+    spec = registry.REGISTRY["q1_pricing_summary"]
+    spark_pdf = spec.builder(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{out}/*.parquet'"
+    )
+    duck_pdf = con.sql(spec.oracle).df()
+    con.close()
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    assert len(s) == len(d) and list(s.columns) == list(d.columns)
+    for col in s.columns:
+        assert [str(x) for x in s[col]] == [str(x) for x in d[col]], col

@@ -361,13 +361,14 @@ def main() -> int:
           file=sys.stderr)
 
     if args.ivf_ab:
-        print(json.dumps({
+        report = {
             "data_scale": args.scale,
             "ivf_stride_ab": ivf_stride_ab(
                 spark, base_root, scaled_root, args.scale, args.runs
             ),
-        }))
-        spark.stop()
+        }
+        spark.stop()  # JVM gc,alloc warnings go to stdout; keep JSON last
+        print(json.dumps(report))
         return 0
 
     # Scale-CORRECTNESS check before timing: the replicas are disjoint
@@ -425,8 +426,8 @@ def main() -> int:
         report["lsh_occupancy_ab"] = lsh_occupancy_ab(
             spark, base_root, scaled_root, args.scale, args.runs
         )
+    spark.stop()  # JVM gc,alloc warnings go to stdout; keep JSON last
     print(json.dumps(report))
-    spark.stop()
     return 0
 
 
