@@ -963,3 +963,28 @@ def test_mixed_codec_directory_agrees(spark, tmp_path):
     assert len(s) == len(d) and list(s.columns) == list(d.columns)
     for col in s.columns:
         assert [str(x) for x in s[col]] == [str(x) for x in d[col]], col
+
+
+def test_corrupt_part_file_fails_loudly(spark, tmp_path):
+    """A truncated/garbage part file inside a table directory must fail
+    the read LOUDLY, in both the footer-sniff path and the scan — never
+    silently skip rows. (Spark's ignoreCorruptFiles and DuckDB's
+    ignore_errors exist, but silent skipping is data LOSS at ingest
+    scale; the engine's contract is to surface the file so it can be
+    quarantined upstream.) The footer sniff (`_unified_directory_schema`
+    reads every footer) is the first line that trips."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lineitem.parquet")
+    base = registry.table(spark, SF_SMOKE, "lineitem")
+    base.write.mode("overwrite").parquet(out)
+    with open(f"{out}/part-99999-corrupt.snappy.parquet", "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet file")
+
+    with pytest.raises(Exception):
+        registry.table(spark, str(tmp_path), "lineitem").count()
+
+    con = duckdb.connect()
+    with pytest.raises(Exception):
+        con.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchall()
+    con.close()
