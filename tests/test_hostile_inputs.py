@@ -988,3 +988,70 @@ def test_corrupt_part_file_fails_loudly(spark, tmp_path):
     with pytest.raises(Exception):
         con.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchall()
     con.close()
+
+
+def test_timestamp_unit_drift_reads_and_nanos_mix_is_a_loud_boundary(
+    spark, tmp_path
+):
+    """Timestamp UNIT drift across generations. Two regimes, both
+    pinned:
+
+    - micros + millis generations in one directory read correctly
+      under the promoted TimestampType (parquet unit is per-file
+      metadata; values keep their own precision), and DuckDB agrees
+      cell-for-cell.
+    - a TIMESTAMP(NANOS) generation mixed with a micros generation is
+      a HARD ENGINE BOUNDARY: under TimestampType the nanos file is
+      unreadable, and under nanosAsLong the micros file is — there is
+      no schema that serves both, so ``table()`` fails LOUDLY either
+      way (never silently drops a generation). A corpus that flips to
+      nanos mid-ingest must re-encode, exactly what ``table()``'s
+      nanos repair emits."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [datetime.datetime(2024, 1, 1, 12, 0, 0, 123456)]
+
+    out = str(tmp_path / "ok" / "events.parquet")
+    import os
+
+    os.makedirs(out)
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))}),
+        f"{out}/g0.parquet",
+    )
+    pq.write_table(
+        pa.table({"event_id": pa.array([2], pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("ms"))}),
+        f"{out}/g1.parquet",
+    )
+    df = registry.table(spark, str(tmp_path / "ok"), "events")
+    got = {r["event_id"]: str(r["ts"]) for r in df.collect()}
+    con = duckdb.connect()
+    want = {
+        r[0]: str(r[1])
+        for r in con.sql(
+            f"SELECT event_id, ts FROM read_parquet("
+            f"'{out}/*.parquet', union_by_name=true)"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want  # .123456 vs .123000 — each file keeps its unit
+
+    bad = str(tmp_path / "bad" / "events.parquet")
+    os.makedirs(bad)
+    pq.write_table(
+        pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))}),
+        f"{bad}/g0.parquet",
+    )
+    pq.write_table(
+        pa.table({"event_id": pa.array([2], pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("ns"))}),
+        f"{bad}/g1.parquet",
+    )
+    with pytest.raises(Exception):
+        registry.table(spark, str(tmp_path / "bad"), "events").collect()
