@@ -63,17 +63,35 @@ def read_parquet(
 
 
 def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan across schema generations (``mergeSchema``).
+    """Parquet scan across schema generations (promoted footer union).
 
-    Long-lived datasets gain columns over time; this read reconciles
-    all file footers into the union schema, with absent columns read as
-    null — the append-only schema-evolution contract (renames/retypes
-    still need a migration). Merging costs a footer read per file, so
+    Long-lived datasets gain columns over time, and numeric columns get
+    re-declared WIDER when their range outgrows the original type; this
+    read reconciles all file footers into the promoted union schema —
+    absent columns null-filled, narrower generations served under the
+    widened type (float32 → double exactly). ``mergeSchema`` handles
+    only the added-column case and HARD-FAILS the widened one
+    (CANNOT_MERGE_SCHEMAS), so this delegates to the same
+    footer-union logic the engine's own tables use
+    (``plans.registry._unified_directory_schema``; renames still need a
+    migration). Unifying costs a metadata-only footer read per file, so
     it is a separate reader, not the default: on a 100-TB dataset with
     millions of files, use it at the ingest boundary and write back a
     uniform schema.
     """
-    return spark.read.option("mergeSchema", True).parquet(path)
+    import os
+
+    from spark_etl_pipeline_spark.plans.registry import (
+        _nanos_columns,
+        _unified_directory_schema,
+    )
+
+    reader = spark.read
+    if os.path.isdir(path):
+        unified = _unified_directory_schema(path, _nanos_columns(path))
+        if unified is not None:
+            reader = reader.schema(unified)
+    return reader.parquet(path)
 
 
 def jdbc_read_options(

@@ -200,6 +200,29 @@ def test_parquet_schema_evolution_merged_read(spark, nation, tmp_path):
     assert merged.filter(F.col("region_tag").isNull()).count() == nation.count()
 
 
+def test_parquet_schema_evolution_widened_read(spark, nation, tmp_path):
+    # generation 1 declared the balance column FLOAT; generation 2
+    # widened it to DOUBLE and added a column. mergeSchema hard-fails
+    # this directory (CANNOT_MERGE_SCHEMAS); the evolving reader must
+    # promote the union instead.
+    path = str(tmp_path / "widening")
+    nation.select(
+        "n_nationkey", F.lit(1.5).cast("float").alias("bal")
+    ).write.parquet(path)
+    nation.select(
+        "n_nationkey",
+        F.lit(2.5).cast("double").alias("bal"),
+        F.lit("emea").alias("region_tag"),
+    ).write.mode("append").parquet(path)
+
+    merged = read_parquet_evolving(spark, path)
+    assert dict(merged.dtypes)["bal"] == "double"
+    assert set(merged.columns) == {"n_nationkey", "bal", "region_tag"}
+    assert merged.count() == nation.count() * 2
+    # float32 1.5 is exact under promotion
+    assert merged.filter(F.col("bal") == 1.5).count() == nation.count()
+
+
 def test_table_does_not_misrepair_int96_timestamps(spark, tmp_path):
     # Spark's default parquet timestamp encoding (INT96) surfaces as
     # timestamp[ns] in arrow schemas, but Spark reads it natively — the
