@@ -357,3 +357,20 @@ def test_unified_schema_read_keeps_pushdown_and_pruning(spark, tmp_path):
     assert "l_quantity:double" in read, read  # promoted type at the scan
     # pruned: the 11-column table scans only the query's 4 columns
     assert read.count(":") <= 1 + 4, read
+
+
+def test_small_files_coalesce_into_bounded_scan_partitions(spark, tmp_path):
+    """The small-files problem, pinned: a table fragmented into 200 tiny
+    part files must NOT become 200 scan tasks. Spark's file packing
+    (``files.maxPartitionBytes`` + ``files.openCostInBytes``) bins tiny
+    files into a bounded number of scan partitions; a session-conf
+    regression (e.g. zeroing openCostInBytes) would silently turn a
+    100-TB ingest of hourly micro-batches into per-file task storms.
+    Rows must survive the fragmentation exactly."""
+    base = registry.table(spark, SF_CORRECTNESS, "lineitem")
+    out = str(tmp_path / "lineitem.parquet")
+    base.repartition(200).write.mode("overwrite").parquet(out)
+    df = registry.table(spark, str(tmp_path), "lineitem")
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts < 64, f"200 tiny files became {n_parts} scan tasks"
+    assert df.count() == base.count()
