@@ -270,20 +270,25 @@ def load_all() -> None:
 #:   highest-priority never-driver-checked queries — the 47 round-6
 #:   fourth-wave additions plus the first 3 third-wave rows
 #:   (``graph_triangles``, ``docs_dedup_passages``, ``dq_audit``).
-#: - **r8 (this window, _EMIT_FIRST)**: the remaining 30 never-checked
-#:   third-wave rows (``stream_join_drain`` … ``rel_calendar_spine``)
-#:   + the first 20 of the r≤4-stale cohort, starting with
-#:   ``text_lang_id`` (r3 — oldest row in the repo) and the r4 TPC-H /
-#:   window / dedup-primitive rows through ``etl_upsert_merge`` (the
-#:   20th stale row; `tools/plan_rotation.py` derives the exact cut).
-#:   After this window the never-checked set is empty for the first
-#:   time and the oldest driver row in the repo becomes r4.
-#: - **r9**: the remaining 23 r4-stale rows (``text_decontaminate`` …
-#:   ``rel_sort_limit``) + the 27 oldest r5-green rows
-#:   (``rel_asof_join`` … ``q22_dormant_customers``).
-#: - **r10**: the remaining 22 r5-green rows + the 28 oldest r6-green
-#:   rows.
-#: - **r11**: the remaining 22 r6-green rows + the oldest r7-green rows
+#: - **r8 (done — 50/50 green, CORRECTNESS_r08)**: the remaining 30
+#:   never-checked third-wave rows (``stream_join_drain`` …
+#:   ``rel_calendar_spine``) + the first 20 of the r≤4-stale cohort
+#:   (``text_lang_id`` r3 through ``etl_upsert_merge`` r4). After this
+#:   window the never-checked set is empty for the first time and the
+#:   oldest driver row in the repo is r4.
+#: - **r9 (this window, _EMIT_FIRST)**: per exception (a), the four
+#:   round-8 multiprobe-refactored consumers lead
+#:   (``dedup_embedding_cosine``, ``sim_threshold_profile``,
+#:   ``docs_dedup_semantic``, ``sim_embedding_store``), then the
+#:   remaining 23 r4-stale rows (``text_decontaminate`` …
+#:   ``rel_sort_limit``) + the 23 oldest r5-green rows
+#:   (``rel_asof_join`` … ``events_funnel``). After this window the
+#:   oldest driver row in the repo becomes r5.
+#: - **r10**: the remaining 25 r5-green rows (``events_cohort_retention``
+#:   … ``stream_interval_join``) + the 25 oldest r6-green rows (the
+#:   exception-(a) jump displaced 3 r5 rows from the r9 window, so the
+#:   r5 remainder is 25, not the originally scheduled 22).
+#: - **r11**: the remaining r6-green rows + the oldest r7-green rows
 #:   — steady state from here: strict oldest-driver-row-first order,
 #:   re-sorted each round from the CORRECTNESS_r*.json history.
 #:
@@ -294,84 +299,18 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r8 window (derived by ``python tools/plan_rotation.py``):
-    # the 30 remaining never-driver-checked third-wave rows (streaming
-    # drains and graph plans lead), then the 20 oldest stale rows —
-    # ``text_lang_id`` (r3, oldest driver row in the repo) through
-    # ``etl_upsert_merge`` (r4). After this window every one of the 222
-    # registered queries has had at least one driver CORRECTNESS row. ---
-    "stream_join_drain",  # never
-    "events_attribution",  # never
-    "events_transition_matrix",  # never
-    "events_value_winsorized",  # never
-    "stream_enrich_drain",  # never
-    "sim_ivf_quantized_rerank",  # never
-    "graph_clustering_coeff",  # never
-    "rel_basket_rules",  # never
-    "stream_upsert_drain",  # never
-    "graph_kcore",  # never
-    "mm_phash_buckets",  # never
-    "events_top_paths",  # never
-    "events_seasonality",  # never
-    "rel_pareto_customers",  # never
-    "docs_cap_per_source",  # never
-    "events_cumulative_reach",  # never
-    "rel_gini_revenue",  # never
-    "sim_embedding_clusters",  # never
-    "events_audience_overlap",  # never
-    "events_gap_fill_lerp",  # never
-    "events_incremental_rollup",  # never
-    "dedup_cluster_sizes",  # never
-    "events_autocorr",  # never
-    "stream_dedup_drain",  # never
-    "graph_pagerank_suppliers",  # never
-    "events_anomaly_rolling",  # never
-    "rel_asof_nearest",  # never
-    "events_funnel_windowed",  # never
-    "rel_rfm_segmentation",  # never
-    "rel_calendar_spine",  # never
-    "text_lang_id",  # r3
-    "q1_pricing_summary",  # r4
-    "q6_forecast_revenue",  # r4
-    "q3_top_orders",  # r4
-    "q5_region_revenue",  # r4
-    "rel_agg_stats",  # r4
-    "rel_window_rank",  # r4
-    "rel_window_running",  # r4
-    "rel_window_frame",  # r4
-    "dedup_exact",  # r4
-    "dedup_simhash_pairs",  # r4
-    "dedup_simhash",  # r4
-    "dedup_fuzzy_levenshtein",  # r4
-    "dedup_components",  # r4
-    "mm_frame_sample",  # r4
-    "mm_decode_features",  # r4
-    "text_quality_score",  # r4
-    "text_chunking",  # r4
-    "etl_events_pipeline",  # r4
-    "etl_upsert_merge",  # r4
-)
-
-_EMIT_LAST = (
-    # --- r9 window head. Rotation-contract exception (a): these four
-    # builders (and their oracles, in lockstep) were refactored in
-    # round 8 for the embedding-LSH MULTIPROBE upgrade
-    # (``similarity.embedding_probe_signatures``), so they jump ahead
-    # of the age order for a fresh driver row next round. (The fifth
-    # consumer, ``sim_embedding_clusters``, sits in the r8 window and
-    # is re-verified this round.) ---
+    # --- r9 window (derived by ``python tools/plan_rotation.py``, then
+    # the exception-(a) jump applied): the four round-8
+    # multiprobe-refactored consumers lead — their builders (and
+    # oracles, in lockstep) changed after their newest driver row via
+    # ``similarity.embedding_probe_signatures``, so nothing outranks
+    # re-verifying them — then the remaining 23 r4-stale rows and the
+    # 23 oldest r5-green rows. After this window the oldest driver row
+    # in the repo becomes r5. ---
     "dedup_embedding_cosine",  # r5, refactored r8
     "sim_threshold_profile",  # r7, refactored r8
     "docs_dedup_semantic",  # r7, refactored r8
     "sim_embedding_store",  # r6, refactored r8
-    # (Round 8's NULL-robustness pass — ``tools/stage_hostile.py``
-    # findings — also touched ~26 builders/oracles in lockstep with
-    # absent-row/null-safe guards that are NO-OPS on the driver's
-    # pristine corpus: results and value-hashes are unchanged, verified
-    # by a full 222/222 clean-data rehearsal after the pass, so those
-    # queries keep their age-order rotation slots.) ---
-    # --- then the remaining 23 r4-stale rows (``text_decontaminate``
-    # … ``rel_sort_limit``) + the oldest r5-green rows. ---
     "text_decontaminate",  # r4
     "text_repetition_score",  # r4
     "events_zscore",  # r4
@@ -418,6 +357,12 @@ _EMIT_LAST = (
     "rel_higher_order_funcs",  # r5
     "rel_scd2_history",  # r5
     "events_funnel",  # r5
+)
+
+_EMIT_LAST = (
+    # --- r10 cohort head: the remaining 25 r5-green rows, then the
+    # r6/r7 rows strictly oldest-driver-row-first, and finally the
+    # 50-row r8 window (freshest rows in the repo). ---
     "events_cohort_retention",  # r5
     "q4_order_priority",  # r5
     "q7_nation_volume",  # r5
@@ -540,6 +485,58 @@ _EMIT_LAST = (
     "graph_triangles",  # r7
     "docs_dedup_passages",  # r7
     "dq_audit",  # r7
+    # --- the r8 window: freshest driver rows in the repo, so they sit
+    # at the very end of the emission order. ---
+    "stream_join_drain",  # r8
+    "events_attribution",  # r8
+    "events_transition_matrix",  # r8
+    "events_value_winsorized",  # r8
+    "stream_enrich_drain",  # r8
+    "sim_ivf_quantized_rerank",  # r8
+    "graph_clustering_coeff",  # r8
+    "rel_basket_rules",  # r8
+    "stream_upsert_drain",  # r8
+    "graph_kcore",  # r8
+    "mm_phash_buckets",  # r8
+    "events_top_paths",  # r8
+    "events_seasonality",  # r8
+    "rel_pareto_customers",  # r8
+    "docs_cap_per_source",  # r8
+    "events_cumulative_reach",  # r8
+    "rel_gini_revenue",  # r8
+    "sim_embedding_clusters",  # r8
+    "events_audience_overlap",  # r8
+    "events_gap_fill_lerp",  # r8
+    "events_incremental_rollup",  # r8
+    "dedup_cluster_sizes",  # r8
+    "events_autocorr",  # r8
+    "stream_dedup_drain",  # r8
+    "graph_pagerank_suppliers",  # r8
+    "events_anomaly_rolling",  # r8
+    "rel_asof_nearest",  # r8
+    "events_funnel_windowed",  # r8
+    "rel_rfm_segmentation",  # r8
+    "rel_calendar_spine",  # r8
+    "text_lang_id",  # r8
+    "q1_pricing_summary",  # r8
+    "q6_forecast_revenue",  # r8
+    "q3_top_orders",  # r8
+    "q5_region_revenue",  # r8
+    "rel_agg_stats",  # r8
+    "rel_window_rank",  # r8
+    "rel_window_running",  # r8
+    "rel_window_frame",  # r8
+    "dedup_exact",  # r8
+    "dedup_simhash_pairs",  # r8
+    "dedup_simhash",  # r8
+    "dedup_fuzzy_levenshtein",  # r8
+    "dedup_components",  # r8
+    "mm_frame_sample",  # r8
+    "mm_decode_features",  # r8
+    "text_quality_score",  # r8
+    "text_chunking",  # r8
+    "etl_events_pipeline",  # r8
+    "etl_upsert_merge",  # r8
 )
 
 
