@@ -18,8 +18,16 @@ content-level family a training-data pipeline needs):
 
 Cross-engine determinism: token/shingle hashes are md5-derived bigints
 (identical in Spark and DuckDB), minhash permutations are fixed affine
-maps mod 2^31-1 (max intermediate a*h < 2^52 — no bigint overflow), and
-Jaccard is one double division of identical integers.
+maps mod 2^31-1 (multipliers < 2^30 against a 32-bit hash, so the max
+intermediate a*h < 2^62 — inside int64 in both engines), and Jaccard is
+one double division of identical integers.
+
+CONSTANTS VERSION NOTE: the round-8 Knuth-mixed ``A``/``B`` multipliers
+replaced an earlier small-multiplier revision. Minhash *signatures are a
+function of these constants* — any signature store persisted under the
+old constants (``docs_dedup_store``-style materializations) is
+invalidated by the change and must be rebuilt; comparing signatures
+across constant revisions silently yields garbage similarities.
 """
 
 from __future__ import annotations
@@ -477,12 +485,21 @@ LEV_MAX_LEN = 10_000
         SELECT doc_id, text, md5(t[1] || ' ' || t[2] || ' ' || t[3]) AS block
         FROM toks WHERE len(t) >= 3
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(a.text, b.text) AS edit_dist
-    FROM keyed a
-    JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
-    WHERE len(a.text) <= {LEV_MAX_LEN} AND len(b.text) <= {LEV_MAX_LEN}
-      AND levenshtein(a.text, b.text) <= {LEV_THRESHOLD}
+    SELECT doc_a, doc_b, edit_dist FROM (
+        -- The length cap lives INSIDE a CASE, not as WHERE conjuncts
+        -- next to levenshtein(): DuckDB's adaptive filter reordering
+        -- does not guarantee the cheap length checks run first, so
+        -- plain conjuncts can still evaluate a megabyte self-pair —
+        -- the exact O(len²) hang the Spark side avoids with its
+        -- expression-level when() guard. CASE short-circuits
+        -- deterministically in both engines.
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CASE WHEN len(a.text) <= {LEV_MAX_LEN}
+                     AND len(b.text) <= {LEV_MAX_LEN}
+                    THEN levenshtein(a.text, b.text) END AS edit_dist
+        FROM keyed a
+        JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
+    ) WHERE edit_dist <= {LEV_THRESHOLD}
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:

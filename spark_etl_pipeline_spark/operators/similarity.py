@@ -765,7 +765,7 @@ def embedding_directed_probe_signatures(
     the probe side's fan-out is the cost driver (e.g. probing a very
     large stored signature table). ``probes=bits`` IS radius-1
     multiprobe (equivalence pinned by
-    ``test_directed_probes_full_equals_radius_one``).
+    ``test_directed_probes_equivalences``).
 
     All-JVM single projection per table: one dot array feeds both the
     signature bits (same ``dot > 0.0`` predicate as

@@ -64,11 +64,17 @@ _CENTS = "try_cast(round(value * 100) as bigint)"
 #: definition, and it is the upper bound that actually matters: one
 #: future instant inflates min/max-driven grids and (in streaming)
 #: advances watermarks past all real data. Both engines evaluate
-#: their own ``now`` — microseconds apart, which only matters for
-#: rows inside that sliver, i.e. never for the garbage this gates.
+#: their own ``now`` *in UTC*: Spark's ``localtimestamp()`` under the
+#: session tz (pinned UTC by the session factory), DuckDB's via
+#: ``now() AT TIME ZONE 'UTC'`` — NOT ``CAST(now() AS TIMESTAMP)``,
+#: which renders in the DuckDB session TimeZone (defaults to the HOST
+#: tz), putting the two bounds hours apart on a non-UTC host and
+#: making near-now rows wall-clock-dependent. With the UTC pin the
+#: bounds are microseconds apart, which only matters for rows inside
+#: that sliver, i.e. never for the garbage this gates.
 TS_EPOCH_LO = "1990-01-01"
 TS_EPOCH_DUCK = (
-    f"ts >= TIMESTAMP '{TS_EPOCH_LO}' AND ts <= CAST(now() AS TIMESTAMP)"
+    f"ts >= TIMESTAMP '{TS_EPOCH_LO}' AND ts <= (now() AT TIME ZONE 'UTC')"
 )
 
 
@@ -92,7 +98,7 @@ def epoch_gated(df: DataFrame, col: str = "ts") -> DataFrame:
         SELECT event_type, date_trunc('hour', ts) AS h,
                TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
-        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
     ),
     hourly AS (
         SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
@@ -350,7 +356,7 @@ def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, date_trunc('hour', ts) AS h,
                TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
-        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
     ),
     hourly AS (
         SELECT event_type, h, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
@@ -580,7 +586,7 @@ _ACF_LAGGED_DUCK = "\n        UNION ALL\n".join(
         SELECT event_type, date_trunc('hour', ts) AS h,
                TRY_CAST(round(value * 100) AS BIGINT) AS cents
         FROM events
-        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
     ),
     hourly AS (
         SELECT event_type, h, CAST(SUM(cents) AS BIGINT) AS cents

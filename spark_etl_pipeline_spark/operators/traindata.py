@@ -286,17 +286,36 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Applied in ORDER (email first so its digits can't half-match as an
 #: IP). Every pattern is RE2-safe (no backreferences/lookaround) so
 #: Java regex and DuckDB's RE2 match identically. Quantifiers are
-#: RFC-BOUNDED ({1,64} local part, {1,255} domain), not open-ended
-#: `+`: Java's backtracking engine costs O(run²) to fail an unbounded
+#: BOUNDED ({1,256} local part, {1,255} domain), not open-ended `+`:
+#: Java's backtracking engine costs O(run²) to fail an unbounded
 #: class-run against a megabyte single-token document (the ``giant``
 #: hostile corpus hung here; RE2 is automaton-linear and never
-#: noticed), while a bound caps the per-position retry count. Both
-#: engines consume the same pattern strings, so matches stay identical.
+#: noticed), while a bound caps the per-position retry count.
+#:
+#: The email local part is ANCHORED to the start of its character run
+#: by a captured preceding non-class char (``(^|[^class])`` — the
+#: RE2-safe substitute for a lookbehind). Without the anchor a
+#: bounded quantifier matches MID-TOKEN on an over-long local part,
+#: redacting only its trailing chars and leaving the head of the
+#: address in cleartext — the silent partial-scrub failure. With it,
+#: a local part within the bound is redacted WHOLLY, and one beyond
+#: 256 chars is not treated as an email at all (the documented
+#: contract boundary for adversarial inputs — no spec-conforming or
+#: plausibly mistyped address comes near 256; long digit runs inside
+#: still fall to ``[NUM]``). Redaction is all-or-nothing, never a
+#: partial leak.
+#:
+#: Each entry is ``(pattern, tag, java_rep, re2_rep)``: patterns are
+#: byte-identical across engines, but the replacement must re-emit
+#: the captured anchor char and group-reference syntax differs —
+#: ``$1`` for Java's ``Matcher.replaceAll`` (Spark), ``\\1`` for
+#: RE2's rewrite string (DuckDB).
 PII_PATTERNS = (
-    (r"[a-zA-Z0-9._%+-]{1,64}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,}",
-     "[EMAIL]"),
-    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]"),
-    (r"\d{6,}", "[NUM]"),
+    (r"(^|[^a-zA-Z0-9._%+-])"
+     r"([a-zA-Z0-9._%+-]{1,256}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,})",
+     "[EMAIL]", "$1[EMAIL]", r"\1[EMAIL]"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]", "[IP]", "[IP]"),
+    (r"\d{6,}", "[NUM]", "[NUM]", "[NUM]"),
 )
 
 
@@ -310,14 +329,14 @@ def scrub_pii(col: Column) -> tuple[Column, Column]:
     """
     has_at = col.contains("@")
     n = F.lit(0)
-    for pat, _tag in PII_PATTERNS:
+    for pat, tag, _java_rep, _re2_rep in PII_PATTERNS:
         cnt = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
-        if "[EMAIL]" == _tag:
+        if "[EMAIL]" == tag:
             cnt = F.when(has_at, cnt).otherwise(F.lit(0))
         n = n + cnt
     scrubbed = col
-    for pat, tag in PII_PATTERNS:
-        rep = F.regexp_replace(scrubbed, pat, tag)
+    for pat, tag, java_rep, _re2_rep in PII_PATTERNS:
+        rep = F.regexp_replace(scrubbed, pat, java_rep)
         if tag == "[EMAIL]":
             rep = F.when(has_at, rep).otherwise(scrubbed)
         scrubbed = rep
@@ -326,13 +345,14 @@ def scrub_pii(col: Column) -> tuple[Column, Column]:
 
 def _duck_scrub(col: str) -> str:
     out = col
-    for pat, tag in PII_PATTERNS:
-        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    for pat, _tag, _java_rep, re2_rep in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{re2_rep}', 'g')"
     return out
 
 
 _DUCK_NRED = " + ".join(
-    f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS
+    f"len(regexp_extract_all(text, '{pat}'))"
+    for pat, _tag, _java_rep, _re2_rep in PII_PATTERNS
 )
 
 

@@ -257,7 +257,7 @@ def clickstream_pipeline(
                END AS code
         FROM events
         WHERE ts >= TIMESTAMP '1990-01-01'
-          AND ts <= CAST(now() AS TIMESTAMP)
+          AND ts <= (now() AT TIME ZONE 'UTC')
     ),
     joined AS (
         SELECT n.user_key, n.transaction_date, n.transaction_time,

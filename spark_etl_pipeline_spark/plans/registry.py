@@ -90,7 +90,14 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, _render_doc(fn))
+        spec = QuerySpec(name, fn, oracle, _render_doc(fn))
+        REGISTRY[name] = spec
+        if spec.doc:
+            # Write the rendered doc back so ``help()`` / ``__doc__``
+            # show interpolated constants, not literal ``{CONST}``
+            # braces — the registry ``doc`` field and the live
+            # docstring must never drift apart.
+            fn.__doc__ = spec.doc
         return fn
 
     return deco

@@ -2637,7 +2637,7 @@ def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (
         SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
         WHERE o_orderdate >= TIMESTAMP '1990-01-01'
-          AND o_orderdate <= CAST(now() AS TIMESTAMP)
+          AND o_orderdate <= (now() AT TIME ZONE 'UTC')
     ),
     days AS (
         SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM b
@@ -2947,7 +2947,7 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1990-01-01'
-          AND o_orderdate <= CAST(now() AS TIMESTAMP)
+          AND o_orderdate <= (now() AT TIME ZONE 'UTC')
         UNION ALL
         SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mx FROM spine WHERE m < mx
     ),
@@ -2957,7 +2957,7 @@ def rel_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1990-01-01'
-          AND o_orderdate <= CAST(now() AS TIMESTAMP)
+          AND o_orderdate <= (now() AT TIME ZONE 'UTC')
         GROUP BY 1
     )
     SELECT strftime(s.m, '%Y-%m') AS month,

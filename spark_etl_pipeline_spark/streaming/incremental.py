@@ -165,7 +165,7 @@ def _register_drain() -> None:
                    row_number() OVER (PARTITION BY user_id
                        ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
-            WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+            WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
         )
         SELECT user_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,

@@ -80,7 +80,7 @@ def stream_events_tumbling(
            COUNT(*) AS n,
            CAST(SUM(TRY_CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
     FROM events
-    WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+    WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
     GROUP BY 1, 2
     """,
 )
@@ -412,7 +412,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(SUM(CASE WHEN isnan(value) OR isinf(value)
                           THEN NULL ELSE value END), 2) AS total_value
     FROM events
-    WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+    WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
     GROUP BY user_id
     """,
 )
@@ -475,7 +475,7 @@ def stream_profiles_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e
         CROSS JOIN (SELECT unnest(['hour', 'day']) AS grain) x
         WHERE e.ts >= TIMESTAMP '1990-01-01'
-          AND e.ts <= CAST(now() AS TIMESTAMP)
+          AND e.ts <= (now() AT TIME ZONE 'UTC')
     )
     SELECT grain,
            strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
@@ -568,7 +568,7 @@ def _drain_to_table(
                event_type
         FROM events
         CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
-        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
           AND ts >= time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
           AND ts <  time_bucket(INTERVAL 30 MINUTE, ts) - k.k * INTERVAL 30 MINUTE
                     + INTERVAL 1 HOUR
@@ -603,7 +603,7 @@ def stream_sliding_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
-        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+        WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
     ),
     marked AS (
         SELECT user_id, ts,
@@ -650,9 +650,9 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_drain",
     oracle="""
     WITH replayed AS (
-        SELECT * FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+        SELECT * FROM events WHERE ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
         UNION ALL
-        SELECT * FROM events WHERE event_id % 10 = 0 AND ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)
+        SELECT * FROM events WHERE event_id % 10 = 0 AND ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')
     ),
     deduped AS (SELECT DISTINCT * FROM replayed)
     SELECT event_type,
@@ -720,9 +720,9 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_pairs,
            COUNT(DISTINCT p.event_id) AS n_purchases_with_click
     FROM (SELECT * FROM events
-          WHERE event_type = 'purchase' AND ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)) p
+          WHERE event_type = 'purchase' AND ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')) p
     JOIN (SELECT * FROM events
-          WHERE event_type = 'click' AND ts >= TIMESTAMP '1990-01-01' AND ts <= CAST(now() AS TIMESTAMP)) c
+          WHERE event_type = 'click' AND ts >= TIMESTAMP '1990-01-01' AND ts <= (now() AT TIME ZONE 'UTC')) c
       ON c.user_id = p.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR
      AND c.ts <  p.ts
@@ -762,7 +762,7 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS sum_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
-    WHERE e.ts >= TIMESTAMP '1990-01-01' AND e.ts <= CAST(now() AS TIMESTAMP)
+    WHERE e.ts >= TIMESTAMP '1990-01-01' AND e.ts <= (now() AT TIME ZONE 'UTC')
     GROUP BY 1, 2
     """,
 )

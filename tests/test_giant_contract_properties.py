@@ -179,12 +179,21 @@ def pii_docs(spark, tmp_path_factory):
         rows.append(_doc(doc_id, text))
         expected[doc_id] = (n_red, " ".join(scrubbed_parts))
         doc_id += 1
-    # boundary pin: a 70-char local part — the {1,64} window matches
-    # the LAST 64 chars before the @, leaving a 6-char residue (the
-    # documented contract of the bounded pattern, identical in RE2)
+    # boundary pins for the ANCHORED bounded pattern: redaction is
+    # all-or-nothing, never a partial leak. A 70-char local part is
+    # inside the {1,256} bound → redacted WHOLLY (the old unanchored
+    # {1,64} pattern matched mid-token and left a 6-char cleartext
+    # residue — the exact leak the anchor exists to prevent)...
     long_local = "a" * 70 + "@ex.example.org"
     rows.append(_doc(doc_id, long_local))
-    expected[doc_id] = (1, "a" * 6 + "[EMAIL]")
+    expected[doc_id] = (1, "[EMAIL]")
+    doc_id += 1
+    # ...and a 300-char local part is beyond the bound → NOT treated
+    # as an email at all (documented contract boundary: no partial
+    # redaction, no mid-token match), in both engines.
+    over_bound = "b" * 300 + "@ex.example.org"
+    rows.append(_doc(doc_id, over_bound))
+    expected[doc_id] = (0, over_bound)
     doc_id += 1
     # a 100k-char class-run with no @: zero matches, text unchanged —
     # and the test completing at all pins the linear-time contract
