@@ -170,13 +170,27 @@ def _unified_directory_schema(path: str, nanos: list[str]):
     ``nanosAsLong`` surface ``table()`` repairs afterward.
 
     Cost model: one metadata-only footer read per file, driver-side —
-    O(files) and fine for this corpus's layouts; a 100-TB deployment
-    fronting millions of files declares its schema in a metastore and
-    skips inference entirely (the promotion semantics there are exactly
-    what this computes).
+    O(files), with an ADAPTIVE fan-out (measured at 10k/50k staged part
+    files, `tools/footer_sniff_bench.py`, numbers in BASELINE.md): a
+    warm local footer costs ~0.07–0.2 ms of mostly GIL-held parse, so a
+    thread pool only adds contention there (measured 2.5–7× SLOWER
+    pooled than sequential — sequential 10k files ≈ 0.8 s, well inside
+    a driver's startup budget even at 10⁵ files). On an object store
+    each footer is a ~10–50 ms latency-bound round trip where 32
+    in-flight reads cut 10⁴ files from minutes to seconds — so the
+    sniff probes the first few footers and fans out only when the
+    per-footer latency says IO-bound. Correctness needs EVERY footer —
+    sampling is exactly the listing-order bug this exists to fix — so
+    the scale escape hatch is not a cheaper sniff but skipping
+    inference entirely: a 100-TB deployment fronting millions of files
+    declares its schema in a metastore and passes it via
+    ``sources.read_parquet(schema=...)`` (the promotion semantics there
+    are exactly what this computes).
     """
     import glob
     import os
+    import time
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -184,7 +198,19 @@ def _unified_directory_schema(path: str, nanos: list[str]):
     from pyspark.sql.pandas.types import from_arrow_type
 
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-    schemas = [pq.read_schema(f) for f in files]
+    if len(files) <= 1:
+        return None  # zero or one footer: nothing to disagree
+    probe, rest = files[:8], files[8:]
+    t0 = time.perf_counter()
+    schemas = [pq.read_schema(f) for f in probe]
+    latency = (time.perf_counter() - t0) / len(probe)
+    if rest:
+        if latency >= 0.002:  # IO-latency-bound: threads hide the round trips
+            workers = min(32, (os.cpu_count() or 4) * 4)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                schemas += list(pool.map(pq.read_schema, rest))
+        else:  # warm local metadata: GIL contention makes a pool a net loss
+            schemas += [pq.read_schema(f) for f in rest]
     if not schemas or all(s.equals(schemas[0]) for s in schemas[1:]):
         return None  # homogeneous: one-footer inference is already safe
     unified = pa.unify_schemas(schemas, promote_options="permissive")

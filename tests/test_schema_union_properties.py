@@ -163,3 +163,53 @@ def test_homogeneous_directory_skips_the_machinery(spark, tmp_path):
     pq.write_table(t, f"{root}/a.parquet")
     pq.write_table(t, f"{root}/b.parquet")
     assert registry._unified_directory_schema(root, []) is None
+
+
+def test_adaptive_sniff_pooled_arm_equals_sequential(tmp_path, monkeypatch):
+    """The latency probe's two arms must compute the SAME union.
+
+    On warm local metadata the sniff stays sequential (a thread pool is
+    GIL-contention, measured 2.5–8× slower — BASELINE.md round-9
+    table); on a latency-bound store it fans out 32-wide. Force the
+    pooled arm by injecting a GIL-released delay into ``read_schema``
+    and pin that both arms agree field-for-field.
+    """
+    import os
+    import time
+
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "t.parquet")
+    os.makedirs(root)
+    gen_a = pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0], pa.float32())})
+    gen_b = pa.table(
+        {
+            "k": pa.array([2], pa.int64()),
+            "v": pa.array([2.0], pa.float64()),
+            "added": pa.array(["x"], pa.string()),
+        }
+    )
+    # > 8 files so the probe window doesn't swallow the whole listing
+    for i in range(24):
+        _pq.write_table(gen_a if i % 2 else gen_b, f"{root}/p{i:02d}.parquet")
+
+    sequential = registry._unified_directory_schema(root, [])
+    assert sequential is not None
+
+    real_read = _pq.read_schema
+    calls = {"n": 0}
+
+    def slow_read(f, **kw):
+        calls["n"] += 1
+        time.sleep(0.004)  # above the 2 ms/footer probe threshold
+        return real_read(f, **kw)
+
+    monkeypatch.setattr("pyarrow.parquet.read_schema", slow_read)
+    pooled = registry._unified_directory_schema(root, [])
+    monkeypatch.undo()
+
+    assert calls["n"] == 24  # every footer read — sampling is the bug
+    assert pooled is not None
+    assert [(f.name, f.dataType) for f in pooled.fields] == [
+        (f.name, f.dataType) for f in sequential.fields
+    ]
