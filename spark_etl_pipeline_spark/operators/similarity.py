@@ -47,12 +47,17 @@ COS_DUP_THRESHOLD = 0.4
 #: Σ_{k<=r} C(b,k)·p^(b-k)·(1-p)^k with p = 1 - θ/π — at cos 0.8 the
 #: two-table recall goes 0.44 → 0.87, and at this corpus's 0.4–0.6
 #: dup band 0.15 → ~0.49 (measured 9/59 → 29/59 true pairs at
-#: sf0.01), for 7× probe rows on ONE join side and ZERO extra stored
-#: tables — the storage-free alternative to stacking more hash tables
-#: (multi-probe LSH, Lv et al., VLDB'07). Every signature consumer
-#: (cosine dedup, the embedding store probe, quantized rerank,
-#: cluster profiling, the threshold histogram) probes at this radius,
-#: each oracle carrying the same hamming<=1 candidate predicate.
+#: sf0.01), for extra probe rows on ONE join side and ZERO extra
+#: stored tables — the storage-free alternative to stacking more hash
+#: tables (multi-probe LSH, Lv et al., VLDB'07). Every signature
+#: consumer (cosine dedup, the embedding store probe, quantized
+#: rerank, cluster profiling, the threshold histogram) probes at this
+#: radius, each oracle carrying the same hamming<=1 candidate
+#: predicate. SELF-JOIN consumers reach the radius with the SET-BIT
+#: probe (1 + popcount rows ≈ 4 instead of 1 + b = 7 at b=6, same
+#: candidate set — see :func:`embedding_setbit_probe_signatures` and
+#: the round-9 A/B in BASELINE.md); the asymmetric store probe keeps
+#: the full mask expansion (or its directed-probes budget knob).
 PROBE_RADIUS = 1
 
 
@@ -746,6 +751,95 @@ def embedding_probe_signatures(
     )
 
 
+def embedding_setbit_probe_signatures(
+    emb: DataFrame,
+    bits: int = BITS_PER_TABLE,
+    tables: int = N_TABLES,
+) -> DataFrame:
+    """(vec_id, t, sig, self_probe): the SELF-JOIN radius-1 probe set —
+    each vector probes its own bucket plus only the neighbors reached
+    by flipping a SET bit down (1 + popcount(sig) rows instead of the
+    full 1 + bits).
+
+    Why this loses nothing *for a self-join*: a hamming-1 pair differs
+    in exactly one bit j, which is SET in exactly one of the two
+    vectors — and that vector's j-flip lands precisely on the other's
+    bucket. So flipping only set bits still reaches every hamming<=1
+    pair, from exactly one side (the pair inequality moves into the
+    join condition: ``self_probe`` rows keep ``a.vec_id < b.vec_id``;
+    flip rows are inherently one-directional). The candidate SET is
+    identical to full radius-1 — pinned by
+    ``test_setbit_probes_equal_full_radius_one`` and the unchanged
+    hamming<=1 oracle contract — at an expected (1 + bits/2) /
+    (1 + bits) ≈ 4/7 of the probe rows at the registered b=6
+    (round-9 A/B in BASELINE.md). It does NOT apply to the
+    asymmetric store probe (``probe_embedding_store``): there only the
+    delta side probes, so when the differing bit is set on the STORED
+    side nothing would reach it — that path keeps full radius-1 (or
+    the directed knob).
+    """
+    # Explode the STATIC mask array (a codegen generator over a
+    # literal), then drop unset-bit rows with a vectorized filter —
+    # building a per-row mask array (filter(transform(sequence(...))))
+    # measured ~10% slower end-to-end than this explode-then-filter.
+    masks = F.array(*[F.lit(m) for m in _probe_masks(bits, 1)])
+    return (
+        embedding_signatures(emb, bits, tables)
+        .select("vec_id", "t", "sig", F.explode(masks).alias("m"))
+        .filter(F.expr("m = 0 OR (sig & m) != 0"))
+        .select(
+            "vec_id",
+            "t",
+            F.expr("sig ^ m").alias("sig"),
+            (F.col("m") == 0).alias("self_probe"),
+        )
+    )
+
+
+def embedding_candidate_pairs(
+    emb: DataFrame,
+    bits: int = BITS_PER_TABLE,
+    tables: int = N_TABLES,
+    radius: int = PROBE_RADIUS,
+) -> DataFrame:
+    """(vec_a, vec_b) distinct hamming<=``radius`` bucket-collision
+    candidates over a SELF-JOINED corpus — the shared candidate stage
+    of every pair-dedup consumer (``dedup_embedding_cosine``,
+    ``sim_threshold_profile``, and their downstream CC pipelines).
+
+    At the registered ``radius=1`` this uses the set-bit probe
+    (:func:`embedding_setbit_probe_signatures` — same candidate set,
+    ~4/7 the probe rows); other radii keep the generic mask expansion.
+    """
+    base = embedding_signatures(emb, bits, tables).alias("b")
+    if radius == 1:
+        a = embedding_setbit_probe_signatures(emb, bits, tables).alias("a")
+        cond = (
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (~F.col("a.self_probe") | (F.col("a.vec_id") < F.col("b.vec_id")))
+        )
+        pairs = a.join(base, cond).select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+        )
+        # A flip row can't match its own base row (sig^bit != sig), so
+        # no (x, x) self-pair is ever emitted; least/greatest
+        # canonicalizes the flip rows that land with a.vec_id > b.
+        return pairs.distinct()
+    a = embedding_probe_signatures(emb, bits, tables, radius).alias("a")
+    return (
+        a.join(
+            base,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
 def embedding_directed_probe_signatures(
     emb: DataFrame,
     probes: int,
@@ -860,11 +954,14 @@ def dedup_embedding_cosine(
     reference), then exact cosine confirms pairs above the threshold.
     The scale contract matches MinHash-LSH: Σ probe·bucket candidate
     work via a bucket equi-join, never n² — and multiprobe buys its
-    recall with 7 probe rows per (vector, table) instead of 7× stored
-    tables, which is what makes it viable against a materialized
-    signature store at 100 TB. This is the dedup-family twin of the
-    text-shingle pipeline for modalities that live in embedding space
-    (image/audio near-dups in an LLM data pipeline).
+    recall with probe rows instead of extra stored tables (the
+    SET-BIT probe: 1 + popcount(sig) ≈ 4 rows per (vector, table) for
+    the identical hamming<=1 candidate set full radius-1's 7 rows
+    reach — :func:`embedding_setbit_probe_signatures`), which is what
+    makes it viable against a materialized signature store at 100 TB.
+    This is the dedup-family twin of the text-shingle pipeline for
+    modalities that live in embedding space (image/audio near-dups in
+    an LLM data pipeline).
 
     ``broadcast`` picks the candidate-pair join strategy (same policy
     as ``dedup._pair_side``): the default lets AQE broadcast the pair
@@ -894,18 +991,7 @@ def embedding_near_dup_pairs(
     """
     from spark_etl_pipeline_spark.operators.dedup import _pair_side
 
-    a = embedding_probe_signatures(emb, bits, tables, radius).alias("a")
-    b = embedding_signatures(emb, bits, tables).alias("b")  # one row/bucket
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = embedding_candidate_pairs(emb, bits, tables, radius)
     # The candidate table (LSH output) joins against the corpus twice to
     # fetch both vectors — the corpus side is never shuffled for
     # verification when the pair side broadcasts (same pattern as
@@ -1661,18 +1747,7 @@ def sim_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is bit-identical on both engines.
     """
     emb = load_vectors(spark, sf_dir)
-    a = embedding_probe_signatures(emb).alias("a")
-    b = embedding_signatures(emb).alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    cand = embedding_candidate_pairs(emb)
     nrm = F.expr(f"sqrt({dot_expr('v', 'v')})")
     ea = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), nrm.alias("na")

@@ -710,6 +710,65 @@ def test_directed_probes_equivalences(spark):
     assert exact <= d2 <= d4 <= full
 
 
+def test_setbit_probes_equal_full_radius_one(spark):
+    """The set-bit (downward-flip) probe's exact contract on a random
+    corpus: the self-join candidate set is IDENTICAL to full radius-1
+    multiprobe — a hamming-1 pair's differing bit is set in exactly one
+    of the two vectors, and that side's flip reaches the other — while
+    the probe side carries only 1 + popcount(sig) rows per
+    (vector, table) instead of 1 + bits (round-9 A/B in BASELINE.md).
+    This is the equal-recall-cheaper form the registered pair-dedup
+    queries default to; the oracle's hamming<=1 contract is unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_etl_pipeline_spark.operators.similarity import (
+        BITS_PER_TABLE,
+        DIM,
+        N_TABLES,
+        embedding_candidate_pairs,
+        embedding_probe_signatures,
+        embedding_setbit_probe_signatures,
+    )
+
+    rng = random.Random(17)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(150)],
+        "vec_id long, v array<double>",
+    )
+    full = _cand_set(embedding_probe_signatures(emb), emb)
+    setbit = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_candidate_pairs(emb).collect()
+    }
+    assert 0 < len(full), "degenerate corpus"
+    assert setbit == full
+
+    # every emitted pair is canonical (vec_a < vec_b), no self-pairs
+    assert all(a < b for a, b in setbit)
+
+    # probe-row economics: exactly Σ (1 + popcount(sig)) rows, strictly
+    # fewer than the (1 + bits) mask expansion on any non-degenerate sig
+    n_setbit = embedding_setbit_probe_signatures(emb).count()
+    n_full = embedding_probe_signatures(emb).count()
+    assert n_full == 150 * N_TABLES * (1 + BITS_PER_TABLE)
+    assert n_setbit < n_full
+    expected = (
+        embedding_setbit_probe_signatures(emb)
+        .groupBy()
+        .count()
+        .collect()[0][0]
+    )
+    popcount_sum = (
+        embedding_probe_signatures(emb, radius=0)
+        .select(F.expr("bit_count(sig)").alias("pc"))
+        .groupBy()
+        .agg(F.sum("pc").alias("s"), F.count("*").alias("n"))
+        .collect()[0]
+    )
+    assert expected == popcount_sum.s + popcount_sum.n
+
+
 def test_directed_probes_concentrate_recall_on_true_pairs(spark):
     """The margin heuristic's measured value (Lv et al., VLDB'07): with
     a 2-of-6-bit probe budget (3 probe rows/table instead of 7),

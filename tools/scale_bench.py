@@ -257,6 +257,120 @@ def lsh_occupancy_ab(
     return out
 
 
+def multiprobe_ab(spark, base_root: str, scaled_root: str, scale: int, runs: int) -> dict:
+    """Probe-strategy A/B on the registered near-dup pipeline: full
+    radius-1 mask expansion vs the SET-BIT probe (identical candidate
+    set — the equal-recall form) vs query-directed probing at probe
+    budgets 1/2/4 (a candidate SUBSET — recall priced in).
+
+    Recall here is exact and relative: every variant's verified pairs
+    (cos >= threshold) are counted against full radius-1's — the
+    hamming<=1 oracle contract — so ``pair_recall`` = 1.0 means
+    equal recall by construction, not by sampling. Wall uses bench.py's
+    noop-write min-of-runs methodology on the whole cand→verify
+    pipeline. The absolute floor vs exact ground truth (29/59 on the
+    hard cosine band at sf0.01) stays pinned in
+    ``tests/test_estimator_properties.py``, untouched by this A/B.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_etl_pipeline_spark.operators.similarity import (
+        COS_DUP_THRESHOLD,
+        dot_expr,
+        embedding_candidate_pairs,
+        embedding_directed_probe_signatures,
+        embedding_probe_signatures,
+        embedding_setbit_probe_signatures,
+        embedding_signatures,
+        load_vectors,
+    )
+
+    def cand_from_probe(emb, probe_df):
+        a, b = probe_df.alias("a"), embedding_signatures(emb).alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.t") == F.col("b.t"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            )
+            .distinct()
+        )
+
+    def verify(emb, cand):
+        nrm = F.expr(f"sqrt({dot_expr('v', 'v')})")
+        ea = emb.select(
+            F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), nrm.alias("na")
+        )
+        eb = emb.select(
+            F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), nrm.alias("nb")
+        )
+        return (
+            eb.join(ea.join(cand, "vec_a"), "vec_b")
+            .select(
+                "vec_a",
+                "vec_b",
+                (F.expr(dot_expr("va", "vb")) / (F.col("na") * F.col("nb"))).alias(
+                    "cos"
+                ),
+            )
+            .filter(F.col("cos") >= COS_DUP_THRESHOLD)
+        )
+
+    out: dict = {}
+    for root_tag, root in (("base", base_root), (f"x{scale}", scaled_root)):
+        emb = load_vectors(spark, root)
+        variants = [
+            ("full_radius1", lambda e: cand_from_probe(e, embedding_probe_signatures(e)),
+             lambda e: embedding_probe_signatures(e)),
+            ("setbit", embedding_candidate_pairs,
+             lambda e: embedding_setbit_probe_signatures(e)),
+        ] + [
+            (f"directed_p{p}",
+             (lambda e, p=p: cand_from_probe(
+                 e, embedding_directed_probe_signatures(e, probes=p))),
+             (lambda e, p=p: embedding_directed_probe_signatures(e, probes=p)))
+            for p in (4, 2, 1)
+        ]
+        full_pairs = None
+        section = {}
+        for tag, cand_fn, probe_fn in variants:
+            probe_rows = probe_fn(emb).count()
+            cand = cand_fn(emb)
+            n_cand = cand.count()
+            pairs = verify(emb, cand)
+            n_pairs = pairs.count()
+            if full_pairs is None:
+                full_pairs = n_pairs
+            best = None
+            for _ in range(runs):
+                t0 = time.monotonic()
+                verify(emb, cand_fn(emb)).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            section[tag] = {
+                "probe_rows": probe_rows,
+                "n_candidates": n_cand,
+                "n_pairs": n_pairs,
+                "pair_recall_vs_full": round(n_pairs / full_pairs, 4)
+                if full_pairs
+                else None,
+                "wall": round(best, 3),
+            }
+            print(
+                f"[scale] multiprobe A/B {root_tag}/{tag}: rows={probe_rows} "
+                f"cand={n_cand} pairs={n_pairs} wall={best:.3f}s",
+                file=sys.stderr,
+            )
+        out[root_tag] = section
+    return out
+
+
 def ivf_stride_ab(
     spark, base_root: str, scaled_root: str, scale: int, runs: int
 ) -> dict:
@@ -324,6 +438,15 @@ def main() -> int:
             "at scale× corpus) on the --full staging and exit"
         ),
     )
+    parser.add_argument(
+        "--multiprobe-ab",
+        action="store_true",
+        help=(
+            "run ONLY the probe-strategy A/B (full radius-1 vs set-bit "
+            "vs directed p=4/2/1) on the near-dup pipeline at base and "
+            "scale× embeddings, then exit"
+        ),
+    )
     args = parser.parse_args()
     if args.ivf_ab:
         args.full = True  # A/B reuses the full staging (embeddings)
@@ -336,6 +459,8 @@ def main() -> int:
     qs = registry.queries()
 
     tables = TABLES_FULL if args.full else TABLES
+    if args.multiprobe_ab:
+        tables = ["embeddings"]  # the A/B touches nothing else
     if args.full:
         from bench import HEADLINE
 
@@ -364,6 +489,17 @@ def main() -> int:
         report = {
             "data_scale": args.scale,
             "ivf_stride_ab": ivf_stride_ab(
+                spark, base_root, scaled_root, args.scale, args.runs
+            ),
+        }
+        spark.stop()  # JVM gc,alloc warnings go to stdout; keep JSON last
+        print(json.dumps(report))
+        return 0
+
+    if args.multiprobe_ab:
+        report = {
+            "data_scale": args.scale,
+            "multiprobe_ab": multiprobe_ab(
                 spark, base_root, scaled_root, args.scale, args.runs
             ),
         }
