@@ -1055,3 +1055,111 @@ def test_timestamp_unit_drift_reads_and_nanos_mix_is_a_loud_boundary(
     )
     with pytest.raises(Exception):
         registry.table(spark, str(tmp_path / "bad"), "events").collect()
+
+
+# ---------------------------------------------------------------------------
+# COMPOSED damage: hostile timestamps ON a hot-key distribution
+# ---------------------------------------------------------------------------
+
+#: Round-9 composed mode — the two axes round 8 never crossed:
+#: ``times`` (epoch-zero / pre-1970 / 2038 / 2200 instants in ~2% of
+#: timestamp cells) re-staged through ``skew`` (10% of events onto one
+#: user, 3% of orders onto one customer, 30% of documents onto one
+#: source). The interaction surface is precisely the rows where both
+#: defenses fire together: the hot user's giant window partition now
+#: CONTAINS hostile instants, so the epoch gates, the watermark guard,
+#: and the salted/hot-key paths all act on the same rows. The full
+#: 222-query sweep is recorded in ``REHEARSAL_r09_hostile.json``
+#: (``times_then_skew_sf0_01``); these pin the families where the two
+#: damage classes genuinely interact (gated grids over a hot key,
+#: watermarked drains over a hot user, the gated ETL over damaged hot
+#: rows), so a regression in either defense — or in their composition
+#: — fails here, not in a future sweep.
+TIMES_SKEW_QUERIES = (
+    "events_gap_fill",         # epoch-gated spine, hot user inside the grid
+    "events_gap_fill_lerp",    # gated spine + interpolation over the gap
+    "events_autocorr",         # gated dense grid per event_type
+    "events_sessionize",       # ungated per-observed-row windows on the giant user
+    "events_rolling_median",   # per-key window over the hot partition
+    "events_anomaly_rolling",  # rolling stats with hostile instants in-window
+    "stream_dedup_drain",      # watermark guard vs future instants on hot keys
+    "stream_tumbling_drain",   # windowed drain over the skewed stream
+    "etl_events_pipeline",     # gated KST conversion over damaged hot rows
+    "rel_calendar_spine",      # gated o_orderdate grid under customer skew
+)
+
+
+@pytest.fixture(scope="module")
+def times_skew_dir(spark, tmp_path_factory):
+    """sf0.001 with hostile timestamps, THEN hot-key redirection."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    root = tmp_path_factory.mktemp("hostile")
+    mid = str(root / "times")
+    out = str(root / "times_then_skew")
+    stage("times", SF_SMOKE, mid, spark=spark)
+    stage("skew", mid, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def times_skew_duck(times_skew_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{times_skew_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_composed_damage_lands_on_the_hot_key(spark, times_skew_dir):
+    """The composition premise: the hot user's partition actually
+    CONTAINS out-of-epoch instants (if the two damage classes landed on
+    disjoint rows the sweep would prove nothing about interaction)."""
+    from pyspark.sql import functions as F
+
+    ev = registry.table(spark, times_skew_dir, "events")
+    hot_user = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    )
+    hostile_on_hot = ev.filter(
+        (F.col("user_id") == hot_user.user_id)
+        & (
+            (F.col("ts") < F.lit("1990-01-01").cast("timestamp_ntz"))
+            | (F.col("ts") > F.expr("localtimestamp()"))
+        )
+    ).count()
+    # sf0.001: 1,000 events, 10% redirected → hot user ~162 rows, 4 of
+    # them hostile instants (deterministic staging)
+    assert hot_user["count"] > 100, "skew staging lost the hot user"
+    assert hostile_on_hot > 0, "no hostile instants on the hot key"
+
+
+@pytest.mark.parametrize("name", TIMES_SKEW_QUERIES)
+def test_agrees_with_oracle_on_times_then_skew(
+    spark, times_skew_dir, times_skew_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, times_skew_dir).toPandas()
+    duck_pdf = times_skew_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
