@@ -32,9 +32,15 @@ across constant revisions silently yields garbage similarities.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_etl_pipeline_spark.operators.store_meta import (
+    check_store_stamp,
+    write_store_stamp,
+)
 from spark_etl_pipeline_spark.plans.registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -63,6 +69,14 @@ B = [((k + 1) * 1_013_904_223 + 69_069 * k * k) % P for k in range(NUM_HASHES)]
 
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.5
+
+#: Version stamp for PERSISTED signature stores: minhash signatures and
+#: band keys are a function of these constants, so a store built under
+#: different values is incomparable garbage, not data.
+#: ``build_signature_store`` stamps; append/probe verify (store_meta).
+MINHASH_CONSTANTS_VERSION = hashlib.md5(
+    repr((P, NUM_HASHES, BANDS, A, B, SHINGLE_N)).encode()
+).hexdigest()
 
 # Spark SQL arrays index 0-based (t[0]); DuckDB 1-based (t[1]).
 _SH_SPARK = (
@@ -1086,6 +1100,11 @@ def build_signature_store(docs: DataFrame, store_path: str) -> None:
     append-only — a batch's survivors append their own rows — so the
     store grows with the corpus and nothing is ever rewritten. Writes
     repartition on doc_id so probe-side joins read co-hashed files.
+
+    The store is stamped with :data:`MINHASH_CONSTANTS_VERSION`
+    (signatures are a function of the A/B multipliers and banding
+    layout — see the module docstring's constants-version note);
+    append/probe refuse a mismatched or missing stamp loudly.
     """
     sh = shingle_set(docs)
     lsh_bands(minhash_signatures(sh)).repartition("doc_id").write.mode(
@@ -1094,10 +1113,20 @@ def build_signature_store(docs: DataFrame, store_path: str) -> None:
     shingle_sets(sh).repartition("doc_id").write.mode("overwrite").parquet(
         f"{store_path}/shingles"
     )
+    write_store_stamp(
+        docs.sparkSession, store_path, "minhash", MINHASH_CONSTANTS_VERSION
+    )
 
 
 def append_signature_store(docs: DataFrame, store_path: str) -> None:
-    """Append a survivor batch's signatures to an existing store."""
+    """Append a survivor batch's signatures to an existing store.
+
+    Refuses a store stamped under different minhash constants — the
+    append would silently mix incomparable signature spaces.
+    """
+    check_store_stamp(
+        docs.sparkSession, store_path, "minhash", MINHASH_CONSTANTS_VERSION
+    )
     sh = shingle_set(docs)
     lsh_bands(minhash_signatures(sh)).repartition("doc_id").write.mode(
         "append"
@@ -1127,7 +1156,12 @@ def probe_signature_store(
     Verification unions the stored shingle arrays with the delta's own
     (disjoint doc_ids) through :func:`jaccard_verified_sets` — the
     stored arrays are the verification operand, never recomputed.
+
+    Refuses a store stamped under different minhash constants (or an
+    unstamped one) — probing across constants revisions returns
+    garbage similarities, not an error, without this gate.
     """
+    check_store_stamp(spark, store_path, "minhash", MINHASH_CONSTANTS_VERSION)
     base_bands = spark.read.parquet(f"{store_path}/bands")
     base_ss = spark.read.parquet(f"{store_path}/shingles")
 

@@ -274,6 +274,18 @@ def _plane(j: int) -> list[int]:
     while len(_PLANES) <= j:
         _PLANES.append(_plane_row(len(_PLANES)))
     return _PLANES[j]
+
+
+#: Version stamp for PERSISTED embedding stores: bucket keys are a
+#: function of the exact plane vectors and the bits/tables layout, so a
+#: store built under different values joins meaninglessly.
+#: ``build_embedding_store`` stamps; ``probe_embedding_store`` verifies.
+HYPERPLANE_CONSTANTS_VERSION = hashlib.md5(
+    repr(
+        (DIM, BITS_PER_TABLE, N_TABLES,
+         [_plane(j) for j in range(N_TABLES * BITS_PER_TABLE)])
+    ).encode()
+).hexdigest()
 _SIG_SPARK = " + ".join(
     "(CASE WHEN {dot} > 0.0 THEN {bit} ELSE 0 END)".format(
         dot=dot_expr(
@@ -1250,7 +1262,13 @@ def build_embedding_store(emb: DataFrame, store_path: str) -> None:
     curated corpus is hashed once, each ingest batch probes the stored
     buckets, and survivors append their own rows — append-only, nothing
     rewritten. Writes repartition on vec_id for co-hashed probe joins.
+
+    The store is stamped with :data:`HYPERPLANE_CONSTANTS_VERSION`
+    (bucket keys are a function of the exact plane vectors and the
+    bits/tables layout); probes refuse a mismatched or missing stamp.
     """
+    from spark_etl_pipeline_spark.operators.store_meta import write_store_stamp
+
     emb = emb.select("vec_id", "v")
     embedding_signatures(emb).repartition("vec_id").write.mode(
         "overwrite"
@@ -1258,6 +1276,9 @@ def build_embedding_store(emb: DataFrame, store_path: str) -> None:
     emb.withColumn("nrm", F.expr(f"sqrt({dot_expr('v', 'v')})")).repartition(
         "vec_id"
     ).write.mode("overwrite").parquet(f"{store_path}/vectors")
+    write_store_stamp(
+        emb.sparkSession, store_path, "hyperplane", HYPERPLANE_CONSTANTS_VERSION
+    )
 
 
 def probe_embedding_store(
@@ -1288,9 +1309,17 @@ def probe_embedding_store(
     corpus is so large that candidate volume, not recall, is the
     binding constraint (measured: 2 directed probes keep ~0.9 of full
     radius-1 true-pair recall at ~3/7 of the probe rows).
+
+    Refuses a store stamped under different hyperplane constants (or
+    an unstamped one) — bucket keys from a different plane set join
+    meaninglessly, returning silent garbage rather than an error.
     """
     from spark_etl_pipeline_spark.operators.dedup import _pair_side
+    from spark_etl_pipeline_spark.operators.store_meta import check_store_stamp
 
+    check_store_stamp(
+        spark, store_path, "hyperplane", HYPERPLANE_CONSTANTS_VERSION
+    )
     base_sigs = spark.read.parquet(f"{store_path}/sigs")
     base_vecs = spark.read.parquet(f"{store_path}/vectors")
 

@@ -130,3 +130,56 @@ def test_embedding_store_directed_probe_contracts(spark, tmp_path):
     assert pairs(BITS_PER_TABLE) == full and len(full) > 0
     p0, p2 = pairs(0), pairs(2)
     assert p0 <= p2 <= full
+
+
+def test_store_refuses_constants_mismatch(spark, tmp_path):
+    """A persisted store is a function of its constants: probing or
+    appending one built under DIFFERENT constants must fail LOUDLY
+    (without the stamp it returns garbage similarities, not an error).
+    Covers both store families and both failure shapes (mismatched
+    stamp, missing stamp)."""
+    import pytest
+
+    from spark_etl_pipeline_spark.operators.dedup import (
+        append_signature_store,
+        probe_signature_store,
+    )
+    from spark_etl_pipeline_spark.operators.similarity import (
+        build_embedding_store,
+        probe_embedding_store,
+    )
+    from spark_etl_pipeline_spark.operators.store_meta import write_store_stamp
+
+    docs = table(spark, SF_SMOKE, "documents")
+    base, delta = docs.filter("doc_id % 4 != 3"), docs.filter("doc_id % 4 = 3")
+
+    # text store: fresh build carries the stamp and probes fine
+    store = str(tmp_path / "sigstore")
+    build_signature_store(base, store)
+    assert probe_signature_store(spark, store, delta).count() >= 0
+
+    # ...then a stamp from "older constants" poisons probe AND append
+    write_store_stamp(spark, store, "minhash", "deadbeef-old-constants")
+    with pytest.raises(ValueError, match="different\\s+constants"):
+        probe_signature_store(spark, store, delta)
+    with pytest.raises(ValueError, match="different\\s+constants"):
+        append_signature_store(delta, store)
+
+    # unstamped store (pre-versioning provenance) is refused too
+    import shutil
+
+    shutil.rmtree(f"{store}/constants_stamp")
+    with pytest.raises(ValueError, match="no constants stamp"):
+        probe_signature_store(spark, store, delta)
+
+    # embedding store: same contract, hyperplane family
+    from spark_etl_pipeline_spark.operators.similarity import load_vectors
+
+    emb = load_vectors(spark, SF_SMOKE)
+    vstore = str(tmp_path / "embstore")
+    build_embedding_store(emb.filter("vec_id % 4 != 3"), vstore)
+    vdelta = emb.filter("vec_id % 4 = 3")
+    assert probe_embedding_store(spark, vstore, vdelta).count() >= 0
+    write_store_stamp(spark, vstore, "hyperplane", "deadbeef-old-constants")
+    with pytest.raises(ValueError, match="different\\s+constants"):
+        probe_embedding_store(spark, vstore, vdelta)
