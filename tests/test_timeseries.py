@@ -220,3 +220,61 @@ def test_rollup_merge_is_associative(spark, tmp_path):
         .collect()
     }
     assert merged == direct
+
+
+def test_epoch_gate_upper_bound_is_utc_in_both_engines(spark, tmp_path):
+    """The DISCRIMINATING proof of the round-9 tz pin: a row 2 hours in
+    the past sits INSIDE the 4-hour window where a DuckDB session on a
+    non-UTC host (TimeZone=America/New_York) used to disagree —
+    ``CAST(now() AS TIMESTAMP)`` renders NY wall clock (UTC-4/-5), so
+    the old oracle bound dropped near-now rows Spark's UTC
+    ``localtimestamp()`` keeps. With ``now() AT TIME ZONE 'UTC'`` both
+    engines keep the 2h-old row and drop the future instant, regardless
+    of the DuckDB session TimeZone. (The full-registry TZ sweep
+    REHEARSAL_r09_invariance.json can't discriminate this — the corpus
+    has no near-now rows — which is exactly why this pin exists.)
+    """
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_etl_pipeline_spark.operators.timeseries import (
+        TS_EPOCH_DUCK,
+        epoch_gated,
+    )
+
+    now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    rows = {
+        1: now - datetime.timedelta(hours=2),   # keep: inside the skew window
+        2: now - datetime.timedelta(days=30),   # keep: ordinary past
+        3: now + datetime.timedelta(days=365),  # drop: future instant
+        4: datetime.datetime(1970, 1, 1),       # drop: epoch-zero sentinel
+    }
+    path = str(tmp_path / "near_now.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(rows), pa.int64()),
+                "ts": pa.array(list(rows.values()), pa.timestamp("us")),
+            }
+        ),
+        path,
+    )
+
+    df = spark.read.parquet(path)
+    kept_spark = {r.event_id for r in epoch_gated(df).collect()}
+
+    con = duckdb.connect()
+    con.sql("SET TimeZone='America/New_York'")  # the hostile host tz
+    kept_duck = {
+        r[0]
+        for r in con.sql(
+            f"SELECT event_id FROM '{path}' WHERE {TS_EPOCH_DUCK}"
+        ).fetchall()
+    }
+    con.close()
+
+    assert kept_spark == {1, 2}
+    assert kept_duck == kept_spark  # the old CAST(now()) form dropped row 1
