@@ -257,7 +257,10 @@ def lsh_occupancy_ab(
     return out
 
 
-def multiprobe_ab(spark, base_root: str, scaled_root: str, scale: int, runs: int) -> dict:
+def multiprobe_ab(
+    spark, base_root: str, scaled_root: str, scale: int, runs: int,
+    bits: int | None = None,
+) -> dict:
     """Probe-strategy A/B on the registered near-dup pipeline: full
     radius-1 mask expansion vs the SET-BIT probe (identical candidate
     set — the equal-recall form) vs query-directed probing at probe
@@ -285,8 +288,12 @@ def multiprobe_ab(spark, base_root: str, scaled_root: str, scale: int, runs: int
         load_vectors,
     )
 
+    from spark_etl_pipeline_spark.operators.similarity import BITS_PER_TABLE
+
+    b_eff = BITS_PER_TABLE if bits is None else bits
+
     def cand_from_probe(emb, probe_df):
-        a, b = probe_df.alias("a"), embedding_signatures(emb).alias("b")
+        a, b = probe_df.alias("a"), embedding_signatures(emb, b_eff).alias("b")
         return (
             a.join(
                 b,
@@ -324,15 +331,17 @@ def multiprobe_ab(spark, base_root: str, scaled_root: str, scale: int, runs: int
     for root_tag, root in (("base", base_root), (f"x{scale}", scaled_root)):
         emb = load_vectors(spark, root)
         variants = [
-            ("full_radius1", lambda e: cand_from_probe(e, embedding_probe_signatures(e)),
-             lambda e: embedding_probe_signatures(e)),
-            ("setbit", embedding_candidate_pairs,
-             lambda e: embedding_setbit_probe_signatures(e)),
+            ("full_radius1",
+             lambda e: cand_from_probe(e, embedding_probe_signatures(e, b_eff)),
+             lambda e: embedding_probe_signatures(e, b_eff)),
+            ("setbit",
+             lambda e: embedding_candidate_pairs(e, bits=b_eff),
+             lambda e: embedding_setbit_probe_signatures(e, b_eff)),
         ] + [
             (f"directed_p{p}",
              (lambda e, p=p: cand_from_probe(
-                 e, embedding_directed_probe_signatures(e, probes=p))),
-             (lambda e, p=p: embedding_directed_probe_signatures(e, probes=p)))
+                 e, embedding_directed_probe_signatures(e, probes=p, bits=b_eff))),
+             (lambda e, p=p: embedding_directed_probe_signatures(e, probes=p, bits=b_eff)))
             for p in (4, 2, 1)
         ]
         full_pairs = None
@@ -439,6 +448,13 @@ def main() -> int:
         ),
     )
     parser.add_argument(
+        "--bits",
+        type=int,
+        default=None,
+        help="override BITS_PER_TABLE for the multiprobe A/B "
+             "(e.g. the rule-sized b=10 at 10x)",
+    )
+    parser.add_argument(
         "--multiprobe-ab",
         action="store_true",
         help=(
@@ -500,7 +516,8 @@ def main() -> int:
         report = {
             "data_scale": args.scale,
             "multiprobe_ab": multiprobe_ab(
-                spark, base_root, scaled_root, args.scale, args.runs
+                spark, base_root, scaled_root, args.scale, args.runs,
+                bits=args.bits,
             ),
         }
         spark.stop()  # JVM gc,alloc warnings go to stdout; keep JSON last
