@@ -1163,3 +1163,89 @@ def test_agrees_with_oracle_on_times_then_skew(
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+#: Round-9's second composed mode: ``giant`` (megabyte text cells, the
+#: 512 KiB single token, the 2.3 MB payload) re-staged through ``skew``
+#: — at sf0.01 the 30%-dominant source src0 then CARRIES the 1.14 MB
+#: document, so the giant-cell defenses (the expression-level
+#: LEV_MAX_LEN cap, the anchored bounded PII pattern, the TOTAL
+#: repetition contract) and the hot-source paths (per-source caps,
+#: source divergence, mixture sampling) act on the same rows. Full
+#: sweep 222/222 green
+#: (``REHEARSAL_r09_hostile.json: giant_then_skew_sf0_01``); pins below
+#: cover the families where the megabyte cell rides the dominant group.
+GIANT_SKEW_QUERIES = (
+    "docs_cap_per_source",       # cap sampling inside the giant-carrying source
+    "docs_source_divergence",    # per-source stats dominated by src0
+    "docs_mixture_sample",       # mixture weights with one giant-heavy source
+    "dedup_fuzzy_levenshtein",   # LEV cap must keep excluding the megabyte doc
+    "text_pii_scrub",            # anchored bounded pattern over the 512 KiB token
+    "text_repetition_filter",    # TOTAL contract incl. single-token giants
+)
+
+
+@pytest.fixture(scope="module")
+def giant_skew_dir(spark, tmp_path_factory):
+    """sf0.001 with megabyte cells, THEN hot-key redirection."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    root = tmp_path_factory.mktemp("hostile")
+    mid = str(root / "giant")
+    out = str(root / "giant_then_skew")
+    stage("giant", SF_SMOKE, mid, spark=spark)
+    stage("skew", mid, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def giant_skew_duck(giant_skew_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{giant_skew_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_giant_cell_rides_the_hot_source(spark, giant_skew_dir):
+    """The composition premise: the dominant source actually carries a
+    megabyte-class document after the redirection."""
+    from pyspark.sql import functions as F
+
+    docs = registry.table(spark, giant_skew_dir, "documents")
+    hot = docs.groupBy("source").count().orderBy(F.desc("count")).first()
+    giant_on_hot = docs.filter(
+        (F.col("source") == hot.source) & (F.length("text") > 100_000)
+    ).count()
+    assert giant_on_hot > 0, "no megabyte cell on the dominant source"
+
+
+@pytest.mark.parametrize("name", GIANT_SKEW_QUERIES)
+def test_agrees_with_oracle_on_giant_then_skew(
+    spark, giant_skew_dir, giant_skew_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, giant_skew_dir).toPandas()
+    duck_pdf = giant_skew_duck.sql(spec.oracle).df()
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
+    )
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+    s, d = _canon(spark_pdf), _canon(duck_pdf)
+    for col in s.columns:
+        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
+            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            if a_nan or b_nan:
+                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
+                continue
+            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
