@@ -3,7 +3,16 @@
 
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+     "canary_sec": C}
+
+``canary_sec`` is a HOST-SPEED CANARY: the min-of-3 wall of a fixed
+synthetic pure-JVM workload (xxhash64-fold over spark.range — no IO,
+no shuffle, no engine code, constant across rounds). Round-to-round
+per-query ratios have repeatedly moved ±10-45% with UNCHANGED code
+(BASELINE.md's host-band history); dividing both sides' query times by
+their session's canary separates host drift from code regressions with
+a measurement instead of an argument.
 
 Each query is materialized through the `noop` sink (full execution, no
 write cost, no column-pruning shortcut the way `count()` allows).
@@ -148,6 +157,29 @@ def main() -> None:
             print(f"[bench] {name}: ERROR {exc}", file=sys.stderr)
             timings[name] = -1.0
 
+    # Host-speed canary: fixed pure-JVM CPU work (whole-stage-codegen
+    # xxhash64 fold over a range — no IO, no shuffle, no engine code),
+    # timed min-of-3 AFTER the fully-warmed headline run. Constant
+    # across rounds by construction, so query_sec / canary_sec is the
+    # host-normalized number to compare across sessions.
+    canary = None
+    try:
+        from pyspark.sql import functions as F
+
+        for _ in range(3):
+            t0 = time.monotonic()
+            # ~1.5 s of work: a sub-second canary would be scheduler-
+            # jitter-sensitive, defeating its purpose as a normalizer
+            spark.range(0, 2_000_000_000, 1, 32).select(
+                F.expr("bit_xor(xxhash64(id))")  # xor fold: no ANSI overflow
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            canary = dt if canary is None else min(canary, dt)
+        canary = round(canary, 3)
+        print(f"[bench] canary: {canary:.3f}s", file=sys.stderr)
+    except Exception as exc:
+        print(f"[bench] canary: ERROR {exc}", file=sys.stderr)
+
     # Stop the JVM BEFORE emitting the JSON line: under memory pressure
     # the JVM's unified logging writes gc,alloc warnings to STDOUT
     # (observed during the 30× scale run), and anything printed after
@@ -161,6 +193,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "canary_sec": canary,
             }
         )
     )
