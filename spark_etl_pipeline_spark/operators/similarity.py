@@ -1307,8 +1307,15 @@ def probe_embedding_store(
     (:func:`embedding_directed_probe_signatures`): only the ``probes``
     lowest-margin bit flips are probed — the knob for when the stored
     corpus is so large that candidate volume, not recall, is the
-    binding constraint (measured: 2 directed probes keep ~0.9 of full
-    radius-1 true-pair recall at ~3/7 of the probe rows).
+    binding constraint. Two distinct recall metrics are measured, don't
+    conflate them: on PLANTED true dups (high cosine, so the margin
+    heuristic has signal) 2 directed probes keep ~0.9 of full radius-1
+    true-pair recall at ~3/7 of the probe rows
+    (``test_directed_probes_concentrate_recall_on_true_pairs``); on
+    the full hamming<=1 CONTRACT pair set (dominated by
+    near-threshold pairs, where margins carry less signal) p=2 keeps
+    only ~0.58–0.64 (round-9 A/B, BASELINE.md) — and the budget must
+    scale with ``bits`` (p=4 recall falls 0.87→0.64 going b=6→b=10).
 
     Refuses a store stamped under different hyperplane constants (or
     an unstamped one) — bucket keys from a different plane set join
