@@ -48,6 +48,7 @@ def check_store_stamp(
     it would silently mix incomparable signatures.
     """
     try:
+        # one-row metadata table — this collect() moves a stamp, not data
         rows = spark.read.parquet(f"{store_path}/constants_stamp").collect()
     except Exception as exc:
         raise ValueError(
