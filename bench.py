@@ -178,6 +178,9 @@ def main() -> None:
         canary = round(canary, 3)
         print(f"[bench] canary: {canary:.3f}s", file=sys.stderr)
     except Exception as exc:
+        # a partial min (1-2 completed runs) must not masquerade as the
+        # documented min-of-3 — emit null rather than a weaker number
+        canary = None
         print(f"[bench] canary: ERROR {exc}", file=sys.stderr)
 
     # Stop the JVM BEFORE emitting the JSON line: under memory pressure

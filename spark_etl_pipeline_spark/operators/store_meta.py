@@ -45,15 +45,22 @@ def check_store_stamp(
     Raises ``ValueError`` on a missing stamp (unknown provenance) or a
     mismatched one (store built under different constants). Appending
     or probing across constants revisions would not error on its own —
-    it would silently mix incomparable signatures.
+    it would silently mix incomparable signatures. A TRANSIENT read
+    failure (object-store timeout, permission blip) is deliberately NOT
+    converted into "no stamp": only the analysis-time path-missing
+    class gets the rebuild advice — telling an operator to rebuild a
+    multi-TB store over a 403 would be destructive — everything else
+    propagates as itself.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         # one-row metadata table — this collect() moves a stamp, not data
         rows = spark.read.parquet(f"{store_path}/constants_stamp").collect()
-    except Exception as exc:
+    except AnalysisException as exc:
         raise ValueError(
             f"store at {store_path!r} carries no constants stamp "
-            f"(constants_stamp missing or unreadable): refusing to "
+            f"(constants_stamp missing): refusing to "
             f"{family}-probe a store of unknown provenance. Rebuild it "
             f"with the current constants (build_*_store), or stamp it "
             f"explicitly with write_store_stamp() if its constants are "

@@ -292,30 +292,54 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: hostile corpus hung here; RE2 is automaton-linear and never
 #: noticed), while a bound caps the per-position retry count.
 #:
-#: The email local part is ANCHORED to the start of its character run
-#: by a captured preceding non-class char (``(^|[^class])`` — the
-#: RE2-safe substitute for a lookbehind). Without the anchor a
-#: bounded quantifier matches MID-TOKEN on an over-long local part,
-#: redacting only its trailing chars and leaving the head of the
-#: address in cleartext — the silent partial-scrub failure. With it,
-#: a local part within the bound is redacted WHOLLY, and one beyond
-#: 256 chars is not treated as an email at all (the documented
-#: contract boundary for adversarial inputs — no spec-conforming or
-#: plausibly mistyped address comes near 256; long digit runs inside
-#: still fall to ``[NUM]``). Redaction is all-or-nothing, never a
-#: partial leak.
+#: EMAIL redaction is TWO sequential passes, because no single
+#: RE2-safe pattern covers both hazards at once:
 #:
-#: Each entry is ``(pattern, tag, java_rep, re2_rep)``: patterns are
-#: byte-identical across engines, but the replacement must re-emit
-#: the captured anchor char and group-reference syntax differs —
-#: ``$1`` for Java's ``Matcher.replaceAll`` (Spark), ``\\1`` for
-#: RE2's rewrite string (DuckDB).
+#: 1. ``EMAIL_ANCHORED`` — the local part anchored to the start of its
+#:    character run by a captured preceding non-class char
+#:    (``(^|[^class])``, the RE2-safe lookbehind substitute). Without
+#:    an anchor a bounded quantifier matches MID-TOKEN on an over-long
+#:    local part, redacting only its tail and leaving the head of the
+#:    address in cleartext. An address whose run fits the {1,256}
+#:    bound redacts WHOLLY here.
+#: 2. ``EMAIL_RESIDUE`` — the unanchored {1,64} form, applied to pass
+#:    1's OUTPUT. The anchor alone has a blind spot the round-9
+#:    review caught: after pass 1 consumes ``a@b.cc`` in
+#:    ``a@b.cc-c@d.cc``, the scan resumes at ``-`` — a local-part
+#:    class char — so the anchored pattern can never fire on the
+#:    second, fully well-formed address and it survived in CLEARTEXT.
+#:    The residue pass catches every remaining email-shaped region
+#:    (adjacency chains of any length — it is unanchored and global).
+#:
+#: Net contract: a run-start email of any local length ≤256 redacts
+#: wholly; an email reachable only mid-run (class-char-adjacent, or an
+#: over-long >256 local part) redacts its trailing ≤64-char local +
+#: domain — partial head exposure ONLY for those adversarial shapes,
+#: never a fully-cleartext address. (Both predecessors were strictly
+#: worse: the unanchored-only form tail-matched at >64; the
+#: anchored-only form left adjacency and >256 fully unredacted.)
+#: Quantifiers stay bounded — Java's backtracking costs O(run·bound)
+#: to fail, the giant-corpus constraint — and the per-engine
+#: replacement syntax differs where a group is re-emitted (``$1``
+#: Java, ``\\1`` RE2 rewrite).
+#: The anchor class additionally excludes ``@`` — the ONE non-class
+#: char that occurs inside an email's own span. Without the
+#: exclusion, pass 1 anchors on a FOLLOWING email's ``@`` in a
+#: class-char-separated chain (``a@b.cc-c@d.cc-e@f.gg``) and its
+#: greedy local part — whose class includes ``.`` and ``-`` — swallows
+#: the intervening domain+separator as a bogus address, destroying the
+#: real boundary the residue pass needs.
+EMAIL_ANCHORED = (
+    r"(^|[^a-zA-Z0-9._%+-@])"
+    r"([a-zA-Z0-9._%+-]{1,256}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,})"
+)
+EMAIL_RESIDUE = r"[a-zA-Z0-9._%+-]{1,64}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,}"
+
+#: Non-email patterns (applied after the email passes, in order, so an
+#: email's digits can't half-match as an IP).
 PII_PATTERNS = (
-    (r"(^|[^a-zA-Z0-9._%+-])"
-     r"([a-zA-Z0-9._%+-]{1,256}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,})",
-     "[EMAIL]", "$1[EMAIL]", r"\1[EMAIL]"),
-    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]", "[IP]", "[IP]"),
-    (r"\d{6,}", "[NUM]", "[NUM]", "[NUM]"),
+    (r"\b\d{1,3}(\.\d{1,3}){3}\b", "[IP]"),
+    (r"\d{6,}", "[NUM]"),
 )
 
 
@@ -328,31 +352,46 @@ def scrub_pii(col: Column) -> tuple[Column, Column]:
     vectorized prefilter that matters when one document is megabytes.
     """
     has_at = col.contains("@")
-    n = F.lit(0)
-    for pat, tag, _java_rep, _re2_rep in PII_PATTERNS:
-        cnt = F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
-        if "[EMAIL]" == tag:
-            cnt = F.when(has_at, cnt).otherwise(F.lit(0))
-        n = n + cnt
-    scrubbed = col
-    for pat, tag, java_rep, _re2_rep in PII_PATTERNS:
-        rep = F.regexp_replace(scrubbed, pat, java_rep)
-        if tag == "[EMAIL]":
-            rep = F.when(has_at, rep).otherwise(scrubbed)
-        scrubbed = rep
+    # email pass 1 (anchored whole-run) then pass 2 (residue) — counts
+    # follow the same staging: anchored matches counted on the ORIGINAL
+    # text, residue matches on pass 1's output (counting the residue on
+    # the original would double-count every anchored match)
+    after1 = F.regexp_replace(col, EMAIL_ANCHORED, "$1[EMAIL]")
+    n_email = F.size(
+        F.regexp_extract_all(col, F.lit(EMAIL_ANCHORED), F.lit(0))
+    ) + F.size(F.regexp_extract_all(after1, F.lit(EMAIL_RESIDUE), F.lit(0)))
+    scrubbed = F.when(
+        has_at, F.regexp_replace(after1, EMAIL_RESIDUE, "[EMAIL]")
+    ).otherwise(col)
+    n = F.when(has_at, n_email).otherwise(F.lit(0))
+    for pat, tag in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
     return scrubbed, n.cast("bigint")
 
 
+def _duck_email_pass1(col: str) -> str:
+    return f"regexp_replace({col}, '{EMAIL_ANCHORED}', '\\1[EMAIL]', 'g')"
+
+
 def _duck_scrub(col: str) -> str:
-    out = col
-    for pat, _tag, _java_rep, re2_rep in PII_PATTERNS:
-        out = f"regexp_replace({out}, '{pat}', '{re2_rep}', 'g')"
+    out = (
+        f"regexp_replace({_duck_email_pass1(col)}, "
+        f"'{EMAIL_RESIDUE}', '[EMAIL]', 'g')"
+    )
+    for pat, tag in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
     return out
 
 
-_DUCK_NRED = " + ".join(
-    f"len(regexp_extract_all(text, '{pat}'))"
-    for pat, _tag, _java_rep, _re2_rep in PII_PATTERNS
+_DUCK_NRED = (
+    f"len(regexp_extract_all(text, '{EMAIL_ANCHORED}'))"
+    f" + len(regexp_extract_all({_duck_email_pass1('text')}, "
+    f"'{EMAIL_RESIDUE}'))"
+    + "".join(
+        f" + len(regexp_extract_all(text, '{pat}'))"
+        for pat, _tag in PII_PATTERNS
+    )
 )
 
 

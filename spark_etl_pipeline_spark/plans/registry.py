@@ -201,9 +201,18 @@ def _unified_directory_schema(path: str, nanos: list[str]):
     if len(files) <= 1:
         return None  # zero or one footer: nothing to disagree
     probe, rest = files[:8], files[8:]
-    t0 = time.perf_counter()
-    schemas = [pq.read_schema(f) for f in probe]
-    latency = (time.perf_counter() - t0) / len(probe)
+    samples = []
+    schemas = []
+    for f in probe:
+        t0 = time.perf_counter()
+        schemas.append(pq.read_schema(f))
+        samples.append(time.perf_counter() - t0)
+    # MEDIAN, not mean: the first probe read is often a one-time cold
+    # outlier (page-cache miss, disk spin-up) that would flip a warm
+    # local directory onto the pooled arm — the arm measured 2.5-7x
+    # SLOWER there. The median ignores one cold read; a store whose
+    # per-footer latency is genuinely high is high at every quantile.
+    latency = sorted(samples)[len(samples) // 2]
     if rest:
         if latency >= 0.002:  # IO-latency-bound: threads hide the round trips
             workers = min(32, (os.cpu_count() or 4) * 4)

@@ -753,12 +753,6 @@ def test_setbit_probes_equal_full_radius_one(spark):
     n_full = embedding_probe_signatures(emb).count()
     assert n_full == 150 * N_TABLES * (1 + BITS_PER_TABLE)
     assert n_setbit < n_full
-    expected = (
-        embedding_setbit_probe_signatures(emb)
-        .groupBy()
-        .count()
-        .collect()[0][0]
-    )
     popcount_sum = (
         embedding_probe_signatures(emb, radius=0)
         .select(F.expr("bit_count(sig)").alias("pc"))
@@ -766,7 +760,7 @@ def test_setbit_probes_equal_full_radius_one(spark):
         .agg(F.sum("pc").alias("s"), F.count("*").alias("n"))
         .collect()[0]
     )
-    assert expected == popcount_sum.s + popcount_sum.n
+    assert n_setbit == popcount_sum.s + popcount_sum.n
 
 
 def test_directed_probes_concentrate_recall_on_true_pairs(spark):

@@ -188,12 +188,13 @@ def pii_docs(spark, tmp_path_factory):
     rows.append(_doc(doc_id, long_local))
     expected[doc_id] = (1, "[EMAIL]")
     doc_id += 1
-    # ...and a 300-char local part is beyond the bound → NOT treated
-    # as an email at all (documented contract boundary: no partial
-    # redaction, no mid-token match), in both engines.
+    # ...and a 300-char local part is beyond the anchored bound, so
+    # the RESIDUE pass redacts its trailing 64-char local + domain —
+    # partial head exposure only for this adversarial shape, never a
+    # fully-cleartext address (the documented two-pass contract).
     over_bound = "b" * 300 + "@ex.example.org"
     rows.append(_doc(doc_id, over_bound))
-    expected[doc_id] = (0, over_bound)
+    expected[doc_id] = (1, "b" * 236 + "[EMAIL]")
     doc_id += 1
     # a 100k-char class-run with no @: zero matches, text unchanged —
     # and the test completing at all pins the linear-time contract

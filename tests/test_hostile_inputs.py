@@ -92,12 +92,11 @@ def _canon(pdf):
     ).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", HOSTILE_QUERIES)
-def test_agrees_with_oracle_on_damaged_rows(spark, hostile_dir, hostile_duck, name):
-    registry.load_all()
-    spec = registry.REGISTRY[name]
-    spark_pdf = spec.builder(spark, hostile_dir).toPandas()
-    duck_pdf = hostile_duck.sql(spec.oracle).df()
+def _assert_matches_oracle(name, spark_pdf, duck_pdf):
+    """The shared Spark-vs-DuckDB comparison every hostile pin uses:
+    row count, column set, then NaN-aware string-rendered cell equality
+    over canonicalized frames (one definition — a fix to the comparison
+    semantics lands everywhere at once)."""
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
     )
@@ -111,6 +110,15 @@ def test_agrees_with_oracle_on_damaged_rows(spark, hostile_dir, hostile_duck, na
                 assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
                 continue
             assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.mark.parametrize("name", HOSTILE_QUERIES)
+def test_agrees_with_oracle_on_damaged_rows(spark, hostile_dir, hostile_duck, name):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, hostile_dir).toPandas()
+    duck_pdf = hostile_duck.sql(spec.oracle).df()
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: Root-cause representatives of the 75 queries the NaN/Inf sweep
@@ -166,19 +174,7 @@ def test_agrees_with_oracle_on_nan_inf(spark, floats_dir, floats_duck, name):
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, floats_dir).toPandas()
     duck_pdf = floats_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: One representative per operator family for the EMPTY corpus (the
@@ -235,19 +231,7 @@ def test_agrees_with_oracle_on_empty_input(spark, empty_dir, empty_duck, name):
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, empty_dir).toPandas()
     duck_pdf = empty_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 @pytest.mark.parametrize(
@@ -341,19 +325,7 @@ def test_agrees_with_oracle_on_hostile_unicode(
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, unicode_dir).toPandas()
     duck_pdf = unicode_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: The n=1 findings of the one-row hostile sweep plus the statistics
@@ -410,19 +382,7 @@ def test_agrees_with_oracle_on_single_row(
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, single_dir).toPandas()
     duck_pdf = single_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: The hostile-timestamps findings: pre-1970/epoch-zero/2038/2200
@@ -487,19 +447,7 @@ def test_agrees_with_oracle_on_hostile_timestamps(
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, times_dir).toPandas()
     duck_pdf = times_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: Representatives of the round-8 ``skew`` sweep (one hot key owning a
@@ -560,19 +508,7 @@ def test_agrees_with_oracle_on_hot_keys(spark, skew_dir, skew_duck, name):
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, skew_dir).toPandas()
     duck_pdf = skew_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: Representatives of the round-8 ``giant`` sweep (~1 MB document
@@ -635,19 +571,7 @@ def test_agrees_with_oracle_on_giant_cells(spark, giant_dir, giant_duck, name):
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, giant_dir).toPandas()
     duck_pdf = giant_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 def test_negative_zero_group_key_divergence_pinned(spark, tmp_path):
@@ -773,19 +697,7 @@ def test_agrees_with_oracle_on_schema_drift(spark, drift_dir, drift_duck, name):
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, drift_dir).toPandas()
     duck_pdf = drift_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: Representatives of the round-8 ``widen`` sweep: the type-promotion
@@ -872,19 +784,7 @@ def test_agrees_with_oracle_on_widened_types(spark, widen_dir, widen_duck, name)
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, widen_dir).toPandas()
     duck_pdf = widen_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 def test_vector_element_type_drift_promotes_and_agrees(spark, tmp_path):
@@ -1150,19 +1050,7 @@ def test_agrees_with_oracle_on_times_then_skew(
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, times_skew_dir).toPandas()
     duck_pdf = times_skew_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
 
 
 #: Round-9's second composed mode: ``giant`` (megabyte text cells, the
@@ -1236,16 +1124,64 @@ def test_agrees_with_oracle_on_giant_then_skew(
     spec = registry.REGISTRY[name]
     spark_pdf = spec.builder(spark, giant_skew_dir).toPandas()
     duck_pdf = giant_skew_duck.sql(spec.oracle).df()
-    assert len(spark_pdf) == len(duck_pdf), (
-        f"{name}: {len(spark_pdf)} (spark) != {len(duck_pdf)} (duckdb)"
-    )
-    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
-    s, d = _canon(spark_pdf), _canon(duck_pdf)
-    for col in s.columns:
-        for i, (a, b) in enumerate(zip(s[col].tolist(), d[col].tolist())):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
-            if a_nan or b_nan:
-                assert a_nan and b_nan, f"{name}.{col}[{i}]: {a!r} != {b!r}"
-                continue
-            assert str(a) == str(b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
+
+
+#: Round-9's third composed mode: ``floats`` (NaN/±Inf in ~2% of float
+#: cells) re-staged through ``skew`` — the hot user's giant group then
+#: CONTAINS non-finite values (premise measured: 14 NaN/Inf rows inside
+#: the 1,060-row hot user at sf0.01), so the TRY_CAST cents folds, the
+#: salted two-phase aggregation, and the robust-statistics paths all
+#: handle non-finite cells inside the dominant group. Full sweep
+#: 222/222 green (``REHEARSAL_r09_hostile.json:
+#: floats_then_skew_sf0_01``); pins cover the families where NaN
+#: handling and hot-key handling genuinely share rows.
+FLOATS_SKEW_QUERIES = (
+    "events_skew_salted_agg",    # salted fold over NaN cells on the hot key
+    "events_skew_salted_join",
+    "events_value_winsorized",   # robust stats with Inf in the dominant group
+    "events_value_deciles",
+    "events_rolling_median",     # per-key window stats over non-finite cells
+    "rel_pareto_customers",      # hot-customer revenue with damaged amounts
+)
+
+
+@pytest.fixture(scope="module")
+def floats_skew_dir(spark, tmp_path_factory):
+    """sf0.001 with NaN/Inf damage, THEN hot-key redirection."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    root = tmp_path_factory.mktemp("hostile")
+    mid = str(root / "floats")
+    out = str(root / "floats_then_skew")
+    stage("floats", SF_SMOKE, mid, spark=spark)
+    stage("skew", mid, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def floats_skew_duck(floats_skew_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{floats_skew_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FLOATS_SKEW_QUERIES)
+def test_agrees_with_oracle_on_floats_then_skew(
+    spark, floats_skew_dir, floats_skew_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, floats_skew_dir).toPandas()
+    duck_pdf = floats_skew_duck.sql(spec.oracle).df()
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)

@@ -110,9 +110,35 @@ def test_email_redaction_is_all_or_nothing_cross_engine(
         # of the local part); the surrounding words survive untouched
         assert clean == sep.join(words[:pos] + ["[EMAIL]"] + words[pos:])
     else:
-        # over the bound: not an email match at all — never a partial
-        assert "[EMAIL]" not in clean
-        assert local in clean  # the full local part stays intact
+        # over the anchored bound: the residue pass redacts the
+        # trailing 64-char local + domain — head exposure only, never
+        # a fully-cleartext address
+        assert n == 1
+        assert clean == sep.join(
+            words[:pos] + [local[: llen - 64] + "[EMAIL]"] + words[pos:]
+        )
+
+
+def test_adjacent_emails_separated_by_class_chars(spark):
+    """The round-9 review's leak repro, pinned: two (or three) fully
+    well-formed addresses separated by a LOCAL-PART-CLASS char (-, +,
+    _, %). The anchored pass alone cannot fire on the second address —
+    after match 1 the scan resumes on the class char, so the anchor
+    never matches and the address survived in cleartext. The residue
+    pass must catch the whole chain (it may consume the class-char
+    separator into the redaction — over-redaction of one separator is
+    the accepted cost)."""
+    rows = [
+        (0, "a@b.cc-c@d.cc"),
+        (1, "x alice@ex.example.org+bob@ex.example.org y"),
+        (2, "a@b.cc-c@d.cc-e@f.gg"),
+    ]
+    got_spark = _spark_scrub(spark, rows)
+    assert got_spark == _duck_scrub_rows(rows)
+    for doc_id, text in rows:
+        clean, n = got_spark[doc_id]
+        assert "@" not in clean, (doc_id, clean)  # NO address survives
+        assert n == text.count("@")
 
 
 @settings(
