@@ -329,8 +329,15 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: greedy local part — whose class includes ``.`` and ``-`` — swallows
 #: the intervening domain+separator as a bogus address, destroying the
 #: real boundary the residue pass needs.
+#: ORDERING IS LOAD-BEARING: the literal ``-`` must sit LAST in the
+#: class. Written mid-class (``+-@``) it parses as the RANGE
+#: U+002B–U+0040 — silently adding ``,;:<=>?/`` to the class, so the
+#: anchor never fires after a comma and a >64-char local part leaks
+#: its head (the round-9 shipped bug, caught by the property suite).
+#: ``tests/test_regex_membership.py`` pins every class's membership
+#: char-by-char over printable ASCII so this can't regress silently.
 EMAIL_ANCHORED = (
-    r"(^|[^a-zA-Z0-9._%+-@])"
+    r"(^|[^a-zA-Z0-9._%@+-])"
     r"([a-zA-Z0-9._%+-]{1,256}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,})"
 )
 EMAIL_RESIDUE = r"[a-zA-Z0-9._%+-]{1,64}@[a-zA-Z0-9.-]{1,255}\.[a-zA-Z]{2,}"

@@ -318,19 +318,23 @@ def load_all() -> None:
 #:   (``text_lang_id`` r3 through ``etl_upsert_merge`` r4). After this
 #:   window the never-checked set is empty for the first time and the
 #:   oldest driver row in the repo is r4.
-#: - **r9 (this window, _EMIT_FIRST)**: per exception (a), the four
-#:   round-8 multiprobe-refactored consumers lead
+#: - **r9 (done — 50/50 green, CORRECTNESS_r09)**: per exception (a),
+#:   the four round-8 multiprobe-refactored consumers led
 #:   (``dedup_embedding_cosine``, ``sim_threshold_profile``,
 #:   ``docs_dedup_semantic``, ``sim_embedding_store``), then the
-#:   remaining 23 r4-stale rows (``text_decontaminate`` …
-#:   ``rel_sort_limit``) + the 23 oldest r5-green rows
-#:   (``rel_asof_join`` … ``events_funnel``). After this window the
-#:   oldest driver row in the repo becomes r5.
-#: - **r10**: the remaining 25 r5-green rows (``events_cohort_retention``
-#:   … ``stream_interval_join``) + the 25 oldest r6-green rows (the
-#:   exception-(a) jump displaced 3 r5 rows from the r9 window, so the
-#:   r5 remainder is 25, not the originally scheduled 22).
-#: - **r11**: the remaining r6-green rows + the oldest r7-green rows
+#:   remaining 23 r4-stale rows + the 23 oldest r5-green rows. After
+#:   this window the oldest driver row in the repo became r5.
+#: - **r10 (this window, _EMIT_FIRST)**: per exception (a),
+#:   ``text_pii_scrub`` leads — its shared helper ``scrub_pii``
+#:   (``operators/traindata.py``) changed this round (the
+#:   ``EMAIL_ANCHORED`` anchor-class range fix, VERDICT r9 task 1) after
+#:   its newest driver row (r6) — then the remaining 25 r5-green rows
+#:   (``events_cohort_retention`` … ``stream_interval_join``) + the 24
+#:   oldest r6-green rows (``events_gap_fill`` …
+#:   ``q16_parts_suppliers``; the jump displaces
+#:   ``q20_potential_promotion`` to r11). After this window the oldest
+#:   driver row in the repo becomes r6.
+#: - **r11**: the remaining 24 r6-green rows + the oldest r7-green rows
 #:   — steady state from here: strict oldest-driver-row-first order,
 #:   re-sorted each round from the CORRECTNESS_r*.json history.
 #:
@@ -341,70 +345,14 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r9 window (derived by ``python tools/plan_rotation.py``, then
-    # the exception-(a) jump applied): the four round-8
-    # multiprobe-refactored consumers lead — their builders (and
-    # oracles, in lockstep) changed after their newest driver row via
-    # ``similarity.embedding_probe_signatures``, so nothing outranks
-    # re-verifying them — then the remaining 23 r4-stale rows and the
-    # 23 oldest r5-green rows. After this window the oldest driver row
-    # in the repo becomes r5. ---
-    "dedup_embedding_cosine",  # r5, refactored r8
-    "sim_threshold_profile",  # r7, refactored r8
-    "docs_dedup_semantic",  # r7, refactored r8
-    "sim_embedding_store",  # r6, refactored r8
-    "text_decontaminate",  # r4
-    "text_repetition_score",  # r4
-    "events_zscore",  # r4
-    "text_stratified_sample",  # r4
-    "docs_mixture_sample",  # r4
-    "docs_pack_sequences_sharded",  # r4
-    "rel_filter_isin",  # r4
-    "rel_filter_nested_struct",  # r4
-    "rel_filter_null",  # r4
-    "rel_project_ops",  # r4
-    "rel_rename_upper",  # r4
-    "rel_join_inner_2key",  # r4
-    "rel_join_left",  # r4
-    "rel_join_semi",  # r4
-    "rel_join_anti",  # r4
-    "rel_join_full",  # r4
-    "rel_join_cross",  # r4
-    "rel_union_dedup",  # r4
-    "rel_dedup_keyed",  # r4
-    "rel_rollup",  # r4
-    "rel_cube",  # r4
-    "rel_pivot",  # r4
-    "rel_sort_limit",  # r4
-    "rel_asof_join",  # r5
-    "dedup_ngram_jaccard",  # r5
-    "docs_dedup_incremental",  # r5
-    "docs_dedup_corpus",  # r5
-    "rel_range_join",  # r5
-    "rel_percentiles",  # r5
-    "rel_sql_exists",  # r5
-    "rel_sql_scalar_subquery",  # r5
-    "rel_sql_not_in",  # r5
-    "q13_customer_distribution",  # r5
-    "rel_window_analytics",  # r5
-    "q19_disjunctive_filter",  # r5
-    "etl_json_struct",  # r5
-    "rel_grouping_sets",  # r5
-    "rel_set_ops",  # r5
-    "profile_orders",  # r5
-    "text_rare_bigram_ratio",  # r5
-    "dedup_containment",  # r5
-    "docs_curation_pipeline",  # r5
-    "rel_unpivot",  # r5
-    "rel_higher_order_funcs",  # r5
-    "rel_scd2_history",  # r5
-    "events_funnel",  # r5
-)
-
-_EMIT_LAST = (
-    # --- r10 cohort head: the remaining 25 r5-green rows, then the
-    # r6/r7 rows strictly oldest-driver-row-first, and finally the
-    # 50-row r8 window (freshest rows in the repo). ---
+    # --- r10 window (derived by ``python tools/plan_rotation.py``, then
+    # the exception-(a) jump applied): ``text_pii_scrub`` leads — its
+    # shared helper ``scrub_pii`` changed this round (EMAIL_ANCHORED
+    # anchor-class range fix) after its newest driver row — then the
+    # remaining 25 r5-green rows and the 24 oldest r6-green rows (the
+    # jump displaces ``q20_potential_promotion`` to r11). After this
+    # window the oldest driver row in the repo becomes r6. ---
+    "text_pii_scrub",  # r6, scrub_pii fixed r10
     "events_cohort_retention",  # r5
     "q4_order_priority",  # r5
     "q7_nation_volume",  # r5
@@ -454,7 +402,14 @@ _EMIT_LAST = (
     "q9_product_profit",  # r6
     "q11_important_stock",  # r6
     "q16_parts_suppliers",  # r6
-    "q20_potential_promotion",  # r6
+)
+
+_EMIT_LAST = (
+    # --- r11 cohort head: the r6 remainder (the displaced
+    # ``q20_potential_promotion`` first), then r7/r8 rows strictly
+    # oldest-driver-row-first, and finally the 50-row r9 window
+    # (freshest rows in the repo). ---
+    "q20_potential_promotion",  # r6, displaced from r10 by the jump
     "q21_waiting_supplier",  # r6
     "stream_tumbling_drain",  # r6
     "docs_dedup_store",  # r6
@@ -475,7 +430,6 @@ _EMIT_LAST = (
     "text_fingerprint",  # r6
     "text_lang_id_ngram",  # r6
     "text_lang_stats_pandas",  # r6
-    "text_pii_scrub",  # r6
     "text_token_stats",  # r6
     "text_train_test_split",  # r6
     "text_vocab_topk",  # r6
@@ -579,6 +533,58 @@ _EMIT_LAST = (
     "text_chunking",  # r8
     "etl_events_pipeline",  # r8
     "etl_upsert_merge",  # r8
+    # --- the r9 window: freshest driver rows in the repo, so they sit
+    # at the very end of the emission order. ---
+    "dedup_embedding_cosine",  # r9
+    "sim_threshold_profile",  # r9
+    "docs_dedup_semantic",  # r9
+    "sim_embedding_store",  # r9
+    "text_decontaminate",  # r9
+    "text_repetition_score",  # r9
+    "events_zscore",  # r9
+    "text_stratified_sample",  # r9
+    "docs_mixture_sample",  # r9
+    "docs_pack_sequences_sharded",  # r9
+    "rel_filter_isin",  # r9
+    "rel_filter_nested_struct",  # r9
+    "rel_filter_null",  # r9
+    "rel_project_ops",  # r9
+    "rel_rename_upper",  # r9
+    "rel_join_inner_2key",  # r9
+    "rel_join_left",  # r9
+    "rel_join_semi",  # r9
+    "rel_join_anti",  # r9
+    "rel_join_full",  # r9
+    "rel_join_cross",  # r9
+    "rel_union_dedup",  # r9
+    "rel_dedup_keyed",  # r9
+    "rel_rollup",  # r9
+    "rel_cube",  # r9
+    "rel_pivot",  # r9
+    "rel_sort_limit",  # r9
+    "rel_asof_join",  # r9
+    "dedup_ngram_jaccard",  # r9
+    "docs_dedup_incremental",  # r9
+    "docs_dedup_corpus",  # r9
+    "rel_range_join",  # r9
+    "rel_percentiles",  # r9
+    "rel_sql_exists",  # r9
+    "rel_sql_scalar_subquery",  # r9
+    "rel_sql_not_in",  # r9
+    "q13_customer_distribution",  # r9
+    "rel_window_analytics",  # r9
+    "q19_disjunctive_filter",  # r9
+    "etl_json_struct",  # r9
+    "rel_grouping_sets",  # r9
+    "rel_set_ops",  # r9
+    "profile_orders",  # r9
+    "text_rare_bigram_ratio",  # r9
+    "dedup_containment",  # r9
+    "docs_curation_pipeline",  # r9
+    "rel_unpivot",  # r9
+    "rel_higher_order_funcs",  # r9
+    "rel_scd2_history",  # r9
+    "events_funnel",  # r9
 )
 
 
