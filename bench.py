@@ -4,7 +4,7 @@
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
-     "canary_sec": C}
+     "canary_sec": C, "io_canary_sec": D}
 
 ``canary_sec`` is a HOST-SPEED CANARY: the min-of-3 wall of a fixed
 synthetic pure-JVM workload (xxhash64-fold over spark.range — no IO,
@@ -13,6 +13,17 @@ per-query ratios have repeatedly moved ±10-45% with UNCHANGED code
 (BASELINE.md's host-band history); dividing both sides' query times by
 their session's canary separates host drift from code regressions with
 a measurement instead of an argument.
+
+``io_canary_sec`` is the SCAN-SIDE complement (round 10): the CPU
+canary is blind to IO/scheduler drift — the r9 adjudication found a
+run whose canary was the fastest on record while its total was the
+slowest, leaving the residual unattributed. This one times a fixed
+parquet scan (min-of-3, column-pruned single-column bit_xor fold over
+a 100M-row incompressible synthetic table staged once under the SAME
+/tmp filesystem the bench tables live on — the exact scan path every
+headline query takes). A drifted total with BOTH canaries flat is a
+code regression; CPU-flat but IO-high is storage/page-cache-side host
+band.
 
 Each query is materialized through the `noop` sink (full execution, no
 write cost, no column-pruning shortcut the way `count()` allows).
@@ -183,6 +194,48 @@ def main() -> None:
         canary = None
         print(f"[bench] canary: ERROR {exc}", file=sys.stderr)
 
+    # IO-side canary: a fixed parquet scan over the same /tmp
+    # filesystem the bench tables live on. Staged ONCE (marker-cached,
+    # never timed): 400M rows of xxhash64(id) — incompressible, so the
+    # scan cannot be won by snappy shortcuts — in 32 files (~3.2 GB;
+    # 100M measured 0.229 s, inside scheduler jitter — same sizing rule
+    # as the CPU canary: keep the measured wall near a second). Timed
+    # min-of-3 AFTER the CPU canary; by then the file is page-cache
+    # warm, the same condition the headline queries read their tables
+    # under. The fold is a single bit_xor over the one column, so
+    # decode + read dominate, not hashing.
+    io_canary = None
+    try:
+        from pyspark.sql import functions as F
+
+        io_root = "/tmp/spark_graft_bench/io_canary.parquet"
+        io_marker = "/tmp/spark_graft_bench/_IO_CANARY_DONE"
+        if not os.path.exists(io_marker):
+            t0 = time.monotonic()
+            spark.range(0, 400_000_000, 1, 32).select(
+                F.expr("xxhash64(id)").alias("a")
+            ).write.mode("overwrite").parquet(io_root)
+            with open(io_marker, "w") as fh:
+                fh.write("ok")
+            print(
+                f"[bench] io canary staged in {time.monotonic() - t0:.1f}s",
+                file=sys.stderr,
+            )
+        for _ in range(3):
+            t0 = time.monotonic()
+            spark.read.parquet(io_root).select(
+                F.expr("bit_xor(a)")
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            io_canary = dt if io_canary is None else min(io_canary, dt)
+        io_canary = round(io_canary, 3)
+        print(f"[bench] io canary: {io_canary:.3f}s", file=sys.stderr)
+    except Exception as exc:
+        # same contract as the CPU canary: a partial min must not
+        # masquerade as the documented min-of-3
+        io_canary = None
+        print(f"[bench] io canary: ERROR {exc}", file=sys.stderr)
+
     # Stop the JVM BEFORE emitting the JSON line: under memory pressure
     # the JVM's unified logging writes gc,alloc warnings to STDOUT
     # (observed during the 30× scale run), and anything printed after
@@ -197,6 +250,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "canary_sec": canary,
+                "io_canary_sec": io_canary,
             }
         )
     )
