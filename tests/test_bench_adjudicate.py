@@ -1,0 +1,97 @@
+"""Unit pins for tools/bench_adjudicate.py (the r10 canary protocol).
+
+Pure-Python — no Spark. The protocol's arithmetic is the thing worth
+pinning: a host running uniformly slower (canary up by the same factor
+as every query) must normalize to ratio 1.0 / ``noise``, while a single
+query that truly regressed must flag even when the canary is flat.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_adjudicate",
+    Path(__file__).resolve().parents[1] / "tools" / "bench_adjudicate.py",
+)
+badj = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(badj)
+
+ANCHOR = {
+    "canary_sec": 0.4,
+    "io_canary_sec": 0.6,
+    "queries": {"qa": 1.0, "qb": 2.0, "qc": 0.5},
+}
+
+
+def test_uniform_host_slowdown_normalizes_to_noise():
+    """Canary and every query 1.5x slower: pure host band — every
+    normalized ratio is exactly 1.0 and nothing flags."""
+    run = {
+        "canary_sec": 0.6,
+        "queries": {"qa": 1.5, "qb": 3.0, "qc": 0.75},
+    }
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["flagged"] == []
+    assert out["median_norm_ratio"] == 1.0
+    assert all(r["status"] == "noise" for r in out["queries"].values())
+    assert all(r["raw_ratio"] == 1.5 for r in out["queries"].values())
+
+
+def test_real_regression_flags_through_flat_canary():
+    """Canary flat, one query 2x: that is code, and only it flags."""
+    run = {"canary_sec": 0.4, "queries": {"qa": 2.0, "qb": 2.0, "qc": 0.5}}
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["flagged"] == ["qa"]
+    assert out["queries"]["qa"]["norm_ratio"] == 2.0
+    assert out["queries"]["qb"]["status"] == "noise"
+
+
+def test_band_between_noise_and_flag():
+    run = {"canary_sec": 0.4, "queries": {"qa": 1.2, "qb": 2.0, "qc": 0.5}}
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["queries"]["qa"]["status"] == "band"
+    assert out["flagged"] == []
+
+
+def test_missing_canary_falls_back_to_raw():
+    run = {"canary_sec": None, "queries": {"qa": 1.6, "qb": 2.0, "qc": 0.5}}
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["canary_applied"] is False
+    assert out["canary_scale"] == 1.0
+    assert out["flagged"] == ["qa"]
+
+
+def test_errored_query_reported_not_ratioed():
+    run = {"canary_sec": 0.4, "queries": {"qa": -1.0, "qb": 2.0, "qc": 0.5}}
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["queries"]["qa"] == {"status": "missing_or_errored"}
+    assert "qa" not in out["flagged"]
+
+
+def test_io_canary_ratio_emitted_when_both_present():
+    run = {
+        "canary_sec": 0.4,
+        "io_canary_sec": 0.9,
+        "queries": {"qa": 1.0, "qb": 2.0, "qc": 0.5},
+    }
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["io_canary_ratio"] == 1.5
+
+
+def test_driver_wrapper_loading(tmp_path):
+    """Driver BENCH_r*.json wraps the line under 'parsed'."""
+    inner = {"canary_sec": 0.4, "queries": {"qa": 1.0}}
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text(json.dumps({"n": 1, "parsed": inner}))
+    assert badj._load(str(p))["queries"] == {"qa": 1.0}
+
+
+def test_embedded_anchor_matches_baseline_record():
+    """The embedded anchor is the BASELINE.md min-of-2 vector: spot-pin
+    the totals so a drive-by edit of one can't drift from the other."""
+    assert badj.ANCHOR["canary_sec"] == 0.409
+    assert len(badj.ANCHOR["queries"]) == 34
+    assert round(sum(badj.ANCHOR["queries"].values()), 2) == 38.73

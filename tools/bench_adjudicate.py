@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Adjudicate a bench run against the canary-anchored baseline.
+
+BASELINE.md's round-10 gate, applied programmatically instead of by
+hand each round: given a candidate ``bench.py`` JSON line (or driver
+``BENCH_r*.json`` wrapper) and an anchor (default: the round-10
+min-of-2 record embedded below), emit per-query CANARY-NORMALIZED
+ratios and a verdict per query:
+
+- normalized ratio = (query_sec * anchor_canary / run_canary)
+                     / anchor_query_sec
+- ``flag``  : normalized ratio > FLAG_RATIO (default 1.5) — candidate
+              code regression, read the plan.
+- ``noise`` : |ratio - 1| <= NOISE_BAND (0.05) — below the measured
+              same-host noise floor (BASELINE.md: back-to-back totals
+              differ 5.5% at equal canaries); not adjudicable.
+- ``band``  : everything between — compare the ratio SHAPE across
+              queries (uniform & inflation-biased = host band,
+              concentrated = code) before blaming a plan.
+
+If the run carries ``io_canary_sec`` and the anchor has one, a second
+normalization is printed: CPU-flat-but-IO-high runs are storage-side
+host band the CPU canary cannot see (the r9 adjudication gap).
+
+Usage:
+    python tools/bench_adjudicate.py BENCH_r10.json
+    python tools/bench_adjudicate.py run.json --anchor other.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+
+FLAG_RATIO = 1.5
+NOISE_BAND = 0.05
+
+#: Round-10 anchor: per-query MIN of the two back-to-back
+#: canary-bearing runs recorded in BASELINE.md (2026-08-15). The
+#: io_canary reference is recorded separately once measured on a quiet
+#: host; None means "skip the IO normalization".
+ANCHOR = {
+    "canary_sec": 0.409,
+    "io_canary_sec": None,
+    "queries": {
+        "q1_pricing_summary": 1.404,
+        "q6_forecast_revenue": 0.406,
+        "q3_top_orders": 1.641,
+        "q5_region_revenue": 1.749,
+        "rel_window_running": 0.674,
+        "rel_dedup_keyed": 0.861,
+        "etl_events_pipeline": 1.405,
+        "rel_asof_join": 0.699,
+        "dedup_minhash_lsh": 2.089,
+        "dedup_simhash": 1.111,
+        "dedup_embedding_cosine": 3.143,
+        "text_quality_score": 0.351,
+        "text_fingerprint": 0.330,
+        "sim_topk_cosine": 0.568,
+        "sim_ivf_search": 1.092,
+        "stream_tumbling_counts": 0.405,
+        "stream_session_windows": 0.738,
+        "mm_decode_features": 2.272,
+        "sim_kmeans": 1.450,
+        "text_decontaminate": 0.801,
+        "docs_pack_sequences": 0.306,
+        "events_weighted_sample": 0.263,
+        "docs_dedup_corpus": 2.277,
+        "docs_dedup_incremental": 1.956,
+        "text_repetition_filter": 1.512,
+        "q8_market_share": 1.299,
+        "q10_returned_items": 0.836,
+        "rel_scd2_history": 0.862,
+        "events_sessionize": 0.718,
+        "events_gap_fill": 0.674,
+        "text_pmi_bigrams": 0.678,
+        "graph_reachability": 2.704,
+        "docs_bm25_topk": 0.726,
+        "docs_source_divergence": 0.733,
+    },
+}
+
+
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        d = json.load(fh)
+    # driver BENCH_r*.json wraps the bench line under "parsed"
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no 'queries' key (not a bench JSON)")
+    return d
+
+
+def adjudicate(run: dict, anchor: dict) -> dict:
+    rc = run.get("canary_sec")
+    ac = anchor["canary_sec"]
+    scale = (ac / rc) if (rc and ac) else 1.0
+    rows = {}
+    ratios = []
+    for name, a_sec in anchor["queries"].items():
+        r_sec = run["queries"].get(name)
+        if r_sec is None or r_sec < 0 or not a_sec:
+            rows[name] = {"status": "missing_or_errored"}
+            continue
+        norm = (r_sec * scale) / a_sec
+        ratios.append(norm)
+        status = (
+            "flag"
+            if norm > FLAG_RATIO
+            else ("noise" if abs(norm - 1) <= NOISE_BAND else "band")
+        )
+        rows[name] = {
+            "raw_sec": r_sec,
+            "raw_ratio": round(r_sec / a_sec, 3),
+            "norm_ratio": round(norm, 3),
+            "status": status,
+        }
+    out = {
+        "canary_scale": round(scale, 4),
+        "canary_applied": bool(rc and ac),
+        "median_norm_ratio": round(statistics.median(ratios), 3)
+        if ratios
+        else None,
+        "flagged": sorted(
+            n for n, r in rows.items() if r.get("status") == "flag"
+        ),
+        "queries": rows,
+    }
+    rio, aio = run.get("io_canary_sec"), anchor.get("io_canary_sec")
+    if rio and aio:
+        out["io_canary_ratio"] = round(rio / aio, 3)
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("run", help="bench JSON line file or driver BENCH_r*.json")
+    p.add_argument(
+        "--anchor",
+        help="another bench JSON as the anchor (default: the r10 record)",
+    )
+    a = p.parse_args()
+    run = _load(a.run)
+    anchor = _load(a.anchor) if a.anchor else ANCHOR
+    result = adjudicate(run, anchor)
+    json.dump(result, sys.stdout, indent=1)
+    print()
+    return 1 if result["flagged"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
