@@ -10,10 +10,21 @@ and both have bitten real test data:
 2. **TIMESTAMP_NTZ** — parquet timestamps written without
    ``isAdjustedToUTC`` infer as ``TimestampNTZType``, which
    ``withWatermark`` rejects outright
-   (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``). The session timezone is
-   pinned to UTC by the session factory, so a plain cast to LTZ is
-   value-preserving — the wall-clock instant each NTZ value denotes is
-   the same instant the LTZ value stores.
+   (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``). The cast to LTZ is
+   value-preserving ONLY when the session timezone is UTC — the
+   engine's own session factory pins it, but the DRIVER builds a bare
+   session that inherits the host zone, so the source builders here
+   force the conf at runtime (the same pattern ``registry.table`` uses
+   for ``nanosAsLong``). Under a non-UTC session the cast shifts the
+   internal micros by the zone offset, and ``F.window``'s epoch-grid
+   alignment then lands on the UTC grid *as seen from the shifted
+   values*: invisible for whole-hour zones (the grids coincide modulo
+   an hour — the r9 America/New_York sweep could not catch it), but a
+   +05:45 zone regroups every tumbling/sliding window onto :45
+   boundaries (the r10 Asia/Kathmandu sweep's finding — batch twins
+   stay green because the batch path is NTZ end-to-end and never
+   touches the zone). Session windows are gap-based, no epoch grid,
+   so they were invariant either way.
 
 ``events_stream`` handles both in one place so every watermark helper
 (windows, stream-stream join, stateful dedup, profiles) reads the same
@@ -102,6 +113,11 @@ def events_stream(
     """
     import os
 
+    # The NTZ->LTZ event-time cast and F.window's epoch-grid alignment
+    # are value-preserving only under a UTC session zone (module
+    # docstring, hazard 2) — force it on the driver's bare session,
+    # the same runtime-conf pattern as nanosAsLong below.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{table_name}.parquet"
     nanos = _nanos_columns(path)
     if nanos:
@@ -142,6 +158,8 @@ def stream_from_glob(
     For callers that stage their own replay directories (the streaming
     dedup tests) and therefore already hold the schema + nanos sniff.
     """
+    # same UTC pin as events_stream (module docstring, hazard 2)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = spark.readStream.schema(schema).format("parquet").load(src_glob)
     return guard_event_time(
         normalize_event_time(repair_nanos(stream, nanos), ts_col), ts_col

@@ -159,3 +159,32 @@ def test_stream_events_dedup_glob_every_flavor(spark, flavor_dir):
     _drain(stream, f"flv_gdedup_{flavor}", "append")
     n = spark.sql(f"SELECT count(*) AS n FROM flv_gdedup_{flavor}").collect()[0]["n"]
     assert n == N_ROWS
+
+
+def test_tumbling_alignment_is_utc_grid_under_hostile_session_tz(spark):
+    """r10 Asia/Kathmandu-sweep regression, pinned.
+
+    The driver's bare session inherits the HOST zone. Under a non-UTC
+    session zone the streaming path's NTZ->LTZ cast shifts the internal
+    micros by the zone offset, and ``F.window``'s epoch-grid alignment
+    then regroups tumbling/sliding windows onto offset boundaries — a
+    +05:45 zone moved every 1-hour window onto :45 and changed the row
+    count (3391 vs 3385 at sf0.01). Whole-hour zones coincide with the
+    UTC grid modulo an hour, so the r9 America/New_York sweep could
+    not catch this; the batch twins are NTZ end-to-end and were never
+    affected. The source builders must force the UTC session zone
+    themselves (the ``nanosAsLong`` runtime-conf pattern)."""
+    from spark_etl_pipeline_spark.streaming.windows import (
+        stream_tumbling_drain,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try:
+        out = stream_tumbling_drain(spark, "/root/testdata/sf0.001").collect()
+        assert out
+        minutes = {r["window_start"][14:16] for r in out}
+        assert minutes == {"00"}, minutes  # UTC/naive 1-hour grid
+        # the builder itself must have re-pinned the zone
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
