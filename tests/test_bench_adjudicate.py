@@ -93,5 +93,6 @@ def test_embedded_anchor_matches_baseline_record():
     """The embedded anchor is the BASELINE.md min-of-2 vector: spot-pin
     the totals so a drive-by edit of one can't drift from the other."""
     assert badj.ANCHOR["canary_sec"] == 0.409
+    assert badj.ANCHOR["io_canary_sec"] == 0.508
     assert len(badj.ANCHOR["queries"]) == 34
     assert round(sum(badj.ANCHOR["queries"].values()), 2) == 38.73

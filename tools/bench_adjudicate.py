@@ -43,7 +43,9 @@ NOISE_BAND = 0.05
 #: host; None means "skip the IO normalization".
 ANCHOR = {
     "canary_sec": 0.409,
-    "io_canary_sec": None,
+    # quiet-host reference from the round-10 close run (38.95 s total,
+    # CPU canary 0.407 — same session class as the A/B anchor pair)
+    "io_canary_sec": 0.508,
     "queries": {
         "q1_pricing_summary": 1.404,
         "q6_forecast_revenue": 0.406,
