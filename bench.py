@@ -19,11 +19,15 @@ canary is blind to IO/scheduler drift — the r9 adjudication found a
 run whose canary was the fastest on record while its total was the
 slowest, leaving the residual unattributed. This one times a fixed
 parquet scan (min-of-3, column-pruned single-column bit_xor fold over
-a 100M-row incompressible synthetic table staged once under the SAME
-/tmp filesystem the bench tables live on — the exact scan path every
-headline query takes). A drifted total with BOTH canaries flat is a
-code regression; CPU-flat but IO-high is storage/page-cache-side host
-band.
+a 400M-row incompressible synthetic table staged once under the SAME
+/tmp filesystem the default multi-file bench tables live on — the
+exact scan path every headline query takes). A drifted total with
+BOTH canaries flat is a code regression; CPU-flat but IO-high is
+storage/page-cache-side host band. Caveat: with the
+SPARK_GRAFT_BENCH_MULTIFILE=0 opt-out the queries read ``sf_dir``
+directly while the io canary still measures /tmp — on a host where
+those are different devices the io reading does not speak for the
+tables' filesystem.
 
 Each query is materialized through the `noop` sink (full execution, no
 write cost, no column-pruning shortcut the way `count()` allows).

@@ -71,6 +71,40 @@ def test_errored_query_reported_not_ratioed():
     assert "qa" not in out["flagged"]
 
 
+def test_errored_anchor_query_reported_not_ratioed():
+    """bench.py writes -1.0 for an errored query on EITHER side; a
+    negative anchor must not produce a negative 'band' ratio or poison
+    the median."""
+    anchor = {"canary_sec": 0.4, "queries": {"qa": -1.0, "qb": 2.0}}
+    run = {"canary_sec": 0.4, "queries": {"qa": 1.0, "qb": 2.0}}
+    out = badj.adjudicate(run, anchor)
+    assert out["queries"]["qa"] == {"status": "missing_or_errored"}
+    assert out["median_norm_ratio"] == 1.0
+
+
+def test_pre_canary_anchor_falls_back_to_raw():
+    """Pre-r9 bench records carry no canary_sec at all — the anchor
+    side must degrade to raw ratios exactly like the run side."""
+    anchor = {"queries": {"qa": 1.0}}
+    run = {"canary_sec": 0.4, "queries": {"qa": 1.2}}
+    out = badj.adjudicate(run, anchor)
+    assert out["canary_applied"] is False
+    assert out["queries"]["qa"]["norm_ratio"] == 1.2
+
+
+def test_unanchored_run_queries_are_listed():
+    """A run-side query the anchor has never seen cannot be
+    adjudicated — silence would read as 'all green' for a query the
+    gate never examined."""
+    run = {
+        "canary_sec": 0.4,
+        "queries": {"qa": 1.0, "qb": 2.0, "qc": 0.5, "q_new": 99.0},
+    }
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["unanchored"] == ["q_new"]
+    assert "q_new" not in out["queries"]
+
+
 def test_io_canary_ratio_emitted_when_both_present():
     run = {
         "canary_sec": 0.4,

@@ -115,9 +115,11 @@ def test_email_redaction_is_all_or_nothing_cross_engine(
     spark, words, llen, sep, seed, pos_raw
 ):
     """For any local-part length and separator context, both engines
-    agree exactly, and the outcome is binary: within the bound the
-    WHOLE address becomes [EMAIL] (no cleartext residue of the local
-    part), beyond it the text is untouched by the email pattern."""
+    agree exactly, and the outcome follows the documented contract:
+    within the {1,256} bound the WHOLE address becomes [EMAIL] (no
+    cleartext residue of the local part); beyond it the residue pass
+    redacts the trailing 64-char local + domain — head exposure only
+    on that adversarial shape, never a fully-cleartext address."""
     rng = random.Random(seed)
     # letters-only local part: digit runs >= 6 inside an email are
     # ALSO counted/replaced by the [NUM] pattern (the documented

@@ -177,10 +177,11 @@ def test_tumbling_alignment_is_utc_grid_under_hostile_session_tz(spark):
     from spark_etl_pipeline_spark.streaming.windows import (
         stream_tumbling_drain,
     )
+    from tests.conftest import SF_SMOKE
 
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
     try:
-        out = stream_tumbling_drain(spark, "/root/testdata/sf0.001").collect()
+        out = stream_tumbling_drain(spark, SF_SMOKE).collect()
         assert out
         minutes = {r["window_start"][14:16] for r in out}
         assert minutes == {"00"}, minutes  # UTC/naive 1-hour grid

@@ -98,13 +98,15 @@ def _load(path: str) -> dict:
 
 def adjudicate(run: dict, anchor: dict) -> dict:
     rc = run.get("canary_sec")
-    ac = anchor["canary_sec"]
+    ac = anchor.get("canary_sec")  # pre-r9 records carry no canary
     scale = (ac / rc) if (rc and ac) else 1.0
     rows = {}
     ratios = []
     for name, a_sec in anchor["queries"].items():
         r_sec = run["queries"].get(name)
-        if r_sec is None or r_sec < 0 or not a_sec:
+        # either side's -1.0 is bench.py's errored-query sentinel — a
+        # negative anchor must not produce a negative "band" ratio
+        if r_sec is None or r_sec < 0 or a_sec is None or a_sec <= 0:
             rows[name] = {"status": "missing_or_errored"}
             continue
         norm = (r_sec * scale) / a_sec
@@ -128,6 +130,12 @@ def adjudicate(run: dict, anchor: dict) -> dict:
         else None,
         "flagged": sorted(
             n for n, r in rows.items() if r.get("status") == "flag"
+        ),
+        # run-side queries the anchor has never seen: the gate cannot
+        # adjudicate them, and silence would read as "all green" for a
+        # query it never examined — list them explicitly
+        "unanchored": sorted(
+            set(run["queries"]) - set(anchor["queries"])
         ),
         "queries": rows,
     }
