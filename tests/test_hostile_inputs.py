@@ -1185,3 +1185,97 @@ def test_agrees_with_oracle_on_floats_then_skew(
     spark_pdf = spec.builder(spark, floats_skew_dir).toPandas()
     duck_pdf = floats_skew_duck.sql(spec.oracle).df()
     _assert_matches_oracle(name, spark_pdf, duck_pdf)
+
+
+#: Round-10's TRIPLE composition: ``unicode`` (ZWJ/CJK/RTL-damaged
+#: documents.text) through ``times`` (hostile-but-legal instants in ~2%
+#: of timestamp cells) through ``skew`` (hot-key FK redirection) — the
+#: first corpus carrying THREE damage families at once. The genuinely
+#: new interactions are per-table: the 30%-dominant source carries
+#: unicode-damaged text (text defenses on the hot source's rows) while
+#: the hot user's giant partition carries out-of-epoch instants (epoch
+#: gates + watermark guard on the hot key) in the SAME staged corpus,
+#: so any defense that keyed off "clean elsewhere" state would fail
+#: here. Full sweep 222/222 green on first run
+#: (``REHEARSAL_r10_hostile.json: unicode_times_skew_sf0_01``).
+UNICODE_TIMES_SKEW_QUERIES = (
+    "docs_cap_per_source",     # cap sampling over the damaged hot source
+    "docs_source_divergence",  # per-source token stats with unicode on src0
+    "text_lang_id_ngram",      # n-gram profiles over ZWJ/CJK/RTL cells
+    "text_pii_scrub",          # the r10-fixed anchored pattern on damaged text
+    "events_gap_fill",         # epoch-gated spine, hot user inside the grid
+    "stream_tumbling_drain",   # watermarked drain over the skewed stream
+)
+
+
+@pytest.fixture(scope="module")
+def unicode_times_skew_dir(spark, tmp_path_factory):
+    """sf0.001 with unicode text damage, THEN hostile instants, THEN
+    hot-key redirection."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    root = tmp_path_factory.mktemp("hostile")
+    mid1 = str(root / "unicode")
+    mid2 = str(root / "unicode_times")
+    out = str(root / "unicode_times_skew")
+    stage("unicode", SF_SMOKE, mid1, spark=spark)
+    stage("times", mid1, mid2, spark=spark)
+    stage("skew", mid2, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def unicode_times_skew_duck(unicode_times_skew_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{unicode_times_skew_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_triple_damage_lands_on_the_hot_keys(spark, unicode_times_skew_dir):
+    """The triple-composition premise, both halves: the dominant source
+    carries unicode-damaged text AND the hot user carries out-of-epoch
+    instants — in the same staged corpus. If either damage class landed
+    only on cold rows the sweep would prove nothing about interaction."""
+    from pyspark.sql import functions as F
+
+    docs = registry.table(spark, unicode_times_skew_dir, "documents")
+    hot_src = docs.groupBy("source").count().orderBy(F.desc("count")).first()
+    damaged_on_hot = docs.filter(
+        (F.col("source") == hot_src.source)
+        & F.col("text").rlike("[^\\x00-\\x7F]")
+    ).count()
+    assert hot_src["count"] > 100, "skew staging lost the dominant source"
+    assert damaged_on_hot > 0, "no unicode-damaged text on the hot source"
+
+    ev = registry.table(spark, unicode_times_skew_dir, "events")
+    hot_user = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    hostile_on_hot = ev.filter(
+        (F.col("user_id") == hot_user.user_id)
+        & (
+            (F.col("ts") < F.lit("1990-01-01").cast("timestamp_ntz"))
+            | (F.col("ts") > F.expr("localtimestamp()"))
+        )
+    ).count()
+    assert hot_user["count"] > 100, "skew staging lost the hot user"
+    assert hostile_on_hot > 0, "no hostile instants on the hot key"
+
+
+@pytest.mark.parametrize("name", UNICODE_TIMES_SKEW_QUERIES)
+def test_agrees_with_oracle_on_unicode_times_skew(
+    spark, unicode_times_skew_dir, unicode_times_skew_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, unicode_times_skew_dir).toPandas()
+    duck_pdf = unicode_times_skew_duck.sql(spec.oracle).df()
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
