@@ -334,9 +334,18 @@ def load_all() -> None:
 #:   ``q16_parts_suppliers``; the jump displaces
 #:   ``q20_potential_promotion`` to r11). After this window the oldest
 #:   driver row in the repo becomes r6.
-#: - **r11**: the remaining 24 r6-green rows + the oldest r7-green rows
-#:   — steady state from here: strict oldest-driver-row-first order,
-#:   re-sorted each round from the CORRECTNESS_r*.json history.
+#: - **r11 (this window, _EMIT_FIRST)**: the remaining 24 r6-green rows
+#:   (``q20_potential_promotion``, displaced from r10 by the
+#:   exception-(a) jump, leads) + the 26 oldest r7-green rows
+#:   (``text_tokenizer_fertility`` … ``rel_ship_lag``) — steady state
+#:   from here: strict oldest-driver-row-first order, re-sorted each
+#:   round from the CORRECTNESS_r*.json history
+#:   (``python tools/plan_rotation.py`` reproduces this window
+#:   verbatim). After this window the oldest driver row becomes r7.
+#: - **r12**: the remaining 22 r7-green rows + the oldest r8-green rows;
+#:   plus any exception-(a) jumps from r11 code changes (the
+#:   ``streaming/source.py`` TZ-pin warning added in r11 is log-only —
+#:   no plan change — so no jump is owed for the stream drains).
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
@@ -345,70 +354,12 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r10 window (derived by ``python tools/plan_rotation.py``, then
-    # the exception-(a) jump applied): ``text_pii_scrub`` leads — its
-    # shared helper ``scrub_pii`` changed this round (EMAIL_ANCHORED
-    # anchor-class range fix) after its newest driver row — then the
-    # remaining 25 r5-green rows and the 24 oldest r6-green rows (the
-    # jump displaces ``q20_potential_promotion`` to r11). After this
-    # window the oldest driver row in the repo becomes r6. ---
-    "text_pii_scrub",  # r6, scrub_pii fixed r10
-    "events_cohort_retention",  # r5
-    "q4_order_priority",  # r5
-    "q7_nation_volume",  # r5
-    "q8_market_share",  # r5
-    "q10_returned_items",  # r5
-    "q15_top_supplier",  # r5
-    "q17_small_quantity",  # r5
-    "q22_dormant_customers",  # r5
-    "stream_dedup_replay",  # r5
-    "text_repetition_filter",  # r5
-    "sim_embed_quantize",  # r5
-    "dedup_components_star",  # r5
-    "sim_ivf_nprobe2",  # r5
-    "sim_ann_recall_nprobe2",  # r5
-    "events_skew_salted_agg",  # r5
-    "events_skew_salted_join",  # r5
-    "rel_partition_prune",  # r5
-    "sim_ann_hyperplane",  # r5
-    "sim_ivf_search",  # r5
-    "sim_ann_recall",  # r5
-    "stream_tumbling_counts",  # r5
-    "stream_sliding_counts",  # r5
-    "stream_session_windows",  # r5
-    "stream_time_rollup",  # r5
-    "stream_interval_join",  # r5
-    "events_gap_fill",  # r6
-    "events_sessionize",  # r6
-    "events_period_over_period",  # r6
-    "text_pmi_bigrams",  # r6
-    "docs_tfidf_topk",  # r6
-    "sim_ivf_kmeans",  # r6
-    "stream_sliding_drain",  # r6
-    "stream_session_drain",  # r6
-    "events_value_deciles",  # r6
-    "events_heavy_hitters",  # r6
-    "rel_window_range_time",  # r6
-    "rel_corr_stats",  # r6
-    "events_feature_assembly",  # r6
-    "stream_rollup_drain",  # r6
-    "mm_audio_window",  # r6
-    "stream_profiles_drain",  # r6
-    "text_normalize",  # r6
-    "docs_split_leakage_safe",  # r6
-    "docs_shard_shuffle",  # r6
-    "docs_token_budget_select",  # r6
-    "q2_min_cost_supplier",  # r6
-    "q9_product_profit",  # r6
-    "q11_important_stock",  # r6
-    "q16_parts_suppliers",  # r6
-)
-
-_EMIT_LAST = (
-    # --- r11 cohort head: the r6 remainder (the displaced
-    # ``q20_potential_promotion`` first), then r7/r8 rows strictly
-    # oldest-driver-row-first, and finally the 50-row r9 window
-    # (freshest rows in the repo). ---
+    # --- r11 window (exactly ``python tools/plan_rotation.py`` output —
+    # steady-state oldest-driver-row-first, no exception jumps owed):
+    # the 24 remaining r6-green rows (``q20_potential_promotion``,
+    # displaced from r10 by that round's exception-(a) jump, leads),
+    # then the 26 oldest r7-green rows. After this window the oldest
+    # driver row in the repo becomes r7. ---
     "q20_potential_promotion",  # r6, displaced from r10 by the jump
     "q21_waiting_supplier",  # r6
     "stream_tumbling_drain",  # r6
@@ -459,6 +410,12 @@ _EMIT_LAST = (
     "events_interarrival",  # r7
     "rel_order_backlog",  # r7
     "rel_ship_lag",  # r7
+)
+
+_EMIT_LAST = (
+    # --- r12 cohort head: the r7 remainder, then r8/r9 rows strictly
+    # oldest-driver-row-first, and finally the 50-row r10 window
+    # (freshest rows in the repo). ---
     "rel_supplier_hhi",  # r7
     "events_cusum_drift",  # r7
     "events_ewma",  # r7
@@ -585,6 +542,58 @@ _EMIT_LAST = (
     "rel_higher_order_funcs",  # r9
     "rel_scd2_history",  # r9
     "events_funnel",  # r9
+    # --- the r10 window: freshest driver rows in the repo, so they sit
+    # at the very end of the emission order. ---
+    "text_pii_scrub",  # r10
+    "events_cohort_retention",  # r10
+    "q4_order_priority",  # r10
+    "q7_nation_volume",  # r10
+    "q8_market_share",  # r10
+    "q10_returned_items",  # r10
+    "q15_top_supplier",  # r10
+    "q17_small_quantity",  # r10
+    "q22_dormant_customers",  # r10
+    "stream_dedup_replay",  # r10
+    "text_repetition_filter",  # r10
+    "sim_embed_quantize",  # r10
+    "dedup_components_star",  # r10
+    "sim_ivf_nprobe2",  # r10
+    "sim_ann_recall_nprobe2",  # r10
+    "events_skew_salted_agg",  # r10
+    "events_skew_salted_join",  # r10
+    "rel_partition_prune",  # r10
+    "sim_ann_hyperplane",  # r10
+    "sim_ivf_search",  # r10
+    "sim_ann_recall",  # r10
+    "stream_tumbling_counts",  # r10
+    "stream_sliding_counts",  # r10
+    "stream_session_windows",  # r10
+    "stream_time_rollup",  # r10
+    "stream_interval_join",  # r10
+    "events_gap_fill",  # r10
+    "events_sessionize",  # r10
+    "events_period_over_period",  # r10
+    "text_pmi_bigrams",  # r10
+    "docs_tfidf_topk",  # r10
+    "sim_ivf_kmeans",  # r10
+    "stream_sliding_drain",  # r10
+    "stream_session_drain",  # r10
+    "events_value_deciles",  # r10
+    "events_heavy_hitters",  # r10
+    "rel_window_range_time",  # r10
+    "rel_corr_stats",  # r10
+    "events_feature_assembly",  # r10
+    "stream_rollup_drain",  # r10
+    "mm_audio_window",  # r10
+    "stream_profiles_drain",  # r10
+    "text_normalize",  # r10
+    "docs_split_leakage_safe",  # r10
+    "docs_shard_shuffle",  # r10
+    "docs_token_budget_select",  # r10
+    "q2_min_cost_supplier",  # r10
+    "q9_product_profit",  # r10
+    "q11_important_stock",  # r10
+    "q16_parts_suppliers",  # r10
 )
 
 
