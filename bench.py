@@ -14,20 +14,40 @@ per-query ratios have repeatedly moved ±10-45% with UNCHANGED code
 their session's canary separates host drift from code regressions with
 a measurement instead of an argument.
 
-``io_canary_sec`` is the SCAN-SIDE complement (round 10): the CPU
+``io_canary_sec`` is the STORAGE-SIDE complement (round 10): the CPU
 canary is blind to IO/scheduler drift — the r9 adjudication found a
 run whose canary was the fastest on record while its total was the
-slowest, leaving the residual unattributed. This one times a fixed
-parquet scan (min-of-3, column-pruned single-column bit_xor fold over
-a 400M-row incompressible synthetic table staged once under the SAME
-/tmp filesystem the default multi-file bench tables live on — the
-exact scan path every headline query takes). A drifted total with
-BOTH canaries flat is a code regression; CPU-flat but IO-high is
-storage/page-cache-side host band. Caveat: with the
-SPARK_GRAFT_BENCH_MULTIFILE=0 opt-out the queries read ``sf_dir``
-directly while the io canary still measures /tmp — on a host where
-those are different devices the io reading does not speak for the
-tables' filesystem.
+slowest, leaving the residual unattributed. It times a raw sequential
+byte-read (min-of-3 after one untimed warm-up pass) of a 3.2 GB
+incompressible synthetic parquet table staged once under the SAME
+/tmp filesystem the default multi-file bench tables live on. A
+drifted total with BOTH canaries flat is a code regression; CPU-flat
+but IO-high is storage/page-cache-side host band.
+
+Round-11 protocol fixes, after the r10 reading (2.578 s vs the 0.508
+quiet-host reference with a flat CPU canary and every query
+flat-to-faster) exposed two defects in the r10 design:
+
+1. Staging raced its own measurement — the 3.2 GB write finished
+   seconds before the timed reads. Staging now happens BEFORE the
+   headline run with an untimed ``os.sync()``, and one untimed
+   warm-up read precedes the timed min-of-3, so every session times
+   the same page-cache-warm regime.
+2. The timed read went through a Spark parquet scan, which measures
+   JVM allocation/GC state more than storage: with the race fixed,
+   back-to-back runs still swung 1.01 s -> 1.76 s (flat CPU canary
+   both times) while a raw byte-read of the same files held
+   0.57-0.70 s, and the same scan in a fresh small-heap session
+   OOMed outright on 32 concurrent ~100 MB vectored-read buffers.
+   The timed pass is now a plain sequential ``read()`` of the staged
+   files — it isolates the filesystem/page-cache axis (the one the
+   CPU canary cannot see) with no JVM noise on top. Parquet-decode
+   health is already covered per-query by the headline timings.
+
+Caveat: with the SPARK_GRAFT_BENCH_MULTIFILE=0 opt-out the queries
+read ``sf_dir`` directly while the io canary still measures /tmp —
+on a host where those are different devices the io reading does not
+speak for the tables' filesystem.
 
 Each query is materialized through the `noop` sink (full execution, no
 write cost, no column-pruning shortcut the way `count()` allows).
@@ -89,6 +109,81 @@ HEADLINE = [
 
 N_FILES = 8  # files per table in the multi-file bench layout
 
+IO_CANARY_ROOT = "/tmp/spark_graft_bench/io_canary.parquet"
+#: staged-ok marker lives INSIDE the data directory: a /tmp reaper that
+#: removes the parquet necessarily removes the marker with it, so a
+#: stale marker can never vouch for missing data (the pre-r11 sibling
+#: file ``_IO_CANARY_DONE`` could).
+IO_CANARY_MARKER = os.path.join(IO_CANARY_ROOT, "_STAGED_OK")
+#: 3.2 GB table + parquet-write scratch headroom
+IO_CANARY_FREE_BYTES_NEEDED = 5 * 1024**3
+
+
+def _stage_io_canary(spark) -> str | None:
+    """Stage (or re-verify) the io-canary table. Never timed.
+
+    Runs BEFORE the headline queries: the 3.2 GB staging write's
+    dirty-page writeback must have settled (``os.sync()`` + the whole
+    headline run) by the time the timed min-of-3 reads run — round 10
+    measured 5.1x the quiet-host reference when staging immediately
+    preceded its own timed reads. Returns the table path, or None when
+    the table cannot be provided (insufficient /tmp free space — the
+    table lives on whatever backs /tmp, possibly RAM-backed tmpfs, so
+    the footprint is checked, announced on stderr, and skipped rather
+    than risked).
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if os.path.exists(IO_CANARY_MARKER):
+        return IO_CANARY_ROOT
+    free = shutil.disk_usage("/tmp").free
+    if free < IO_CANARY_FREE_BYTES_NEEDED:
+        print(
+            f"[bench] io canary: SKIP staging (/tmp free {free / 1e9:.1f} GB "
+            f"< {IO_CANARY_FREE_BYTES_NEEDED / 1e9:.1f} GB needed)",
+            file=sys.stderr,
+        )
+        return None
+    t0 = time.monotonic()
+    spark.range(0, 400_000_000, 1, 32).select(
+        F.expr("xxhash64(id)").alias("a")
+    ).write.mode("overwrite").parquet(IO_CANARY_ROOT)
+    with open(IO_CANARY_MARKER, "w") as fh:
+        fh.write("ok")
+    # retire the pre-r11 marker so the old protocol's vouching file
+    # can't outlive the data it described
+    legacy = "/tmp/spark_graft_bench/_IO_CANARY_DONE"
+    if os.path.exists(legacy):
+        os.unlink(legacy)
+    os.sync()  # flush the dirty pages now, untimed; cache stays warm
+    print(
+        f"[bench] io canary staged+synced in {time.monotonic() - t0:.1f}s",
+        file=sys.stderr,
+    )
+    return IO_CANARY_ROOT
+
+
+def _io_read_once(root: str) -> int:
+    """One sequential pass over the staged canary files; returns bytes.
+
+    Plain buffered ``read()`` in 4 MB chunks — no JVM, no decode — so
+    the timing isolates the filesystem/page-cache regime (see module
+    doc: the Spark-scan variant measured GC state, not storage).
+    """
+    n = 0
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".parquet"):
+            continue
+        with open(os.path.join(root, name), "rb") as fh:
+            while True:
+                chunk = fh.read(1 << 22)
+                if not chunk:
+                    break
+                n += len(chunk)
+    return n
+
 
 def _multifile_copy(spark, sf_dir: str) -> str:
     """One-time 8-file-per-table copy of ``sf_dir`` under /tmp.
@@ -144,6 +239,14 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_MULTIFILE", "1") != "0":
         sf_dir = _multifile_copy(spark, sf_dir)
 
+    # Stage the io-canary table up front (untimed): its writeback must
+    # not race the timed reads at the end of the run (r10 finding).
+    try:
+        io_root = _stage_io_canary(spark)
+    except Exception as exc:
+        io_root = None
+        print(f"[bench] io canary staging: ERROR {exc}", file=sys.stderr)
+
     # One untimed end-to-end run to absorb JVM/codegen/shuffle-service
     # warm-up, so the first timed query isn't charged ~2s of JIT.
     try:
@@ -198,42 +301,45 @@ def main() -> None:
         canary = None
         print(f"[bench] canary: ERROR {exc}", file=sys.stderr)
 
-    # IO-side canary: a fixed parquet scan over the same /tmp
-    # filesystem the bench tables live on. Staged ONCE (marker-cached,
-    # never timed): 400M rows of xxhash64(id) — incompressible, so the
-    # scan cannot be won by snappy shortcuts — in 32 files (~3.2 GB;
-    # 100M measured 0.229 s, inside scheduler jitter — same sizing rule
-    # as the CPU canary: keep the measured wall near a second). Timed
-    # min-of-3 AFTER the CPU canary; by then the file is page-cache
-    # warm, the same condition the headline queries read their tables
-    # under. The fold is a single bit_xor over the one column, so
-    # decode + read dominate, not hashing.
+    # IO-side canary: raw sequential byte-read of the 3.2 GB
+    # incompressible table (400M rows of xxhash64(id) in 32 files)
+    # staged BEFORE the headline run. One untimed warm-up pass, then
+    # timed min-of-3 — every session times the same page-cache-warm
+    # regime regardless of whether this host staged fresh, kept the
+    # files cached, or evicted them (module doc has the full protocol
+    # history).
     io_canary = None
     try:
-        from pyspark.sql import functions as F
-
-        io_root = "/tmp/spark_graft_bench/io_canary.parquet"
-        io_marker = "/tmp/spark_graft_bench/_IO_CANARY_DONE"
-        if not os.path.exists(io_marker):
-            t0 = time.monotonic()
-            spark.range(0, 400_000_000, 1, 32).select(
-                F.expr("xxhash64(id)").alias("a")
-            ).write.mode("overwrite").parquet(io_root)
-            with open(io_marker, "w") as fh:
-                fh.write("ok")
+        # re-verify the data survived the headline run (a /tmp reaper
+        # can remove it mid-session); re-stage if gone
+        if io_root is not None and not os.path.exists(IO_CANARY_MARKER):
             print(
-                f"[bench] io canary staged in {time.monotonic() - t0:.1f}s",
+                "[bench] io canary: table vanished mid-run, re-staging",
                 file=sys.stderr,
             )
-        for _ in range(3):
-            t0 = time.monotonic()
-            spark.read.parquet(io_root).select(
-                F.expr("bit_xor(a)")
-            ).write.format("noop").mode("overwrite").save()
-            dt = time.monotonic() - t0
-            io_canary = dt if io_canary is None else min(io_canary, dt)
-        io_canary = round(io_canary, 3)
-        print(f"[bench] io canary: {io_canary:.3f}s", file=sys.stderr)
+            io_root = _stage_io_canary(spark)
+        if io_root is not None:
+            nbytes = _io_read_once(io_root)  # untimed warm-up pass
+            if nbytes < 3_000_000_000:
+                # truncated table (partial reap, interrupted staging):
+                # the reading would not be the documented 3.2 GB pass
+                print(
+                    f"[bench] io canary: table truncated "
+                    f"({nbytes / 1e9:.2f} GB < 3.0 GB), skipping",
+                    file=sys.stderr,
+                )
+            else:
+                for _ in range(3):
+                    t0 = time.monotonic()
+                    _io_read_once(io_root)
+                    dt = time.monotonic() - t0
+                    io_canary = (
+                        dt if io_canary is None else min(io_canary, dt)
+                    )
+                io_canary = round(io_canary, 3)
+                print(
+                    f"[bench] io canary: {io_canary:.3f}s", file=sys.stderr
+                )
     except Exception as exc:
         # same contract as the CPU canary: a partial min must not
         # masquerade as the documented min-of-3

@@ -105,7 +105,7 @@ def test_unanchored_run_queries_are_listed():
     assert "q_new" not in out["queries"]
 
 
-def test_io_canary_ratio_emitted_when_both_present():
+def test_io_canary_ratio_emitted_and_classified():
     run = {
         "canary_sec": 0.4,
         "io_canary_sec": 0.9,
@@ -113,6 +113,46 @@ def test_io_canary_ratio_emitted_when_both_present():
     }
     out = badj.adjudicate(run, ANCHOR)
     assert out["io_canary_ratio"] == 1.5
+    assert out["io_canary_status"] == "contended"
+
+
+def test_io_ratio_classification_boundaries():
+    """The r11 classification: ok inside [0.75, 1.25], contended up to
+    2.0, unreliable beyond 2.0 AND below 0.75 (a reference that doesn't
+    describe this run's regime is unreliable in either direction —
+    the r10 finding was a bare 5.075 printed uninterpreted)."""
+    assert badj.classify_io_ratio(1.0) == "ok"
+    assert badj.classify_io_ratio(0.75) == "ok"
+    assert badj.classify_io_ratio(1.25) == "ok"
+    assert badj.classify_io_ratio(1.26) == "contended"
+    assert badj.classify_io_ratio(2.0) == "contended"
+    assert badj.classify_io_ratio(2.01) == "unreliable_this_run"
+    assert badj.classify_io_ratio(5.075) == "unreliable_this_run"
+    assert badj.classify_io_ratio(0.4) == "unreliable_this_run"
+
+
+def test_suspect_fast_listed_but_not_gating():
+    """An anomalous speedup (norm < 1/FLAG_RATIO) can be lost work — it
+    must be listed for review, but must not fail the exit-code gate
+    (a smaller-sf run against the sf0.1 anchor makes everything fast)."""
+    run = {"canary_sec": 0.4, "queries": {"qa": 0.3, "qb": 2.0, "qc": 0.5}}
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["suspect_fast"] == ["qa"]
+    assert out["queries"]["qa"]["status"] == "fast"
+    assert out["flagged"] == []
+
+
+def test_fast_boundary_is_inverse_of_flag():
+    """Exactly 1/FLAG_RATIO is band (symmetric with FLAG_RATIO being
+    the last unflagged slow ratio)."""
+    edge = 1.0 / badj.FLAG_RATIO
+    run = {
+        "canary_sec": 0.4,
+        "queries": {"qa": round(1.0 * edge, 6), "qb": 2.0, "qc": 0.5},
+    }
+    out = badj.adjudicate(run, ANCHOR)
+    assert out["queries"]["qa"]["status"] == "band"
+    assert out["suspect_fast"] == []
 
 
 def test_driver_wrapper_loading(tmp_path):
@@ -127,6 +167,7 @@ def test_embedded_anchor_matches_baseline_record():
     """The embedded anchor is the BASELINE.md min-of-2 vector: spot-pin
     the totals so a drive-by edit of one can't drift from the other."""
     assert badj.ANCHOR["canary_sec"] == 0.409
-    assert badj.ANCHOR["io_canary_sec"] == 0.508
+    # r11 raw-byte-read io reference (min-of-2: 0.530/0.527)
+    assert badj.ANCHOR["io_canary_sec"] == 0.527
     assert len(badj.ANCHOR["queries"]) == 34
     assert round(sum(badj.ANCHOR["queries"].values()), 2) == 38.73

@@ -20,7 +20,29 @@ ratios and a verdict per query:
 
 If the run carries ``io_canary_sec`` and the anchor has one, a second
 normalization is printed: CPU-flat-but-IO-high runs are storage-side
-host band the CPU canary cannot see (the r9 adjudication gap).
+host band the CPU canary cannot see (the r9 adjudication gap). The
+ratio is CLASSIFIED, not just printed (round 11 — the r10 verdict
+found a bare 5.075 reading uninterpreted):
+
+- ``ok``                  : 0.75 <= ratio <= 1.25 — the run saw the
+                            same scan-side regime the reference did.
+- ``contended``           : 1.25 < ratio <= 2.0 — storage-side host
+                            band; read flagged queries with that in
+                            mind before blaming a plan.
+- ``unreliable_this_run`` : ratio > 2.0 OR < 0.75 — the quiet-host
+                            reference does not describe this run's io
+                            regime in either direction (protocol
+                            change, writeback race, cold cache, or a
+                            different /tmp device); the io reading
+                            should not be cited for or against any
+                            query this run.
+
+Queries whose normalized ratio falls BELOW 1/FLAG_RATIO are listed
+under ``suspect_fast`` (round 11): an anomalous speedup can mean lost
+work — an empty intermediate, a filter that now prunes everything — so
+it gets human review too, though it does not fail the exit-code gate
+(a deliberately smaller-sf run against the sf0.1 anchor makes every
+query "fast" and is not an error).
 
 Usage:
     python tools/bench_adjudicate.py BENCH_r10.json
@@ -36,6 +58,18 @@ import sys
 
 FLAG_RATIO = 1.5
 NOISE_BAND = 0.05
+IO_OK_MAX = 1.25
+IO_OK_MIN = 0.75
+IO_CONTENDED_MAX = 2.0
+
+
+def classify_io_ratio(ratio: float) -> str:
+    """Classify run_io_canary / reference_io_canary (see module doc)."""
+    if IO_OK_MIN <= ratio <= IO_OK_MAX:
+        return "ok"
+    if IO_OK_MAX < ratio <= IO_CONTENDED_MAX:
+        return "contended"
+    return "unreliable_this_run"
 
 #: Round-10 anchor: per-query MIN of the two back-to-back
 #: canary-bearing runs recorded in BASELINE.md (2026-08-15). The
@@ -43,9 +77,12 @@ NOISE_BAND = 0.05
 #: host; None means "skip the IO normalization".
 ANCHOR = {
     "canary_sec": 0.409,
-    # quiet-host reference from the round-10 close run (38.95 s total,
-    # CPU canary 0.407 — same session class as the A/B anchor pair)
-    "io_canary_sec": 0.508,
+    # quiet-host reference re-recorded in round 11 under the fixed
+    # raw-byte-read protocol (bench.py module doc): min of two
+    # back-to-back sf0.1 runs, 0.530/0.527 (CPU canaries 0.425/0.408).
+    # Comparable ONLY to r11+ bench records — the r10 Spark-scan
+    # readings (0.508 quiet / 2.578 raced) measured a different thing.
+    "io_canary_sec": 0.527,
     "queries": {
         "q1_pricing_summary": 1.404,
         "q6_forecast_revenue": 0.406,
@@ -111,11 +148,14 @@ def adjudicate(run: dict, anchor: dict) -> dict:
             continue
         norm = (r_sec * scale) / a_sec
         ratios.append(norm)
-        status = (
-            "flag"
-            if norm > FLAG_RATIO
-            else ("noise" if abs(norm - 1) <= NOISE_BAND else "band")
-        )
+        if norm > FLAG_RATIO:
+            status = "flag"
+        elif norm < 1 / FLAG_RATIO:
+            status = "fast"  # anomalous speedup: review, don't gate
+        elif abs(norm - 1) <= NOISE_BAND:
+            status = "noise"
+        else:
+            status = "band"
         rows[name] = {
             "raw_sec": r_sec,
             "raw_ratio": round(r_sec / a_sec, 3),
@@ -131,6 +171,12 @@ def adjudicate(run: dict, anchor: dict) -> dict:
         "flagged": sorted(
             n for n, r in rows.items() if r.get("status") == "flag"
         ),
+        # anomalous speedups (norm < 1/FLAG_RATIO): possible lost work
+        # (empty intermediate, over-pruning filter) — human review, not
+        # an exit-code failure
+        "suspect_fast": sorted(
+            n for n, r in rows.items() if r.get("status") == "fast"
+        ),
         # run-side queries the anchor has never seen: the gate cannot
         # adjudicate them, and silence would read as "all green" for a
         # query it never examined — list them explicitly
@@ -141,7 +187,9 @@ def adjudicate(run: dict, anchor: dict) -> dict:
     }
     rio, aio = run.get("io_canary_sec"), anchor.get("io_canary_sec")
     if rio and aio:
-        out["io_canary_ratio"] = round(rio / aio, 3)
+        ratio = rio / aio
+        out["io_canary_ratio"] = round(ratio, 3)
+        out["io_canary_status"] = classify_io_ratio(ratio)
     return out
 
 
