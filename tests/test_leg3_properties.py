@@ -7,6 +7,13 @@ could in principle share a formulation bug).
 
 from __future__ import annotations
 
+# Second-verification-axis marker: tests in this module check operators
+# against an INDEPENDENT reference (plain Python/pandas/declared
+# allowlists), not the DuckDB oracle. COVERAGE.md's property-test tally
+# is derived by counting test functions in marked modules
+# (tests/test_registry_contract.py::test_doc_counts_are_derived).
+SECOND_AXIS_INDEPENDENT_REFERENCE = True
+
 import random
 from collections import deque
 

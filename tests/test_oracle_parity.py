@@ -58,10 +58,18 @@ def test_oracle_parity(spark, duck, spec):
     compare(spark_pdf, duck_pdf, spec.name)
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
-def test_rows_only_queries_run(spark, spec):
-    # rows-only queries are exempt from the oracle, not from scrutiny:
-    # they must execute AND produce data with a materializable schema.
-    df = spec.builder(spark, SF_CORRECTNESS)
-    assert len(df.schema.fields) > 0
-    assert df.count() > 0, f"{spec.name}: rows-only query returned no rows"
+def test_no_rows_only_queries_remain():
+    """Every registered query is DuckDB-oracle-backed — zero rows-only
+    exemptions. This replaces a parametrized run-and-count check over
+    ``ROWS_ONLY_SPECS`` that pytest reported as the suite's one
+    perpetual "skipped" (an empty parameter set auto-skips): the skip
+    was the INVARIANT hiding as a non-result. If a genuinely
+    non-SQL-expressible query is ever registered, restore the weaker
+    parametrized gate for it (execute + schema + count>0) instead of
+    deleting this assertion — a rows-only query is exempt from the
+    oracle, not from scrutiny."""
+    assert ROWS_ONLY_SPECS == [], (
+        "rows-only (oracle-less) queries registered: "
+        f"{[s.name for s in ROWS_ONLY_SPECS]} — add the weaker "
+        "run-and-count gate back for them"
+    )

@@ -83,10 +83,25 @@ def test_doc_counts_are_derived():
     assert m, "COVERAGE.md Totals line missing"
     assert int(m.group(1)) == n_registry and int(m.group(2)) == n_registry
 
-    n_property = sum(
-        len(re.findall(r"^def test", open(p).read(), re.M))
-        for p in glob.glob("tests/test_*_properties.py")
-    )
+    # Second-axis tally is derived from CONTENT (the module-level
+    # SECOND_AXIS_INDEPENDENT_REFERENCE marker), not the filename glob:
+    # r10's deterministic gate (test_regex_membership.py) fell outside
+    # the old ``test_*_properties.py`` pattern by naming choice, and a
+    # future mis-named file would silently under-count. The naming
+    # convention is still enforced one-way: every *_properties.py file
+    # MUST carry the marker, so name and content can never disagree.
+    n_property = 0
+    marked = set()
+    for p in glob.glob("tests/test_*.py"):
+        src = open(p).read()
+        if re.search(r"^SECOND_AXIS_INDEPENDENT_REFERENCE = True$", src, re.M):
+            marked.add(p)
+            n_property += len(re.findall(r"^def test", src, re.M))
+    for p in glob.glob("tests/test_*_properties.py"):
+        assert p in marked, (
+            f"{p} is named *_properties.py but lacks the "
+            "SECOND_AXIS_INDEPENDENT_REFERENCE marker"
+        )
     m = re.search(r"(\d+) property tests drive operators", coverage)
     assert m, "COVERAGE.md second-axis tally missing"
     assert int(m.group(1)) == n_property
