@@ -97,6 +97,30 @@ def guard_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
+def _pin_session_utc(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone=UTC``, loudly if it changes.
+
+    The pin is required (stream analysis happens at ``start()``, after
+    this builder returns, so it cannot be scoped-and-restored) but it
+    is a SESSION-WIDE side effect: any batch work the caller runs on
+    the same session afterwards sees UTC too. When the pre-existing
+    zone differs, say so once on stderr so the override is observable
+    instead of silent.
+    """
+    import sys
+
+    prior = spark.conf.get("spark.sql.session.timeZone", None)
+    if prior not in (None, "UTC"):
+        print(
+            f"[streaming] session timeZone {prior!r} -> 'UTC' for the "
+            "stream's epoch-grid windows; the pin outlives this builder "
+            "(session-wide) — restore it after the stream if batch work "
+            "on this session needs the prior zone",
+            file=sys.stderr,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -117,7 +141,7 @@ def events_stream(
     # are value-preserving only under a UTC session zone (module
     # docstring, hazard 2) — force it on the driver's bare session,
     # the same runtime-conf pattern as nanosAsLong below.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session_utc(spark)
     path = f"{sf_dir}/{table_name}.parquet"
     nanos = _nanos_columns(path)
     if nanos:
@@ -159,7 +183,7 @@ def stream_from_glob(
     dedup tests) and therefore already hold the schema + nanos sniff.
     """
     # same UTC pin as events_stream (module docstring, hazard 2)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session_utc(spark)
     stream = spark.readStream.schema(schema).format("parquet").load(src_glob)
     return guard_event_time(
         normalize_event_time(repair_nanos(stream, nanos), ts_col), ts_col

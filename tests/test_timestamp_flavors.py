@@ -189,3 +189,24 @@ def test_tumbling_alignment_is_utc_grid_under_hostile_session_tz(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_utc_pin_warns_when_overriding_a_non_utc_session(spark, capfd):
+    """The pin is a session-wide side effect that outlives the builder
+    (stream analysis happens at start(), so it cannot be
+    scoped-and-restored); overriding a caller's non-UTC zone must be
+    OBSERVABLE on stderr, and pinning an already-UTC session must stay
+    silent (the common path cannot spam)."""
+    from spark_etl_pipeline_spark.streaming.source import _pin_session_utc
+
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        _pin_session_utc(spark)
+        err = capfd.readouterr().err
+        assert "Asia/Kathmandu" in err and "UTC" in err
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+        _pin_session_utc(spark)  # already UTC: silent
+        assert "timeZone" not in capfd.readouterr().err
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
