@@ -225,7 +225,37 @@ def _multifile_copy(spark, sf_dir: str) -> str:
     return root
 
 
+#: --sink parquet mode (round 11): the per-round gate has always timed
+#: the noop sink (full execution, no write cost); the K2/K3/K4 sinks
+#: are correctness-tested but were never TIMED. This opt-in mode times
+#: partitioned parquet writes of three headline outputs chosen for
+#: write-relevant shapes — a date-partitioned fact output (many
+#: partition directories), a 10-way low-cardinality partition of a
+#: wide window output, and a 2-way flag partition of a per-document
+#: score table. The write-path number = execution + write + commit;
+#: subtract the same query's noop reading to isolate the sink cost.
+#: NOT part of the comparison gate — recorded as its own BASELINE.md
+#: section. The driver's plain `python bench.py` is unchanged.
+WRITE_SINK = {
+    "etl_events_pipeline": "transaction_date",
+    "rel_window_running": "l_suppkey",
+    "text_quality_score": "keep",
+}
+
+
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--sink",
+        choices=["noop", "parquet"],
+        default="noop",
+        help="parquet: time partitioned parquet writes of the "
+        "WRITE_SINK queries instead of the noop headline run",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -258,7 +288,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    run_names = list(WRITE_SINK) if args.sink == "parquet" else HEADLINE
+    for name in run_names:
         builder = qs.get(name)
         if builder is None:
             continue
@@ -266,7 +297,14 @@ def main() -> None:
             # build once untimed so plan analysis / file listing warms up
             builder(spark, sf_dir).schema
             t0 = time.monotonic()
-            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if args.sink == "parquet":
+                builder(spark, sf_dir).write.mode("overwrite").partitionBy(
+                    WRITE_SINK[name]
+                ).parquet(f"/tmp/spark_graft_bench/write_sink/{name}.parquet")
+            else:
+                builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             dt = round(time.monotonic() - t0, 3)
             timings[name] = dt
             total += dt
@@ -354,13 +392,16 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total_wall_sec",
+                "metric": "total_wall_sec"
+                if args.sink == "noop"
+                else "write_path_total_sec",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "canary_sec": canary,
                 "io_canary_sec": io_canary,
+                "sink": args.sink,
             }
         )
     )

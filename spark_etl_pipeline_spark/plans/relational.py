@@ -2980,14 +2980,21 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference era (Spark 2.4) lacked, exercised end to end against
     DuckDB's recursive CTE.
 
-    Scale: recursion depth = number of months (engine-bounded by
-    ``spark.sql.cteRecursionLevelLimit``, default 100 — fine for any
-    sane calendar span; a multi-century spine belongs to sequence()).
-    That limit is also why the EPOCH GATE here is a crash guard, not
-    just hygiene: one pre-1990 garbage date stretches the month count
-    past the recursion cap and the query throws
-    RECURSION_LEVEL_LIMIT_EXCEEDED (hostile-timestamps sweep finding)
-    — gated, the depth is bounded by the declared operating epoch.
+    Scale: recursion depth = number of months. The r11 DST-instant
+    sweep falsified the r7 assumption that Spark's default 100-level
+    recursion cap is "fine for any sane calendar span": the epoch gate
+    admits [1990, now], and a corpus whose GATED dates legitimately
+    span >8.3 years (one 2021 cell in a 1992-1998 corpus — or simply
+    a decade of real orders, routine at 100 TB) exceeds 100 months
+    and threw RECURSION_LEVEL_LIMIT_EXCEEDED. The spine now declares
+    ``MAX RECURSION LEVEL 2400``: depth stays epoch-bounded at
+    months(1990, now) ≈ 440 by the gate, so the 2400 bound (two
+    centuries) never trips on gated data while still stopping a
+    runaway if the gate is ever bypassed. Pinned by
+    ``tests/test_hostile_inputs.py`` (in-gate decade-span instant).
+    That is also why the EPOCH GATE here is a crash guard, not just
+    hygiene: one pre-1990 garbage date would otherwise stretch the
+    month count without bound (r7 hostile-timestamps finding).
     The spine is rows-per-month tiny; monthly revenue is one map-side-
     combinable cents aggregate; the join is spine-sized and the
     cumulative window orders months only.
@@ -2999,7 +3006,7 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).createOrReplaceTempView("v_rec_orders")
     return spark.sql(
         """
-        WITH RECURSIVE spine AS (
+        WITH RECURSIVE spine MAX RECURSION LEVEL 2400 AS (
             SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m,
                    CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
             FROM v_rec_orders

@@ -398,7 +398,13 @@ def test_agrees_with_oracle_on_single_row(
 #: full IANA history (pre-1908 LMT +8:27:52) where the oracle mirrors
 #: the modern fixed +9 — identical inside the gated epoch. Bounded
 #: per-observed-row operators (sessionize) need no gate and prove it
-#: here ungated.
+#: here ungated. (4) r11: the pool's DST-transition instants are the
+#: first hostile values INSIDE the epoch gate, and one 2021 cell in
+#: the 1992-1998 corpus stretched the recursive month spine past
+#: Spark's default 100-level recursion cap (a decade-plus of gated
+#: dates is routine at 100 TB) — ``rel_recursive_month_spine`` now
+#: declares MAX RECURSION LEVEL 2400 and this suite re-runs it over
+#: the decade-span corpus as the regression pin.
 TIMES_QUERIES = (
     "events_gap_fill",
     "events_gap_fill_lerp",

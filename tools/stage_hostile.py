@@ -22,7 +22,18 @@ exercise:
   pandas' datetime64[ns] range so the gate can compare them).
   Negative-epoch integer division truncates toward zero in some
   engines and floors in others; date_trunc/datediff/windowing over
-  these instants is the probe.
+  these instants is the probe. Since r11 the pool also carries four
+  DST-TRANSITION instants that (unlike the garbage extremes) PASS
+  the two-sided epoch gate and reach every operator: wall-clock
+  values inside the Europe/Dublin spring-forward gap (2021-03-28
+  01:30) and fall-back fold (2021-10-31 01:30), and inside
+  America/Santiago's midnight-straddling gap (2022-09-11 00:30 —
+  the DATE's first hour does not exist) and fold (2023-04-01
+  23:30). Under a DST session zone, any local-time cast meets a
+  nonexistent/ambiguous local instant — the sibling of the r10
+  Kathmandu NTZ->LTZ streaming bug. Sweep with
+  ``--conf spark.sql.session.timeZone=Europe/Dublin`` (and
+  ``America/Santiago``) to cross the axis.
 - ``dup3``: every row tripled — a deliberate VIOLATION of the corpus
   contract (doc_id/vec_id/event_id are declared unique). Run to map
   the contract boundary, not as a pass/fail gate: the engine's
@@ -182,8 +193,21 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
                 datetime(2038, 1, 19, 3, 14, 8),
                 datetime(2200, 6, 15, 12, 34, 56, 789012),
             ]
+            # DST-transition wall clocks (r11; module doc). As STRING
+            # literals cast straight to NTZ — a python-datetime lit
+            # routes through TimestampType, whose local->UTC->local
+            # round trip is NOT identity for a gap instant if the
+            # STAGING session itself runs in the affected zone (the
+            # exact hazard being planted must not corrupt the plant).
+            dst_pool = [
+                "2021-03-28 01:30:00",  # Europe/Dublin spring gap
+                "2021-10-31 01:30:00",  # Europe/Dublin fall fold
+                "2022-09-11 00:30:00",  # America/Santiago midnight gap
+                "2023-04-01 23:30:00",  # America/Santiago fold
+            ]
             arr = F.array(
-                *[F.lit(p).cast("timestamp_ntz") for p in pool]
+                *[F.lit(p).cast("timestamp_ntz") for p in pool],
+                *[F.lit(s).cast("timestamp_ntz") for s in dst_pool],
             )
             row_salt = [F.col(x) for x in df.columns]
             out_cols = []
@@ -196,9 +220,10 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
                 ):
                     out_cols.append(F.col(c))
                     continue
+                n_pool = len(pool) + len(dst_pool)
                 coin = F.pmod(F.xxhash64(F.lit(c), *row_salt), F.lit(MOD))
                 pick = F.element_at(
-                    arr, (F.pmod(coin, F.lit(len(pool))) + 1).cast("int")
+                    arr, (F.pmod(coin, F.lit(n_pool)) + 1).cast("int")
                 )
                 out_cols.append(
                     F.when(coin < int(MOD * 0.02), pick)
