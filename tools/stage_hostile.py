@@ -400,8 +400,25 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
             coin = F.pmod(
                 F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(MOD)
             )
-            gen0 = df.filter(coin < int(MOD * 0.70))
-            gen1 = df.filter(coin >= int(MOD * 0.70))
+            # a row lands in the narrow-typed old generation only if
+            # its values FIT the narrow types: the premise is "the type
+            # a writer used before the column's range outgrew it", and
+            # a value outside the old type's range could never have
+            # been written by that era's writer. Matters under
+            # composition — the skew mode re-derives l_linenumber into
+            # 6-digit values to keep the PK unique, which overflow
+            # SMALLINT (ANSI CAST_OVERFLOW) unless routed to the wide
+            # generation. (float narrowing never overflows a cast.)
+            int_bounds = {"smallint": 32767, "int": 2147483647}
+            fits = F.lit(True)
+            for c, typ in narrow.items():
+                if typ in int_bounds:
+                    fits = fits & F.col(c).between(
+                        -int_bounds[typ], int_bounds[typ]
+                    )
+            old = (coin >= int(MOD * 0.70)) & fits
+            gen0 = df.filter(~old)
+            gen1 = df.filter(old)
             old_cols = [
                 F.col(c).cast(narrow[c]).alias(c) if c in narrow else F.col(c)
                 for c in reversed(df.columns)
