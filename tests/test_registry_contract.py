@@ -122,3 +122,18 @@ def test_doc_counts_are_derived():
     m = re.search(r"### .*— (\d+)-query headline set \(CURRENT baseline\)", baseline)
     assert m, "BASELINE.md current-baseline header missing"
     assert int(m.group(1)) == len(bench.HEADLINE)
+
+
+def test_write_sink_partition_columns_exist(spark):
+    """bench.py --sink parquet partitions each WRITE_SINK output by a
+    declared column; a renamed output column would turn the write-path
+    bench into an AnalysisException instead of a reading."""
+    import bench
+
+    qs = registry.queries()
+    for name, part_col in bench.WRITE_SINK.items():
+        assert name in qs, f"WRITE_SINK names unknown query {name!r}"
+        cols = qs[name](spark, SF_CORRECTNESS).columns
+        assert part_col in cols, (
+            f"{name}: partition column {part_col!r} not in output {cols}"
+        )
