@@ -1285,3 +1285,110 @@ def test_agrees_with_oracle_on_unicode_times_skew(
     spark_pdf = spec.builder(spark, unicode_times_skew_dir).toPandas()
     duck_pdf = unicode_times_skew_duck.sql(spec.oracle).df()
     _assert_matches_oracle(name, spark_pdf, duck_pdf)
+
+
+# ---------------------------------------------------------------------------
+# COMPOSED damage: hot-key distribution INSIDE type-promotion generations
+# ---------------------------------------------------------------------------
+
+#: Round-11 composed mode — the last uncrossed axis pair: ``skew``
+#: re-staged through ``widen``, so the hot key's rows live partly in
+#: the NARROW-TYPED old generation (l_quantity float / l_linenumber
+#: smallint / events.value float footers) that the promoted
+#: footer-union read must widen. Composition ORDER matters: widen
+#: last, because any mode staged after it reads through the promoted
+#: union and would collapse the generations back to one schema — the
+#: "widen then skew" phrasing of the ask is unstageable by
+#: construction. Staging itself surfaced one realism fix: skew
+#: re-derives l_linenumber into 6-digit values (PK uniqueness), which
+#: overflow SMALLINT, so the widen split now routes rows that don't
+#: FIT the narrow types to the wide generation — exactly what a real
+#: old-era writer implies (it could never have written a value outside
+#: its column type's range). Full 222-query sweep recorded in
+#: ``REHEARSAL_r11_hostile.json`` (``skew_then_widen_sf0_01``); these
+#: pin the families where promotion and the hot key genuinely
+#: interact.
+SKEW_WIDEN_QUERIES = (
+    "q1_pricing_summary",      # cents folds over float->double generations
+    "events_skew_salted_agg",  # salted two-phase agg, hot user, promoted value
+    "events_skew_salted_join", # salted join against the hot key under promotion
+    "events_value_deciles",    # percentiles over promoted value incl. giant user
+    "graph_reachability",      # BFS over the giant basket, promoted linenumber
+    "docs_cap_per_source",     # caps under one dominant source, promoted n_chars
+)
+
+
+@pytest.fixture(scope="module")
+def skew_widen_dir(spark, tmp_path_factory):
+    """sf0.001 with hot-key redirection, THEN type-promotion split."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    root = tmp_path_factory.mktemp("hostile")
+    mid = str(root / "skew")
+    out = str(root / "skew_then_widen")
+    stage("skew", SF_SMOKE, mid, spark=spark)
+    stage("widen", mid, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def skew_widen_duck(skew_widen_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in registry.TABLES:
+        # union_by_name: the widen directories span footer generations
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{skew_widen_dir}/{t}.parquet/*.parquet', union_by_name=true)"
+        )
+    yield con
+    con.close()
+
+
+def test_skew_widen_hot_key_lives_in_the_narrow_generation(
+    spark, skew_widen_dir
+):
+    """The composition premise, both halves: the widen split actually
+    produced a narrow-typed generation, and the hot key's rows are
+    measurably INSIDE it (disjoint damage would prove nothing about
+    interaction)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ev_files = _glob.glob(f"{skew_widen_dir}/events.parquet/*.parquet")
+    narrow = [
+        f
+        for f in ev_files
+        if str(pq.read_schema(f).field("value").type) == "float"
+    ]
+    assert narrow and len(narrow) < len(ev_files), (
+        "widen staging produced no narrow events generation"
+    )
+    ev = registry.table(spark, skew_widen_dir, "events")
+    hot_user = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    assert hot_user["count"] > 100, "skew staging lost the hot user"
+    hot_in_narrow = (
+        spark.read.parquet(*narrow)
+        .filter(F.col("user_id") == hot_user.user_id)
+        .count()
+    )
+    assert hot_in_narrow > 0, "no hot-key rows in the narrow generation"
+    # and the promoted union serves the whole directory as one schema
+    assert dict(ev.dtypes)["value"] == "double"
+
+
+@pytest.mark.parametrize("name", SKEW_WIDEN_QUERIES)
+def test_agrees_with_oracle_on_skew_then_widen(
+    spark, skew_widen_dir, skew_widen_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, skew_widen_dir).toPandas()
+    duck_pdf = skew_widen_duck.sql(spec.oracle).df()
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
