@@ -246,6 +246,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     import os
 
+    from spark_etl_pipeline_spark.session import pin_session_utc
+
+    # r11: batch results must be session-zone-independent, and Spark's
+    # date_format/date_trunc on NTZ columns implicitly round-trip
+    # through the session zone (wall clocks inside a DST gap come back
+    # shifted) — pin UTC at the load path, the same runtime-hardening
+    # this function already does for nanosAsLong. Full rationale and
+    # both measured hazards: session.pin_session_utc.
+    pin_session_utc(spark)
+
     path = f"{sf_dir}/{name}.parquet"
     nanos = _nanos_columns(path)
     if nanos:
@@ -342,10 +352,16 @@ def load_all() -> None:
 #:   round from the CORRECTNESS_r*.json history
 #:   (``python tools/plan_rotation.py`` reproduces this window
 #:   verbatim). After this window the oldest driver row becomes r7.
-#: - **r12**: the remaining 22 r7-green rows + the oldest r8-green rows;
-#:   plus any exception-(a) jumps from r11 code changes (the
-#:   ``streaming/source.py`` TZ-pin warning added in r11 is log-only —
-#:   no plan change — so no jump is owed for the stream drains).
+#: - **r12**: the remaining 22 r7-green rows + the oldest r8-green rows.
+#:   Exception-(a) ledger from r11 code changes: two builders changed
+#:   semantically after their last driver row —
+#:   ``rel_recursive_month_spine`` (MAX RECURSION LEVEL bound, r7 row)
+#:   and ``events_gap_fill_lerp`` (O(n²)→O(n log n) window rewrite, r8
+#:   row) — and BOTH already sit inside the natural r12 window below,
+#:   so no reordering is owed. The r11 UTC load-path pin
+#:   (``session.pin_session_utc`` in ``table()``) touches every query
+#:   but is a no-op under the driver's UTC-host session, and the
+#:   ``streaming/source.py`` warning is log-only — no jumps for either.
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last

@@ -24,6 +24,51 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def pin_session_utc(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone=UTC``, loudly if it changes.
+
+    The engine's declared time semantics are NTZ wall clocks with
+    session-zone-INDEPENDENT results, and ``get_spark`` pins UTC for
+    exactly that reason — but the external driver builds a BARE session
+    (host zone), so the load paths must re-pin at runtime, the same
+    pattern ``registry.table`` uses for ``nanosAsLong``. Two measured
+    hazards, one per surface:
+
+    - streaming (r10, Asia/Kathmandu sweep): the NTZ→LTZ event-time
+      cast shifts internal micros by the zone offset, regrouping
+      ``F.window``'s epoch-grid windows onto offset boundaries. Any
+      non-whole-hour offset breaks it.
+    - batch (r11, DST-transition sweep): ``date_format`` on a
+      TIMESTAMP_NTZ column implicitly casts through the session zone,
+      and ``date_trunc`` on NTZ RETURNS the zone-bound TIMESTAMP type
+      — so a wall clock inside a DST spring-forward gap comes back
+      shifted (Europe/Dublin: NTZ 01:30 renders as 02:30). Fixed-offset
+      zones round-trip as identity at every instant, which is why the
+      r9/r10 offset sweeps (New_York, Kathmandu, Chatham) could not
+      catch it; only a session zone WITH transitions plus an in-gap
+      instant does.
+
+    The pin is session-wide and outlives the caller (stream analysis
+    happens at ``start()``; batch plans resolve zone-bound casts at
+    analysis time), so it cannot be scoped-and-restored — when the
+    pre-existing zone differs, say so once on stderr so the override
+    is observable instead of silent.
+    """
+    import sys
+
+    prior = spark.conf.get("spark.sql.session.timeZone", None)
+    if prior not in (None, "UTC"):
+        print(
+            f"[session] timeZone {prior!r} -> 'UTC': the engine's NTZ "
+            "semantics require a UTC session zone (see "
+            "session.pin_session_utc); the pin is session-wide — "
+            "restore it afterwards if other work on this session needs "
+            f"{prior!r}",
+            file=sys.stderr,
+        )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _cluster_master_configured() -> bool:
     """True when a master was supplied through the standard channels.
 

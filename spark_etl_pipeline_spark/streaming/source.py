@@ -97,28 +97,9 @@ def guard_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
-def _pin_session_utc(spark: SparkSession) -> None:
-    """Pin ``spark.sql.session.timeZone=UTC``, loudly if it changes.
-
-    The pin is required (stream analysis happens at ``start()``, after
-    this builder returns, so it cannot be scoped-and-restored) but it
-    is a SESSION-WIDE side effect: any batch work the caller runs on
-    the same session afterwards sees UTC too. When the pre-existing
-    zone differs, say so once on stderr so the override is observable
-    instead of silent.
-    """
-    import sys
-
-    prior = spark.conf.get("spark.sql.session.timeZone", None)
-    if prior not in (None, "UTC"):
-        print(
-            f"[streaming] session timeZone {prior!r} -> 'UTC' for the "
-            "stream's epoch-grid windows; the pin outlives this builder "
-            "(session-wide) — restore it after the stream if batch work "
-            "on this session needs the prior zone",
-            file=sys.stderr,
-        )
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+# Shared with registry.table (r11): the batch load path needs the same
+# pin — see session.pin_session_utc for both measured hazards.
+from spark_etl_pipeline_spark.session import pin_session_utc as _pin_session_utc
 
 
 def events_stream(

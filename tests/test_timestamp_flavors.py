@@ -210,3 +210,43 @@ def test_utc_pin_warns_when_overriding_a_non_utc_session(spark, capfd):
         assert "timeZone" not in capfd.readouterr().err
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_batch_ntz_rendering_is_dst_gap_safe(spark, tmp_path):
+    """r11 DST-transition-sweep regression, pinned.
+
+    ``date_format`` on a TIMESTAMP_NTZ column implicitly casts through
+    the session zone, and ``date_trunc`` on NTZ returns the zone-bound
+    TIMESTAMP type — so under a DST session zone a wall clock inside
+    the spring-forward gap comes back SHIFTED (Europe/Dublin renders
+    NTZ 2021-03-28 01:30 as 02:30 and its hour-trunc as 02:00).
+    Fixed-offset zones round-trip as identity at every instant, which
+    is why the r9/r10 offset sweeps (New_York, Kathmandu, Chatham)
+    could not catch this. ``registry.table`` must pin the UTC session
+    zone at the load path — the batch twin of the r10 streaming pin."""
+    from datetime import datetime
+
+    p = tmp_path / "gap.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [datetime(2021, 3, 28, 1, 30)], pa.timestamp("us")
+                )
+            }
+        ),
+        str(p),
+    )
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Dublin")
+    try:
+        df = table(spark, str(tmp_path), "gap")
+        # the load path itself must have re-pinned the zone
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        row = df.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("fmt"),
+            F.date_format(F.date_trunc("hour", "ts"), "HH:mm").alias("h"),
+        ).first()
+        assert row["fmt"] == "2021-03-28 01:30:00", row
+        assert row["h"] == "01:00", row
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
