@@ -374,3 +374,28 @@ def test_small_files_coalesce_into_bounded_scan_partitions(spark, tmp_path):
     n_parts = df.rdd.getNumPartitions()
     assert n_parts < 64, f"200 tiny files became {n_parts} scan tasks"
     assert df.count() == base.count()
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_no_quadratic_window_frames(spark, name):
+    """No window frame may pair a MOVING lower bound with an unbounded
+    upper bound: Spark's UnboundedFollowingWindowFunctionFrame re-scans
+    the partition remainder for EVERY row — O(rows²) per key (r11
+    measured a clean quadratic: 2.1/5.7/22.8 s at 20k/40k/80k rows per
+    key, and ~100B row visits per key at an epoch-gate-bounded decade
+    span). Whole-partition frames (unboundedpreceding,
+    unboundedfollowing) are O(n) and allowed; forward lookups belong on
+    a DESCENDING running frame (events_gap_fill_lerp is the worked
+    example)."""
+    import re
+
+    plan = plan_of(spark, name)
+    for m in re.finditer(
+        r"specifiedwindowframe\(\w+, ([^,]+), unboundedfollowing", plan, re.I
+    ):
+        lower = m.group(1).strip().lower()
+        assert "unboundedpreceding" in lower, (
+            f"{name}: window frame ({m.group(1).strip()}, "
+            "unboundedfollowing) is O(rows^2) per key — rewrite over "
+            "the descending order as a running frame"
+        )

@@ -97,6 +97,14 @@ def main(argv: list[str] | None = None) -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = args.names or list(qs)[: args.window]
+    # Conf-mutation watch (r11): the engine's load paths pin session
+    # confs at runtime (timeZone, nanosAsLong), so a swept --conf can
+    # be silently overridden from the first query on — the r11 DST
+    # sweeps recorded "green under Europe/Dublin" for queries that
+    # actually ran under the engine's UTC pin. Note every drift ONCE
+    # so a sweep can never again claim a hazard conf it didn't hold.
+    swept = {kv.partition("=")[0]: kv.partition("=")[2] for kv in args.conf}
+    drifted: set[str] = set()
     report: dict[str, dict] = {}
     for name in names:
         row: dict = {"rows_match": False, "schema_match": False,
@@ -118,6 +126,18 @@ def main(argv: list[str] | None = None) -> int:
         report[name] = row
         ok = row["rows_match"] and row["schema_match"] and row["values_match"]
         print(f"{'PASS' if ok else 'FAIL'} {name}", file=sys.stderr)
+        for k, want in swept.items():
+            if k in drifted:
+                continue
+            now = spark.conf.get(k, None)
+            if now != want:
+                drifted.add(k)
+                print(
+                    f"NOTE swept conf {k}={want!r} was changed to "
+                    f"{now!r} by (or during) {name} — queries from "
+                    "here on run under the NEW value",
+                    file=sys.stderr,
+                )
     print(json.dumps(report))
     bad = [n for n, r in report.items() if not r["values_match"]]
     if bad:
