@@ -359,13 +359,22 @@ def main() -> None:
         if io_root is not None:
             nbytes = _io_read_once(io_root)  # untimed warm-up pass
             if nbytes < 3_000_000_000:
-                # truncated table (partial reap, interrupted staging):
-                # the reading would not be the documented 3.2 GB pass
+                # truncated table (a partial /tmp reap can drop old
+                # part files while keeping the newest-mtime marker):
+                # retire the marker so staging actually re-runs —
+                # otherwise the canary is lost on every future session
                 print(
                     f"[bench] io canary: table truncated "
-                    f"({nbytes / 1e9:.2f} GB < 3.0 GB), skipping",
+                    f"({nbytes / 1e9:.2f} GB < 3.0 GB), re-staging",
                     file=sys.stderr,
                 )
+                if os.path.exists(IO_CANARY_MARKER):
+                    os.unlink(IO_CANARY_MARKER)
+                io_root = _stage_io_canary(spark)
+                if io_root is not None:
+                    nbytes = _io_read_once(io_root)  # fresh warm-up
+            if io_root is None or nbytes < 3_000_000_000:
+                print("[bench] io canary: unavailable", file=sys.stderr)
             else:
                 for _ in range(3):
                     t0 = time.monotonic()

@@ -57,7 +57,11 @@ def pin_session_utc(spark: SparkSession) -> None:
     import sys
 
     prior = spark.conf.get("spark.sql.session.timeZone", None)
-    if prior not in (None, "UTC"):
+    if prior == "UTC":
+        # steady path (every table() call repeats the pin): one
+        # read-only RPC, no redundant conf.set round trip
+        return
+    if prior is not None:
         print(
             f"[session] timeZone {prior!r} -> 'UTC': the engine's NTZ "
             "semantics require a UTC session zone (see "

@@ -163,6 +163,26 @@ def test_driver_wrapper_loading(tmp_path):
     assert badj._load(str(p))["queries"] == {"qa": 1.0}
 
 
+def test_write_path_records_are_refused(tmp_path):
+    """A --sink parquet record times execution+write+commit; normalizing
+    it against the noop anchor would flag every query bogusly — the
+    loader must refuse it, not mis-adjudicate it."""
+    import pytest
+
+    p = tmp_path / "write.json"
+    p.write_text(
+        json.dumps(
+            {
+                "metric": "write_path_total_sec",
+                "queries": {"qa": 3.0},
+                "sink": "parquet",
+            }
+        )
+    )
+    with pytest.raises(SystemExit, match="not adjudicable"):
+        badj._load(str(p))
+
+
 def test_embedded_anchor_matches_baseline_record():
     """The embedded anchor is the BASELINE.md min-of-2 vector: spot-pin
     the totals so a drive-by edit of one can't drift from the other."""

@@ -130,6 +130,16 @@ def _load(path: str) -> dict:
         d = d["parsed"]
     if "queries" not in d:
         raise SystemExit(f"{path}: no 'queries' key (not a bench JSON)")
+    # write-path records (--sink parquet) time execution+write+commit;
+    # normalizing them against the noop anchor's execution-only seconds
+    # would flag every query bogusly — they are documented as NOT part
+    # of this gate, so refuse rather than mis-adjudicate
+    metric = d.get("metric")
+    if metric is not None and metric != "total_wall_sec":
+        raise SystemExit(
+            f"{path}: metric {metric!r} is not adjudicable against the "
+            "noop anchor (only 'total_wall_sec' records are)"
+        )
     return d
 
 

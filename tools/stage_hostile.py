@@ -416,6 +416,11 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
                     fits = fits & F.col(c).between(
                         -int_bounds[typ], int_bounds[typ]
                     )
+            # coalesce: a NULL in a bounded column makes between() NULL,
+            # and BOTH filter(old)/filter(~old) drop NULL predicates —
+            # silent row loss breaking the "same rows, different
+            # footers" staging premise. NULL-fits rows go wide.
+            fits = F.coalesce(fits, F.lit(False))
             old = (coin >= int(MOD * 0.70)) & fits
             gen0 = df.filter(~old)
             gen1 = df.filter(old)
