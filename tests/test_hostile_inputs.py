@@ -1392,3 +1392,96 @@ def test_agrees_with_oracle_on_skew_then_widen(
     spark_pdf = spec.builder(spark, skew_widen_dir).toPandas()
     duck_pdf = skew_widen_duck.sql(spec.oracle).df()
     _assert_matches_oracle(name, spark_pdf, duck_pdf)
+
+
+#: Round-11's second composition: ``times`` (hostile + DST-transition
+#: instants) re-staged through ``widen`` — the epoch gates, the
+#: recursion-bounded month spine, and the watermark guard act on rows
+#: served through the promoted footer-union read, with the hostile
+#: instants measurably INSIDE the narrow-typed old generation. Full
+#: 222-query sweep: ``REHEARSAL_r11_hostile.json``
+#: (``times_then_widen_sf0_01``, green first run).
+TIMES_WIDEN_QUERIES = (
+    "events_gap_fill",            # epoch-gated spine over promoted value
+    "events_gap_fill_lerp",       # + the r11 descending-frame rewrite
+    "rel_recursive_month_spine",  # r11 recursion bound on in-gate extremes
+    "rel_calendar_spine",         # gated o_orderdate grid, promoted totalprice
+    "etl_events_pipeline",        # gated KST conversion over promoted value
+    "stream_tumbling_drain",      # stream takes the promoted union up front
+)
+
+
+@pytest.fixture(scope="module")
+def times_widen_dir(spark, tmp_path_factory):
+    """sf0.001 with hostile/DST instants, THEN type-promotion split."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    root = tmp_path_factory.mktemp("hostile")
+    mid = str(root / "times")
+    out = str(root / "times_then_widen")
+    stage("times", SF_SMOKE, mid, spark=spark)
+    stage("widen", mid, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def times_widen_duck(times_widen_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{times_widen_dir}/{t}.parquet/*.parquet', union_by_name=true)"
+        )
+    yield con
+    con.close()
+
+
+def test_times_widen_hostile_instants_live_in_the_narrow_generation(
+    spark, times_widen_dir
+):
+    """The composition premise: the narrow-typed old generation actually
+    CONTAINS hostile instants, so the gates and the promotion path run
+    on the same rows."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    ev_files = _glob.glob(f"{times_widen_dir}/events.parquet/*.parquet")
+    narrow = [
+        f
+        for f in ev_files
+        if str(pq.read_schema(f).field("value").type) == "float"
+    ]
+    assert narrow and len(narrow) < len(ev_files)
+    hostile = (
+        spark.read.parquet(*narrow)
+        .filter(
+            (F.col("ts") < F.lit("1990-01-01").cast("timestamp_ntz"))
+            | (F.col("ts") > F.expr("localtimestamp()"))
+            | F.col("ts").isin(
+                "2021-03-28 01:30:00",
+                "2021-10-31 01:30:00",
+                "2022-09-11 00:30:00",
+                "2023-04-01 23:30:00",
+            )
+        )
+        .count()
+    )
+    assert hostile > 0, "no hostile instants in the narrow generation"
+
+
+@pytest.mark.parametrize("name", TIMES_WIDEN_QUERIES)
+def test_agrees_with_oracle_on_times_then_widen(
+    spark, times_widen_dir, times_widen_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, times_widen_dir).toPandas()
+    duck_pdf = times_widen_duck.sql(spec.oracle).df()
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)
