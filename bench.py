@@ -347,6 +347,13 @@ def main() -> None:
     # files cached, or evicted them (module doc has the full protocol
     # history).
     io_canary = None
+    # Mid-run re-staging (marker vanished / table truncated) writes
+    # 3.2 GB immediately before the timed reads — the staging-races-
+    # measurement regime the r11 protocol fix exists to avoid.
+    # os.sync() + the untimed warm-up mitigate, but the reading is not
+    # distinguishable from a properly pre-staged run in the output, so
+    # flag it in the JSON for the adjudicator to discount (ADVICE r11).
+    io_canary_restaged = False
     try:
         # re-verify the data survived the headline run (a /tmp reaper
         # can remove it mid-session); re-stage if gone
@@ -356,6 +363,7 @@ def main() -> None:
                 file=sys.stderr,
             )
             io_root = _stage_io_canary(spark)
+            io_canary_restaged = True
         if io_root is not None:
             nbytes = _io_read_once(io_root)  # untimed warm-up pass
             if nbytes < 3_000_000_000:
@@ -371,6 +379,7 @@ def main() -> None:
                 if os.path.exists(IO_CANARY_MARKER):
                     os.unlink(IO_CANARY_MARKER)
                 io_root = _stage_io_canary(spark)
+                io_canary_restaged = True
                 if io_root is not None:
                     nbytes = _io_read_once(io_root)  # fresh warm-up
             if io_root is None or nbytes < 3_000_000_000:
@@ -410,6 +419,7 @@ def main() -> None:
                 "sf": sf,
                 "canary_sec": canary,
                 "io_canary_sec": io_canary,
+                "io_canary_restaged": io_canary_restaged,
                 "sink": args.sink,
             }
         )

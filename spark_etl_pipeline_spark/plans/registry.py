@@ -344,7 +344,7 @@ def load_all() -> None:
 #:   ``q16_parts_suppliers``; the jump displaces
 #:   ``q20_potential_promotion`` to r11). After this window the oldest
 #:   driver row in the repo becomes r6.
-#: - **r11 (this window, _EMIT_FIRST)**: the remaining 24 r6-green rows
+#: - **r11 (done — 50/50 green, CORRECTNESS_r11)**: the remaining 24 r6-green rows
 #:   (``q20_potential_promotion``, displaced from r10 by the
 #:   exception-(a) jump, leads) + the 26 oldest r7-green rows
 #:   (``text_tokenizer_fertility`` … ``rel_ship_lag``) — steady state
@@ -352,16 +352,19 @@ def load_all() -> None:
 #:   round from the CORRECTNESS_r*.json history
 #:   (``python tools/plan_rotation.py`` reproduces this window
 #:   verbatim). After this window the oldest driver row becomes r7.
-#: - **r12**: the remaining 22 r7-green rows + the oldest r8-green rows.
-#:   Exception-(a) ledger from r11 code changes: two builders changed
-#:   semantically after their last driver row —
+#: - **r12 (this window, _EMIT_FIRST)**: the remaining 22 r7-green rows
+#:   + the 28 oldest r8-green rows — the exact
+#:   ``python tools/plan_rotation.py`` natural window, reordered per
+#:   exception (b) to LEAD with the two builders that changed
+#:   semantically in r11 after their last driver row:
 #:   ``rel_recursive_month_spine`` (MAX RECURSION LEVEL bound, r7 row)
 #:   and ``events_gap_fill_lerp`` (O(n²)→O(n log n) window rewrite, r8
-#:   row) — and BOTH already sit inside the natural r12 window below,
-#:   so no reordering is owed. The r11 UTC load-path pin
+#:   row). Both already sat inside the natural window, so this is a
+#:   front-load, not a displacement. The r11 UTC load-path pin
 #:   (``session.pin_session_utc`` in ``table()``) touches every query
 #:   but is a no-op under the driver's UTC-host session, and the
 #:   ``streaming/source.py`` warning is log-only — no jumps for either.
+#:   After this window the oldest driver row in the repo becomes r8.
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
@@ -370,68 +373,17 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r11 window (exactly ``python tools/plan_rotation.py`` output —
-    # steady-state oldest-driver-row-first, no exception jumps owed):
-    # the 24 remaining r6-green rows (``q20_potential_promotion``,
-    # displaced from r10 by that round's exception-(a) jump, leads),
-    # then the 26 oldest r7-green rows. After this window the oldest
-    # driver row in the repo becomes r7. ---
-    "q20_potential_promotion",  # r6, displaced from r10 by the jump
-    "q21_waiting_supplier",  # r6
-    "stream_tumbling_drain",  # r6
-    "docs_dedup_store",  # r6
-    "dedup_containment_onesided",  # r6
-    "dedup_minhash_lsh",  # r6
-    "docs_length_histogram",  # r6
-    "docs_pack_sequences",  # r6
-    "events_rolling_features",  # r6
-    "events_user_sequences",  # r6
-    "events_weighted_sample",  # r6
-    "mm_resize",  # r6
-    "q12_priority_lines",  # r6
-    "q14_promo_revenue",  # r6
-    "q18_large_orders",  # r6
-    "sim_kmeans",  # r6
-    "sim_topk_cosine",  # r6
-    "text_bpe_token_count",  # r6
-    "text_fingerprint",  # r6
-    "text_lang_id_ngram",  # r6
-    "text_lang_stats_pandas",  # r6
-    "text_token_stats",  # r6
-    "text_train_test_split",  # r6
-    "text_vocab_topk",  # r6
-    "text_tokenizer_fertility",  # r7
-    "rel_snapshot_reconcile",  # r7
-    "events_conversion_lag",  # r7
-    "events_new_vs_returning",  # r7
-    "dedup_threshold_sweep",  # r7
-    "events_activity_streaks",  # r7
-    "events_user_diversity",  # r7
-    "rel_budget_allocation",  # r7
-    "docs_novelty_curve",  # r7
-    "sim_embedding_drift",  # r7
-    "events_segment_bitmask",  # r7
-    "events_survival_curve",  # r7
-    "events_markov_stationary",  # r7
-    "src_orc_roundtrip",  # r7
-    "events_holt_backtest",  # r7
-    "events_theilsen_trend",  # r7
-    "rel_benford_deviation",  # r7
-    "dedup_minhash_calibration",  # r7
-    "events_holt_forecast",  # r7
-    "events_burst_users",  # r7
-    "events_lateness_audit",  # r7
-    "mm_frame_dedup",  # r7
-    "docs_shingle_profile",  # r7
-    "events_interarrival",  # r7
-    "rel_order_backlog",  # r7
-    "rel_ship_lag",  # r7
-)
-
-_EMIT_LAST = (
-    # --- r12 cohort head: the r7 remainder, then r8/r9 rows strictly
-    # oldest-driver-row-first, and finally the 50-row r10 window
-    # (freshest rows in the repo). ---
+    # --- r12 window (the ``python tools/plan_rotation.py`` natural
+    # window — the 22 remaining r7-green rows + the 28 oldest r8-green
+    # rows — reordered per exception (b) to lead with the two builders
+    # that changed semantically in r11 after their last driver row:
+    # ``rel_recursive_month_spine`` (MAX RECURSION LEVEL bound, r7 row)
+    # and ``events_gap_fill_lerp`` (O(n^2)->O(n log n) frame rewrite,
+    # r8 row). Both already sat inside the natural window, so this is a
+    # front-load, not a displacement. After this window the oldest
+    # driver row in the repo becomes r8. ---
+    "rel_recursive_month_spine",  # r7
+    "events_gap_fill_lerp",  # r8
     "rel_supplier_hhi",  # r7
     "events_cusum_drift",  # r7
     "events_ewma",  # r7
@@ -443,7 +395,6 @@ _EMIT_LAST = (
     "text_chunks_udtf",  # r7
     "stream_pysource_drain",  # r7
     "src_python_datasource",  # r7
-    "rel_recursive_month_spine",  # r7
     "rel_variant_props",  # r7
     "events_mad_outliers",  # r7
     "docs_source_divergence",  # r7
@@ -454,8 +405,6 @@ _EMIT_LAST = (
     "graph_triangles",  # r7
     "docs_dedup_passages",  # r7
     "dq_audit",  # r7
-    # --- the r8 window: freshest driver rows in the repo, so they sit
-    # at the very end of the emission order. ---
     "stream_join_drain",  # r8
     "events_attribution",  # r8
     "events_transition_matrix",  # r8
@@ -475,7 +424,6 @@ _EMIT_LAST = (
     "rel_gini_revenue",  # r8
     "sim_embedding_clusters",  # r8
     "events_audience_overlap",  # r8
-    "events_gap_fill_lerp",  # r8
     "events_incremental_rollup",  # r8
     "dedup_cluster_sizes",  # r8
     "events_autocorr",  # r8
@@ -484,6 +432,12 @@ _EMIT_LAST = (
     "events_anomaly_rolling",  # r8
     "rel_asof_nearest",  # r8
     "events_funnel_windowed",  # r8
+)
+
+_EMIT_LAST = (
+    # --- the r8 remainder not taken by the r12 window, then the
+    # r9/r10/r11 windows strictly oldest-driver-row-first; the r11
+    # window (freshest rows in the repo) sits at the very end. ---
     "rel_rfm_segmentation",  # r8
     "rel_calendar_spine",  # r8
     "text_lang_id",  # r8
@@ -506,8 +460,6 @@ _EMIT_LAST = (
     "text_chunking",  # r8
     "etl_events_pipeline",  # r8
     "etl_upsert_merge",  # r8
-    # --- the r9 window: freshest driver rows in the repo, so they sit
-    # at the very end of the emission order. ---
     "dedup_embedding_cosine",  # r9
     "sim_threshold_profile",  # r9
     "docs_dedup_semantic",  # r9
@@ -558,8 +510,6 @@ _EMIT_LAST = (
     "rel_higher_order_funcs",  # r9
     "rel_scd2_history",  # r9
     "events_funnel",  # r9
-    # --- the r10 window: freshest driver rows in the repo, so they sit
-    # at the very end of the emission order. ---
     "text_pii_scrub",  # r10
     "events_cohort_retention",  # r10
     "q4_order_priority",  # r10
@@ -610,6 +560,56 @@ _EMIT_LAST = (
     "q9_product_profit",  # r10
     "q11_important_stock",  # r10
     "q16_parts_suppliers",  # r10
+    "q20_potential_promotion",  # r6
+    "q21_waiting_supplier",  # r6
+    "stream_tumbling_drain",  # r6
+    "docs_dedup_store",  # r6
+    "dedup_containment_onesided",  # r6
+    "dedup_minhash_lsh",  # r6
+    "docs_length_histogram",  # r6
+    "docs_pack_sequences",  # r6
+    "events_rolling_features",  # r6
+    "events_user_sequences",  # r6
+    "events_weighted_sample",  # r6
+    "mm_resize",  # r6
+    "q12_priority_lines",  # r6
+    "q14_promo_revenue",  # r6
+    "q18_large_orders",  # r6
+    "sim_kmeans",  # r6
+    "sim_topk_cosine",  # r6
+    "text_bpe_token_count",  # r6
+    "text_fingerprint",  # r6
+    "text_lang_id_ngram",  # r6
+    "text_lang_stats_pandas",  # r6
+    "text_token_stats",  # r6
+    "text_train_test_split",  # r6
+    "text_vocab_topk",  # r6
+    "text_tokenizer_fertility",  # r7
+    "rel_snapshot_reconcile",  # r7
+    "events_conversion_lag",  # r7
+    "events_new_vs_returning",  # r7
+    "dedup_threshold_sweep",  # r7
+    "events_activity_streaks",  # r7
+    "events_user_diversity",  # r7
+    "rel_budget_allocation",  # r7
+    "docs_novelty_curve",  # r7
+    "sim_embedding_drift",  # r7
+    "events_segment_bitmask",  # r7
+    "events_survival_curve",  # r7
+    "events_markov_stationary",  # r7
+    "src_orc_roundtrip",  # r7
+    "events_holt_backtest",  # r7
+    "events_theilsen_trend",  # r7
+    "rel_benford_deviation",  # r7
+    "dedup_minhash_calibration",  # r7
+    "events_holt_forecast",  # r7
+    "events_burst_users",  # r7
+    "events_lateness_audit",  # r7
+    "mm_frame_dedup",  # r7
+    "docs_shingle_profile",  # r7
+    "events_interarrival",  # r7
+    "rel_order_backlog",  # r7
+    "rel_ship_lag",  # r7
 )
 
 

@@ -390,8 +390,16 @@ def test_no_quadratic_window_frames(spark, name):
     import re
 
     plan = plan_of(spark, name)
+    # The lower-bound capture is paren-aware (one nesting level): a
+    # RangeFrame bound printed as a multi-arg call — e.g.
+    # ``-cast(interval(1, 0) as ...)`` — contains commas that a plain
+    # ``[^,]+`` would stop at, silently truncating the capture and
+    # false-negating the gate (ADVICE r11).
     for m in re.finditer(
-        r"specifiedwindowframe\(\w+, ([^,]+), unboundedfollowing", plan, re.I
+        r"specifiedwindowframe\(\w+, ((?:[^,()]|\((?:[^()]|\([^()]*\))*\))+),"
+        r" unboundedfollowing",
+        plan,
+        re.I,
     ):
         lower = m.group(1).strip().lower()
         assert "unboundedpreceding" in lower, (

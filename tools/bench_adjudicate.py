@@ -200,6 +200,12 @@ def adjudicate(run: dict, anchor: dict) -> dict:
         ratio = rio / aio
         out["io_canary_ratio"] = round(ratio, 3)
         out["io_canary_status"] = classify_io_ratio(ratio)
+        # A mid-run re-stage (bench.py wrote 3.2 GB right before the
+        # timed reads) is the staging-races-measurement regime the r11
+        # protocol eliminates for the normal path — downgrade the
+        # status so the reading is discounted, never trusted as "ok".
+        if run.get("io_canary_restaged") and out["io_canary_status"] == "ok":
+            out["io_canary_status"] = "restaged_mid_run"
     return out
 
 

@@ -409,13 +409,19 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
             # 6-digit values to keep the PK unique, which overflow
             # SMALLINT (ANSI CAST_OVERFLOW) unless routed to the wide
             # generation. (float narrowing never overflows a cast.)
-            int_bounds = {"smallint": 32767, "int": 2147483647}
+            # asymmetric two's-complement ranges: the negative bound is
+            # one wider than the positive (-32768..32767, not ±32767) —
+            # a symmetric check would route the valid minimum to the
+            # wide generation (harmless but wrong-range; ADVICE r11)
+            int_bounds = {
+                "smallint": (-32768, 32767),
+                "int": (-2147483648, 2147483647),
+            }
             fits = F.lit(True)
             for c, typ in narrow.items():
                 if typ in int_bounds:
-                    fits = fits & F.col(c).between(
-                        -int_bounds[typ], int_bounds[typ]
-                    )
+                    lo, hi = int_bounds[typ]
+                    fits = fits & F.col(c).between(lo, hi)
             # coalesce: a NULL in a bounded column makes between() NULL,
             # and BOTH filter(old)/filter(~old) drop NULL predicates —
             # silent row loss breaking the "same rows, different
