@@ -407,3 +407,158 @@ def test_no_quadratic_window_frames(spark, name):
             "unboundedfollowing) is O(rows^2) per key — rewrite over "
             "the descending order as a running frame"
         )
+
+
+# ---------------------------------------------------------------------------
+# Unbounded-aggregation-horizon audit (the quadratic-frame gate's sibling:
+# per-key MEMORY instead of per-key TIME). Every per-group array build
+# (collect_list / collect_set) and every exact-percentile buffer holds its
+# whole group in one aggregator — fine when the per-key horizon is bounded
+# by something that does NOT grow with the corpus, an executor OOM at 100×
+# skew when it is. The gate below forces every such build through this
+# documented-bound review: a new collect/percentile in any registered plan
+# fails the sweep until its per-key horizon is written down here.
+# ---------------------------------------------------------------------------
+
+#: query -> why its array/percentile build's per-key horizon is bounded
+#: (or, where genuinely corpus-coupled, the pinned rationale + the
+#: documented at-scale swap).
+_DOC_LEN = (
+    "per-doc shingle set: horizon = shingles per DOCUMENT (doc length), "
+    "invariant under corpus scale-up"
+)
+_DAY_GRAIN = (
+    "per-event_type day-grain series: horizon = calendar days in the data "
+    "window (time span, not event count); pre-reduced by a day-level "
+    "aggregate before the collect"
+)
+_EXACT_PCTL = (
+    "exact percentile kept for oracle parity (percentile/quantile_cont "
+    "verified bit-identical); per-key horizon = group rows AFTER the "
+    "documented pre-reduction; at 100 TB swap approx_percentile (t-digest, "
+    "map-side combinable) per the events_mad_outliers docstring"
+)
+_K_CENTROIDS = (
+    "k-centroid single-row collect for the broadcast fold: horizon = k "
+    "(a constant knob), never corpus size"
+)
+ARRAY_BUILD_HORIZONS = {
+    # --- shingle/signature sets: bounded by document length ---
+    "dedup_containment": _DOC_LEN,
+    "dedup_containment_onesided": _DOC_LEN,
+    "dedup_minhash_calibration": _DOC_LEN,
+    "dedup_minhash_lsh": _DOC_LEN,
+    "dedup_ngram_jaccard": _DOC_LEN,
+    "dedup_threshold_sweep": _DOC_LEN,
+    "docs_dedup_incremental": _DOC_LEN,
+    "docs_dedup_store": _DOC_LEN,
+    "docs_dedup_passages": (
+        "per-doc passage list (idx, ptext): horizon = passages per "
+        "DOCUMENT (doc length), invariant under corpus scale-up"
+    ),
+    # --- day-grain series folds: bounded by calendar span ---
+    "events_ewma": _DAY_GRAIN,
+    "events_holt_backtest": _DAY_GRAIN,
+    "events_holt_forecast": _DAY_GRAIN,
+    "events_theilsen_trend": (
+        "per-type day-grain slopes over a bounded month window (n<=31 "
+        "days -> <=465 pairwise slopes, constant)"
+    ),
+    # --- constant-width builds ---
+    "events_rolling_median": (
+        "collect_list over a 6-PRECEDING window frame: horizon = 7 rows, "
+        "constant"
+    ),
+    "docs_mixture_sample": (
+        "corpus-level language histogram: horizon = language cardinality "
+        "(bounded vocabulary, corpus-size-invariant)"
+    ),
+    "rel_higher_order_funcs": (
+        "per-order lineitem array: horizon = order width (TPC-H-shaped "
+        "data caps lines per order at 7), invariant under scale-up"
+    ),
+    # --- degree-oriented adjacency: sublinear bound ---
+    "graph_triangles": (
+        "degree-ordered oriented adjacency: |N+(v)| <= sqrt(2m) for every "
+        "v (orientation sends each edge to its LOWER-degree endpoint), so "
+        "the per-key array grows as the square root of edges, never as "
+        "max degree"
+    ),
+    "graph_clustering_coeff": (
+        "same degree-ordered oriented adjacency bound as graph_triangles: "
+        "|N+(v)| <= sqrt(2m)"
+    ),
+    # --- k-bounded centroid folds ---
+    "sim_ann_recall": _K_CENTROIDS,
+    "sim_ann_recall_nprobe2": _K_CENTROIDS,
+    "sim_ivf_kmeans": _K_CENTROIDS,
+    "sim_ivf_nprobe2": _K_CENTROIDS,
+    "sim_ivf_quantized_rerank": _K_CENTROIDS
+    + "; the d0/val re-assembly array is horizon = embedding dim (fixed)",
+    "sim_ivf_search": _K_CENTROIDS,
+    "sim_kmeans": _K_CENTROIDS,
+    # --- exact percentiles: pinned for oracle parity, approx swap owed ---
+    "events_conversion_lag": _EXACT_PCTL
+    + " (pre-reduced to one row per CONVERTED USER before the buffer)",
+    "events_interarrival": _EXACT_PCTL
+    + " (pre-reduced to per-user gap slices, corpus-size-independent)",
+    "events_mad_outliers": _EXACT_PCTL,
+    "events_value_deciles": (
+        "percentile_disc boundary reduce: the buffer holds the GLOBAL "
+        "value column (pinned: exact order statistics for oracle parity; "
+        "at 100 TB swap approx_percentile) — the downstream binning is "
+        "already the scale-safe broadcast-lambda form, never a global "
+        "ntile window"
+    ),
+    "events_value_winsorized": (
+        "percentile_disc clip boundaries: same pinned exact-order-"
+        "statistics rationale as events_value_deciles"
+    ),
+    "rel_percentiles": _EXACT_PCTL,
+    "rel_ship_lag": _EXACT_PCTL
+    + " (5 priority groups; each buffers its group's lags)",
+    # --- the one genuinely user-coupled build ---
+    "events_user_sequences": (
+        "per-user FULL ordered sequence IS the deliverable (sequence-"
+        "modeling prep): horizon = events per user by the query's own "
+        "contract; a hot user at 100x skew grows this row — the bounded "
+        "training-prep form (fixed seq_len windows) is docs_pack_sequences, "
+        "and callers wanting caps compose a per-user row_number limit "
+        "upstream"
+    ),
+}
+
+#: Aggregate functions whose ObjectHashAggregate buffer holds the whole
+#: group (TypedImperativeAggregate with O(group) state). approx_percentile
+#: deliberately NOT listed — its t-digest state is bounded.
+_UNBOUNDED_AGG_RE = (
+    r"\b(collect_list|collect_set|array_agg|listagg|percentile"
+    r"|percentile_disc)\("
+)
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_array_build_horizon_documented(spark, name):
+    """Per-group array builds and exact-percentile buffers hold the whole
+    group in ONE aggregator — per-key memory, the sibling of the
+    quadratic-frame per-key time trap. Any registered plan that builds
+    one must carry a documented per-key horizon in
+    ``ARRAY_BUILD_HORIZONS`` (and entries must not go stale)."""
+    import re
+
+    plan = plan_of(spark, name)
+    builds = sorted(
+        {m.group(1) for m in re.finditer(_UNBOUNDED_AGG_RE, plan, re.I)}
+    )
+    if builds:
+        assert name in ARRAY_BUILD_HORIZONS, (
+            f"{name}: plan builds per-group state via {builds} with no "
+            "documented per-key horizon — bound it (slice/top-k/"
+            "approx_percentile) or add the bound rationale to "
+            "ARRAY_BUILD_HORIZONS"
+        )
+    else:
+        assert name not in ARRAY_BUILD_HORIZONS, (
+            f"{name}: stale ARRAY_BUILD_HORIZONS entry — the plan no "
+            "longer builds per-group array/percentile state"
+        )
