@@ -242,6 +242,19 @@ WRITE_SINK = {
     "text_quality_score": "keep",
 }
 
+#: --sink jdbc mode (round 12): the K1 JDBC append sink is
+#: correctness-tested (embedded-Derby roundtrip,
+#: ``tests/test_sources.py``) but was never TIMED. This opt-in mode
+#: appends ONE headline output through the real JDBC write path
+#: (batched INSERTs, one connection per partition) into an in-memory
+#: Derby database — the same code path as MySQL/Postgres in
+#: production, no external server. The number = execution + JDBC batch
+#: insert; subtract the query's noop reading to isolate the sink cost.
+#: NOT part of the comparison gate — its own BASELINE.md section.
+JDBC_SINK_QUERY = "etl_events_pipeline"
+JDBC_URL = "jdbc:derby:memory:sparketl_bench;create=true"
+JDBC_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
 
 def main() -> None:
     import argparse
@@ -249,10 +262,12 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--sink",
-        choices=["noop", "parquet"],
+        choices=["noop", "parquet", "jdbc"],
         default="noop",
         help="parquet: time partitioned parquet writes of the "
-        "WRITE_SINK queries instead of the noop headline run",
+        "WRITE_SINK queries instead of the noop headline run; "
+        "jdbc: time a batched JDBC append of the JDBC_SINK_QUERY "
+        "output into an in-memory Derby database",
     )
     args = ap.parse_args()
 
@@ -288,7 +303,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    run_names = list(WRITE_SINK) if args.sink == "parquet" else HEADLINE
+    if args.sink == "parquet":
+        run_names = list(WRITE_SINK)
+    elif args.sink == "jdbc":
+        run_names = [JDBC_SINK_QUERY]
+    else:
+        run_names = HEADLINE
     for name in run_names:
         builder = qs.get(name)
         if builder is None:
@@ -301,6 +321,20 @@ def main() -> None:
                 builder(spark, sf_dir).write.mode("overwrite").partitionBy(
                     WRITE_SINK[name]
                 ).parquet(f"/tmp/spark_graft_bench/write_sink/{name}.parquet")
+            elif args.sink == "jdbc":
+                from spark_etl_pipeline_spark.sources import write_jdbc_append
+
+                # fresh table per timed run (Derby in-memory DB lives
+                # for the JVM; a stale table would turn the append into
+                # a duplicate-load and double the byte count)
+                write_jdbc_append(
+                    builder(spark, sf_dir),
+                    url=JDBC_URL,
+                    table=f"bench_{name}_{int(t0 * 1000)}",
+                    user="app",
+                    password="app",
+                    driver=JDBC_DRIVER,
+                )
             else:
                 builder(spark, sf_dir).write.format("noop").mode(
                     "overwrite"

@@ -1485,3 +1485,113 @@ def test_agrees_with_oracle_on_times_then_widen(
     spark_pdf = spec.builder(spark, times_widen_dir).toPandas()
     duck_pdf = times_widen_duck.sql(spec.oracle).df()
     _assert_matches_oracle(name, spark_pdf, duck_pdf)
+
+
+#: Round-12's composition: the two SCHEMA-EVOLUTION axes crossed — one
+#: directory holding THREE footer generations: current full schema
+#: (~55%), a column-DROPPED reversed-order generation (the ``drift``
+#: shape), and a type-NARROWED reversed-order generation (the ``widen``
+#: shape). Chaining the modes (``--out`` -> ``--sf-dir``) cannot stage
+#: this — each mode re-reads through the promoted union, which
+#: null-fills the dropped column / re-widens the narrow types and
+#: collapses the prior generations — so ``drift_widen`` is a single
+#: three-way split (the same argument that made "widen then skew"
+#: unstageable). ``embeddings.label`` is the same-column cross: DROPPED
+#: in one generation and SMALLINT-narrowed in another, so the footer
+#: union must null-fill and type-promote ONE column simultaneously.
+#: Full 222-query sweep: ``REHEARSAL_r12_hostile.json``
+#: (``drift_then_widen_sf0_01``).
+DRIFT_WIDEN_QUERIES = (
+    "q1_pricing_summary",    # null-filled l_tax + float-promoted l_quantity
+    "sim_embedding_drift",   # groups by label: the same-column cross
+    "etl_events_pipeline",   # dropped props + promoted value, one directory
+    "rel_variant_props",     # JSON extraction over the null-filled props gen
+    "q4_order_priority",     # grouping key itself dropped in one generation
+    "docs_mixture_sample",   # mixture weights over null-filled lang
+    "stream_tumbling_drain", # FileStreamSource takes the 3-gen union up front
+)
+
+
+@pytest.fixture(scope="module")
+def drift_widen_dir(spark, tmp_path_factory):
+    """sf0.001 with the three-generation drift x widen directory."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_hostile import stage
+
+    out = str(tmp_path_factory.mktemp("hostile") / "drift_widen")
+    stage("drift_widen", SF_SMOKE, out, spark=spark)
+    return out
+
+
+@pytest.fixture(scope="module")
+def drift_widen_duck(drift_widen_dir):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{drift_widen_dir}/{t}.parquet/*.parquet', union_by_name=true)"
+        )
+    yield con
+    con.close()
+
+
+def test_drift_widen_directory_holds_three_footer_generations(
+    spark, drift_widen_dir
+):
+    """The composition premise: one directory, three footer shapes —
+    and on ``embeddings`` the SAME column (label) is absent from one
+    footer and SMALLINT in another, while the promoted union serves the
+    whole directory as one schema with no row loss."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for t, drop, ncol, wide in [
+        ("lineitem", "l_tax", "l_quantity", "double"),
+        ("embeddings", "label", "label", "int32"),
+        ("events", "props", "value", "double"),
+    ]:
+        files = _glob.glob(f"{drift_widen_dir}/{t}.parquet/*.parquet")
+        dropped = [f for f in files if drop not in pq.read_schema(f).names]
+        narrowed = [
+            f
+            for f in files
+            if ncol in pq.read_schema(f).names
+            and str(pq.read_schema(f).field(ncol).type) in ("float", "int16")
+        ]
+        current = [
+            f
+            for f in files
+            if drop in pq.read_schema(f).names
+            and str(pq.read_schema(f).field(ncol).type) == wide
+        ]
+        assert dropped and narrowed and current, (
+            f"{t}: expected all three generations, got "
+            f"dropped={len(dropped)} narrowed={len(narrowed)} "
+            f"current={len(current)}"
+        )
+    # the union read: every generation's rows, one promoted schema
+    emb = registry.table(spark, drift_widen_dir, "embeddings")
+    assert dict(emb.dtypes)["label"] == "int"
+    base = registry.table(spark, SF_SMOKE, "embeddings")
+    assert emb.count() == base.count(), "generation split lost rows"
+    from pyspark.sql import functions as F
+
+    n_null = emb.filter(F.col("label").isNull()).count()
+    assert n_null > 0, "no null-filled label rows — drift generation empty"
+    assert n_null < emb.count(), "ALL labels null — current generation lost"
+
+
+@pytest.mark.parametrize("name", DRIFT_WIDEN_QUERIES)
+def test_agrees_with_oracle_on_drift_then_widen(
+    spark, drift_widen_dir, drift_widen_duck, name
+):
+    registry.load_all()
+    spec = registry.REGISTRY[name]
+    spark_pdf = spec.builder(spark, drift_widen_dir).toPandas()
+    duck_pdf = drift_widen_duck.sql(spec.oracle).df()
+    _assert_matches_oracle(name, spark_pdf, duck_pdf)

@@ -471,6 +471,78 @@ def stage(mode: str, sf_dir: str, out: str, spark=None) -> None:
             )
             print(f"[hostile] staged {t} ({mode})", file=sys.stderr)
             continue
+        elif mode == "drift_widen":
+            # The two schema-evolution axes COMPOSED in one directory:
+            # THREE footer generations — current full schema (~55%), a
+            # column-DROPPED reversed-order generation (~22.5%, the
+            # ``drift`` shape), and a type-NARROWED reversed-order
+            # generation (~22.5%, the ``widen`` shape). Chaining the
+            # modes (``--out`` -> ``--sf-dir``) cannot stage this: each
+            # mode re-reads through the promoted union, which null-fills
+            # the dropped column / re-widens the narrow types and
+            # collapses the prior generations back to one schema — so
+            # the composition is a single three-way split, the same
+            # argument that made "widen then skew" unstageable.
+            # ``embeddings.label`` is the same-column cross: DROPPED in
+            # the drift generation and NARROWED in the widen one, so the
+            # footer union must null-fill and type-promote ONE column
+            # across footers simultaneously. (label is int32 at the
+            # source, so the cross needs SMALLINT here — the plain
+            # ``widen`` map's "int" would be a no-op for it; label
+            # values are single-digit class ids, comfortably in range.)
+            drop_col = {
+                "documents": "lang",
+                "events": "props",
+                "lineitem": "l_tax",
+                "orders": "o_orderpriority",
+                "customer": "c_mktsegment",
+                "embeddings": "label",
+            }.get(t)
+            narrow = {
+                "lineitem": {"l_quantity": "float", "l_linenumber": "smallint"},
+                "orders": {"o_totalprice": "float"},
+                "customer": {"c_acctbal": "float", "c_nationkey": "smallint"},
+                "supplier": {"s_acctbal": "float", "s_nationkey": "smallint"},
+                "part": {"p_retailprice": "float", "p_size": "int"},
+                "events": {"value": "float"},
+                "documents": {"n_chars": "int"},
+                "embeddings": {"label": "smallint"},
+            }.get(t, {})
+            int_bounds = {
+                "smallint": (-32768, 32767),
+                "int": (-2147483648, 2147483647),
+            }
+            fits = F.lit(True)
+            for c, typ in narrow.items():
+                if typ in int_bounds:
+                    lo, hi = int_bounds[typ]
+                    fits = fits & F.col(c).between(lo, hi)
+            fits = F.coalesce(fits, F.lit(False))
+            coin = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(MOD)
+            )
+            to_drift = (coin >= int(MOD * 0.55)) & (coin < int(MOD * 0.775))
+            # rows whose values overflow the narrow types could never
+            # have been written by the old-era writer — they route to
+            # the CURRENT generation, same realism rule as ``widen``
+            to_narrow = (coin >= int(MOD * 0.775)) & fits
+            gen0 = df.filter(~to_drift & ~to_narrow)
+            gen_d = df.filter(to_drift)
+            gen_w = df.filter(to_narrow)
+            drift_cols = [c for c in reversed(df.columns) if c != drop_col]
+            widen_cols = [
+                F.col(c).cast(narrow[c]).alias(c) if c in narrow else F.col(c)
+                for c in reversed(df.columns)
+            ]
+            gen0.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+            gen_d.select(*drift_cols).write.mode("append").parquet(
+                f"{out}/{t}.parquet"
+            )
+            gen_w.select(*widen_cols).write.mode("append").parquet(
+                f"{out}/{t}.parquet"
+            )
+            print(f"[hostile] staged {t} ({mode})", file=sys.stderr)
+            continue
         elif mode == "shuffled":
             df = df.orderBy(
                 F.xxhash64(*[F.col(c) for c in df.columns])
@@ -562,6 +634,7 @@ def main() -> int:
         choices=[
             "shuffled", "nulls", "floats", "empty", "unicode", "single",
             "dup3", "times", "skew", "giant", "drift", "widen",
+            "drift_widen",
         ],
         required=True
     )
