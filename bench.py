@@ -104,6 +104,13 @@ HEADLINE = [
     "graph_reachability",
     "docs_bm25_topk",
     "docs_source_divergence",
+    # round-12 addition: the dense-spine window family — the ONLY bench
+    # member whose cost is driven by spine width (sequence() explode +
+    # bidirectional ignore-nulls windows). The r11 O(n²) frame hid from
+    # BENCH because this family was represented only by its cheap
+    # forward-fill sibling (events_gap_fill); a future frame regression
+    # now shows up in the headline number, not only in hostile sweeps.
+    "events_gap_fill_lerp",
 ]
 
 

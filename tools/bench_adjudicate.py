@@ -118,6 +118,11 @@ ANCHOR = {
         "graph_reachability": 2.704,
         "docs_bm25_topk": 0.726,
         "docs_source_divergence": 0.733,
+        # r12 headline addition (dense-spine window family; BASELINE.md
+        # round-12 section): min of the 2026-08-15 quiet-host pair
+        # 0.642/0.680 at CPU canaries 0.418/0.396 — canary-comparable
+        # to the r10 anchor band (0.409).
+        "events_gap_fill_lerp": 0.642,
     },
 }
 
