@@ -189,5 +189,10 @@ def test_embedded_anchor_matches_baseline_record():
     assert badj.ANCHOR["canary_sec"] == 0.409
     # r11 raw-byte-read io reference (min-of-2: 0.530/0.527)
     assert badj.ANCHOR["io_canary_sec"] == 0.527
-    assert len(badj.ANCHOR["queries"]) == 34
-    assert round(sum(badj.ANCHOR["queries"].values()), 2) == 38.73
+    # 34 r10 entries + the r12 headline addition (events_gap_fill_lerp,
+    # anchored at its own quiet-host pair min — BASELINE.md r12 section)
+    assert len(badj.ANCHOR["queries"]) == 35
+    assert badj.ANCHOR["queries"]["events_gap_fill_lerp"] == 0.642
+    # the r10 vector sums to 38.733 (the "38.73 s" record, rounded);
+    # + 0.642 = 39.375 -> 39.38
+    assert round(sum(badj.ANCHOR["queries"].values()), 2) == 39.38
