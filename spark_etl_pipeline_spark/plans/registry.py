@@ -365,6 +365,12 @@ def load_all() -> None:
 #:   but is a no-op under the driver's UTC-host session, and the
 #:   ``streaming/source.py`` warning is log-only — no jumps for either.
 #:   After this window the oldest driver row in the repo becomes r8.
+#: - **r13 ledger (written at r12 close)**: NO query builder or shared
+#:   helper changed semantically in r12 — the round's code changes were
+#:   emission order (this block), tests, tools, and bench
+#:   instrumentation — so no exception-(a) jumps are owed and the r13
+#:   window is the pure ``tools/plan_rotation.py`` output (the 22
+#:   remaining r8-green rows + the oldest r9-green rows).
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
