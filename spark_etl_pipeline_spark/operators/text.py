@@ -1245,12 +1245,17 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i // size, min(size, len(parts) - i), parts[i]
 
     spark.udtf.register("engine_chunks_udtf", _Chunks)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("v_udtf_docs")
+    # The docs table enters as a parameterized-spark.sql DataFrame arg,
+    # not a temp view: a view is a session-GLOBAL binding, so concurrent
+    # invocations on different sf_dirs would race and silently read each
+    # other's data. (The UDTF registration above is also session-global,
+    # but re-registering the identical class is a benign overwrite.)
     return spark.sql(
         f"""
         SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_token
-        FROM v_udtf_docs d, LATERAL engine_chunks_udtf(d.text, {UDTF_CHUNK}) c
-        """
+        FROM {{docs}} d, LATERAL engine_chunks_udtf(d.text, {UDTF_CHUNK}) c
+        """,
+        docs=table(spark, sf_dir, "documents"),
     )
 
 

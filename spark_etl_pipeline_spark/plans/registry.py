@@ -279,6 +279,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     the DuckDB oracles use, so ad-hoc SQL can be cross-checked 1:1.
     Views go through :func:`table`, so the nanos-timestamp repair and
     every other load-path normalization apply to SQL users too.
+
+    Concurrency note: temp views are session-GLOBAL, so this binding is
+    last-writer-wins across threads — by design for an ad-hoc SQL
+    entry point (one corpus per session). Registered query builders
+    deliberately do NOT use views for exactly that reason: they pass
+    tables as parameterized ``spark.sql`` DataFrame args so concurrent
+    invocations on different ``sf_dir``\\ s cannot read each other's
+    data (see ``rel_sql_exists``).
     """
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1005,18 +1005,22 @@ def rel_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst rewrites the correlated EXISTS into a left-semi hash join
     on l_orderkey — the same physical plan the DataFrame
     ``join(how='left_semi')`` builds, proving both front doors reach one
-    engine.
+    engine. Tables enter as parameterized-``spark.sql`` DataFrame args,
+    not temp views: ``createOrReplaceTempView`` is a session-GLOBAL
+    binding, so two concurrent invocations of one builder on different
+    ``sf_dir``\\ s raced and silently read each other's data (measured:
+    6 of 12 concurrent runs returned the other directory's rows).
     """
-    table(spark, sf_dir, "orders").createOrReplaceTempView("v_exists_orders")
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_exists_lineitem")
     return spark.sql(
         """
         SELECT o.o_orderpriority, COUNT(*) AS n
-        FROM v_exists_orders o
-        WHERE EXISTS (SELECT 1 FROM v_exists_lineitem l
+        FROM {orders} o
+        WHERE EXISTS (SELECT 1 FROM {lineitem} l
                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         GROUP BY o.o_orderpriority
-        """
+        """,
+        orders=table(spark, sf_dir, "orders"),
+        lineitem=table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -1033,16 +1037,18 @@ def rel_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: customers above their nation's mean
     balance. Catalyst decorrelates into an aggregate + join — no
-    per-row re-execution (the naive reading would be O(n²))."""
-    table(spark, sf_dir, "customer").createOrReplaceTempView("v_scalar_customer")
+    per-row re-execution (the naive reading would be O(n²)). The table
+    enters as a parameterized-``spark.sql`` DataFrame arg (see
+    ``rel_sql_exists`` for why temp views are a concurrency hazard)."""
     return spark.sql(
         """
         SELECT c.c_nationkey, COUNT(*) AS n_above
-        FROM v_scalar_customer c
-        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM v_scalar_customer c2
+        FROM {customer} c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM {customer} c2
                              WHERE c2.c_nationkey = c.c_nationkey)
         GROUP BY c.c_nationkey
-        """
+        """,
+        customer=table(spark, sf_dir, "customer"),
     )
 
 
@@ -1066,17 +1072,17 @@ def rel_sql_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs the null-aware variant — a real semantic difference from NOT
     EXISTS worth keeping behind a SQL test.)
     """
-    table(spark, sf_dir, "customer").createOrReplaceTempView("v_notin_customer")
-    table(spark, sf_dir, "orders").createOrReplaceTempView("v_notin_orders")
     return spark.sql(
         """
         SELECT c.c_mktsegment, COUNT(*) AS n_idle
-        FROM v_notin_customer c
+        FROM {customer} c
         WHERE c.c_custkey NOT IN
-            (SELECT o.o_custkey FROM v_notin_orders o
+            (SELECT o.o_custkey FROM {orders} o
              WHERE o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
         GROUP BY c.c_mktsegment
-        """
+        """,
+        customer=table(spark, sf_dir, "customer"),
+        orders=table(spark, sf_dir, "orders"),
     )
 
 
@@ -1229,15 +1235,15 @@ def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Empty-input note: the ``()`` set carries the same pinned
     Spark-vs-ANSI divergence as ``rel_rollup`` (0 rows vs 1).
     """
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_gs_lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
                CAST(SUM(TRY_CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
-        FROM v_gs_lineitem
+        FROM {lineitem}
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
+        """,
+        lineitem=table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -3001,15 +3007,13 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spark_etl_pipeline_spark.operators.timeseries import epoch_gated
 
-    epoch_gated(
-        table(spark, sf_dir, "orders"), "o_orderdate"
-    ).createOrReplaceTempView("v_rec_orders")
+    gated = epoch_gated(table(spark, sf_dir, "orders"), "o_orderdate")
     return spark.sql(
         """
         WITH RECURSIVE spine MAX RECURSION LEVEL 2400 AS (
             SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m,
                    CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
-            FROM v_rec_orders
+            FROM {orders}
             UNION ALL
             SELECT add_months(m, 1), mx FROM spine WHERE m < mx
         ),
@@ -3017,7 +3021,7 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
                    COUNT(*) AS n_orders,
                    SUM(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
-            FROM v_rec_orders GROUP BY 1
+            FROM {orders} GROUP BY 1
         )
         SELECT date_format(s.m, 'yyyy-MM') AS month,
                CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
@@ -3026,7 +3030,8 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                         OVER (ORDER BY s.m) AS DOUBLE) / 100.0
                    AS cumulative_revenue
         FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
-        """
+        """,
+        orders=gated,
     )
 
 
@@ -3113,27 +3118,27 @@ def rel_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be the naive cost). Exact-cents revenue, c_custkey tiebreak —
     deterministic top-2 on both engines.
     """
-    table(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
-    table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
-    table(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
     return spark.sql(
         """
         SELECT n.n_name, t.c_name, t.revenue
-        FROM v_lat_nation n,
+        FROM {nation} n,
         LATERAL (
             SELECT c.c_name,
                    CAST(SUM(TRY_CAST(round(o.o_totalprice * 100) AS BIGINT))
                         AS DOUBLE) / 100.0 AS revenue,
                    c.c_custkey
-            FROM v_lat_customer c
-            JOIN v_lat_orders o ON o.o_custkey = c.c_custkey
+            FROM {customer} c
+            JOIN {orders} o ON o.o_custkey = c.c_custkey
             WHERE c.c_nationkey = n.n_nationkey
             GROUP BY c.c_name, c.c_custkey
             ORDER BY SUM(TRY_CAST(round(o.o_totalprice * 100) AS BIGINT)) DESC,
                      c.c_custkey
             LIMIT 2
         ) t
-        """
+        """,
+        nation=table(spark, sf_dir, "nation"),
+        customer=table(spark, sf_dir, "customer"),
+        orders=table(spark, sf_dir, "orders"),
     )
 
 
