@@ -373,12 +373,21 @@ def load_all() -> None:
 #:   but is a no-op under the driver's UTC-host session, and the
 #:   ``streaming/source.py`` warning is log-only — no jumps for either.
 #:   After this window the oldest driver row in the repo becomes r8.
-#: - **r13 ledger (written at r12 close)**: NO query builder or shared
-#:   helper changed semantically in r12 — the round's code changes were
-#:   emission order (this block), tests, tools, and bench
-#:   instrumentation — so no exception-(a) jumps are owed and the r13
-#:   window is the pure ``tools/plan_rotation.py`` output (the 22
-#:   remaining r8-green rows + the oldest r9-green rows).
+#: - **r13 ledger (written at r12 close, amended after the late-r12
+#:   concurrency fix)**: seven SQL-front-door builders changed in r12
+#:   (temp-view binding → parameterized ``spark.sql`` DataFrame args;
+#:   the cross-directory race fix, see ``tests/test_concurrency.py``).
+#:   Three of them sit in the r12 window itself
+#:   (``rel_recursive_month_spine``, ``rel_lateral_topn``,
+#:   ``text_chunks_udtf``) and get their driver row on the fixed code
+#:   this round; the other FOUR owe exception-(a) jumps and must lead
+#:   the r13 window: ``rel_sql_exists``, ``rel_sql_scalar_subquery``,
+#:   ``rel_sql_not_in``, ``rel_grouping_sets``. (Plan snapshots are
+#:   unchanged by the rewrite — the analyzed plans are identical —
+#:   but the contract front-loads driver evidence on any refactored
+#:   builder regardless.) After the jumps, the rest of the r13 window
+#:   is the pure ``tools/plan_rotation.py`` output (the 22 remaining
+#:   r8-green rows + the oldest r9-green rows, minus displacements).
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
