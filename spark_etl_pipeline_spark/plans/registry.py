@@ -385,9 +385,28 @@ def load_all() -> None:
 #:   ``rel_sql_not_in``, ``rel_grouping_sets``. (Plan snapshots are
 #:   unchanged by the rewrite — the analyzed plans are identical —
 #:   but the contract front-loads driver evidence on any refactored
-#:   builder regardless.) After the jumps, the rest of the r13 window
-#:   is the pure ``tools/plan_rotation.py`` output (the 22 remaining
-#:   r8-green rows + the oldest r9-green rows, minus displacements).
+#:   builder regardless.) The full-registry CONCURRENT sweep
+#:   (``tools/rehearse_concurrent.py``) then found the second
+#:   violation of the same class: the eight memory-sink drains used
+#:   fixed session-global ``queryName``\ s; ``_drain_to_table``
+#:   (``streaming/windows.py``) now uuid-suffixes per invocation and
+#:   all eight route through it. Three of the eight sit in the r12
+#:   window (``stream_join_drain``, ``stream_enrich_drain``,
+#:   ``stream_dedup_drain``) and get their driver row on the fixed
+#:   code; the other FIVE owe exception-(a) jumps alongside the four
+#:   SQL builders: ``stream_tumbling_drain``, ``stream_sliding_drain``,
+#:   ``stream_session_drain``, ``stream_rollup_drain``,
+#:   ``stream_profiles_drain``. After the jumps, the rest of the r13
+#:   window is the pure ``tools/plan_rotation.py`` output (the 22
+#:   remaining r8-green rows + the oldest r9-green rows, minus
+#:   displacements). Mechanical derivation once
+#:   ``CORRECTNESS_r12.json`` lands::
+#:
+#:       python tools/plan_rotation.py --lead rel_sql_exists \
+#:           rel_sql_scalar_subquery rel_sql_not_in rel_grouping_sets \
+#:           stream_tumbling_drain stream_sliding_drain \
+#:           stream_session_drain stream_rollup_drain \
+#:           stream_profiles_drain
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last

@@ -99,23 +99,10 @@ def stream_tumbling_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a processing-time trigger and a kafka/file sink — availableNow
     is Spark's official backfill/replay mode, not a test shim.
     """
-    sink = "stream_tumbling_drain_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    q = (
-        stream_events_tumbling(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_to_table(
+        spark, stream_events_tumbling(spark, sf_dir),
+        "stream_tumbling_drain_sink",
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
-    return spark.table(sink)
 
 
 # ---------------------------------------------------------------------------
@@ -434,27 +421,15 @@ def stream_profiles_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_profiles,
     )
 
-    sink = "stream_profiles_drain_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    q = (
-        running_user_profiles(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    profiles = _drain_to_table(
+        spark, running_user_profiles(spark, sf_dir),
+        "stream_profiles_drain_sink", mode="update",
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
     w = F.expr(
         "row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC)"
     )
     return (
-        spark.table(sink)
+        profiles
         .withColumn("rn", w)
         .filter(F.col("rn") == 1)
         .select(
@@ -520,34 +495,32 @@ def stream_rollup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    sink = "stream_rollup_drain_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
-    return spark.table(sink)
+    return _drain_to_table(spark, agg, "stream_rollup_drain_sink")
 
 
 def _drain_to_table(
     spark: SparkSession, df: DataFrame, sink: str, mode: str = "complete"
 ) -> DataFrame:
-    """Shared availableNow → memory-sink drain."""
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
+    """Shared availableNow → memory-sink drain.
+
+    Both the streaming query name and the memory-sink table behind it
+    are SESSION-GLOBAL names, so ``sink`` is only a prefix: each
+    invocation drains into a fresh uuid-suffixed name. A fixed name let
+    two concurrent invocations of the same drain (one shared session,
+    two directories) collide — the old pre-start stop-by-name loop even
+    killed the other invocation's in-flight drain, i.e. silent partial
+    results, the same session-global-state class as the temp-view race
+    (``tests/test_concurrency.py``). The result is materialized eagerly
+    so the sink table can be dropped before returning — no session
+    residue, and the returned DataFrame does not depend on the
+    (now-dropped) memory table.
+    """
+    import uuid
+
+    table_name = f"{sink}_{uuid.uuid4().hex[:12]}"
     q = (
         df.writeStream.format("memory")
-        .queryName(sink)
+        .queryName(table_name)
         .outputMode(mode)
         .trigger(availableNow=True)
         .start()
@@ -556,7 +529,9 @@ def _drain_to_table(
         q.awaitTermination(300)
     finally:
         q.stop()
-    return spark.table(sink)
+    out = spark.table(table_name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(table_name)
+    return out
 
 
 @register(
@@ -689,23 +664,11 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "24 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = "stream_dedup_drain_sink"
-    for active in spark.streams.active:
-        if active.name == sink:
-            active.stop()
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    drained = _drain_to_table(
+        spark, deduped, "stream_dedup_drain_sink", mode="append",
     )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
     return (
-        spark.table(sink)
+        drained
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

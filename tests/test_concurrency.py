@@ -14,7 +14,17 @@ directory's rows (wrong data, no error: the worst failure class).
 All seven now pass tables as parameterized ``spark.sql`` DataFrame
 args (SPARK-44140), which bind in the query's own scope.
 
-Two pins:
+A full-registry lock-step sweep (``tools/rehearse_concurrent.py``)
+then found the second violation of the same class: the eight
+memory-sink streaming drains used FIXED ``queryName``\\ s — a streaming
+query name and the memory-sink table behind it are also session-global
+names — so concurrent invocations collided at ``start()``, and the
+pre-start stop-by-name loop could kill the OTHER invocation's
+in-flight drain (silent partial results). ``_drain_to_table`` now
+uuid-suffixes every drain's name and drops the sink table after eager
+materialization.
+
+Pins:
 
 - a static registry-wide gate: no registered builder (or anything it
   imports from the engine) may call ``createOrReplaceTempView`` /
@@ -22,9 +32,11 @@ Two pins:
   two documented session-global entry points
   (``registry.register_views`` — the ad-hoc SQL front door, documented
   last-writer-wins — and nothing else);
-- a live race: the worst offender re-run concurrently on two
-  directories with distinguishable results must match its per-dir
-  serial baseline on every concurrent run.
+- a static gate on ``.queryName(``: only ``_drain_to_table`` (which
+  uuid-suffixes) may name a streaming query;
+- live races: the worst temp-view offender AND a memory-sink drain
+  re-run concurrently on two directories with distinguishable results
+  must match their per-dir serial baselines on every concurrent run.
 """
 
 from __future__ import annotations
@@ -74,12 +86,41 @@ def test_no_temp_views_outside_documented_entry_points():
     )
 
 
+#: The only engine function allowed to name a streaming query: it
+#: uuid-suffixes the name per invocation, so it can never collide.
+ALLOWED_QUERYNAME_SITES = {("streaming/windows.py", "_drain_to_table")}
+
+
+def test_no_fixed_streaming_query_names():
+    """Static gate: ``.queryName(`` only inside ``_drain_to_table``.
+
+    A streaming query name (and the memory-sink table it backs) is a
+    session-global name; a builder that names its query with a fixed
+    string collides with a concurrent invocation of itself — the
+    failure the eight memory-sink drains had before r12's fix."""
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            stripped = line.split("#", 1)[0]
+            if re.search(r"\.queryName\s*\(", stripped):
+                site = (rel, _enclosing_def(lines, i))
+                if site not in ALLOWED_QUERYNAME_SITES:
+                    offenders.append(f"{rel}:{i + 1} in {site[1]}")
+    assert not offenders, (
+        "fixed streaming query names outside _drain_to_table "
+        f"(session-global collision hazard): {offenders}"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [
         "rel_sql_exists",  # the measured pre-fix racer
         "rel_recursive_month_spine",  # recursive CTE through a param table
         "text_chunks_udtf",  # LATERAL UDTF through a param table
+        "stream_tumbling_drain",  # memory-sink drain (fixed-name racer)
     ],
 )
 def test_same_query_concurrent_on_two_dirs(spark, name):

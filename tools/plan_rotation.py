@@ -26,6 +26,22 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--window", type=int, default=50)
+    parser.add_argument(
+        "--lead",
+        nargs="*",
+        default=[],
+        metavar="NAME",
+        help=(
+            "exception-(a) jumps from the rotation ledger (registry "
+            "comment above _EMIT_FIRST): queries whose builder or a "
+            "shared helper under it was refactored since their last "
+            "driver row. They lead the window ahead of the pure "
+            "staleness order, in the given order, displacing the "
+            "youngest tail entries — e.g. the r13 ledger owes "
+            "rel_sql_exists rel_sql_scalar_subquery rel_sql_not_in "
+            "rel_grouping_sets after the late-r12 concurrency fix."
+        ),
+    )
     args = parser.parse_args(argv)
 
     sys.path.insert(0, ".")
@@ -55,7 +71,12 @@ def main(argv: list[str] | None = None) -> int:
         (n for n in names if n in newest),
         key=lambda n: (newest[n], names.index(n)),
     )
-    order = never + checked
+    unknown = [n for n in args.lead if n not in names]
+    if unknown:
+        print(f"--lead names not registered: {unknown}", file=sys.stderr)
+        return 2
+    lead = [n for n in args.lead]
+    order = lead + [n for n in never + checked if n not in lead]
     window = order[: args.window]
 
     # A query whose latest driver row FAILED still front-loads like a
