@@ -85,6 +85,90 @@ def open_oracle(sf_dir: str, tables):
     return duck
 
 
+def soak(spark, qs, oracles, names, args) -> int:
+    """Mixed-soak: N threads, each running every query once in its own
+    deterministic shuffle, each call on a deterministic per-(thread,
+    query) directory choice. No barrier — the interleaving is whatever
+    the scheduler produces, which is exactly the production regime of a
+    shared session behind a thread-pooled job runner."""
+    import random
+    import zlib
+
+    dirs = [args.dir_a, args.dir_b]
+    oracle_cache = {d: open_oracle(d, __import__(
+        "spark_etl_pipeline_spark.plans.registry", fromlist=["TABLES"]
+    ).TABLES) for d in dirs}
+    oracle_lock = {d: threading.Lock() for d in dirs}
+
+    failures: list[tuple[str, str, str, dict]] = []
+    lock = threading.Lock()
+    done = [0]
+
+    def worker(tid: int) -> None:
+        order = names[:]
+        random.Random(tid).shuffle(order)
+        for name in order:
+            # builtin hash() is salted per process; crc32 keeps the
+            # per-(thread, query) directory choice reproducible
+            d = dirs[(tid + zlib.crc32(name.encode())) % 2]
+            row: dict = {"err": None}
+            try:
+                spdf = qs[name](spark, d).toPandas()
+                with oracle_lock[d]:
+                    dpdf = oracle_cache[d].sql(oracles[name]).df()
+                row = compare(spdf, dpdf)
+            except Exception as exc:  # noqa: BLE001 — report, don't abort
+                row["err"] = f"{type(exc).__name__}: {exc}"[:300]
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("values_match")
+            )
+            with lock:
+                done[0] += 1
+                if not ok:
+                    failures.append((name, f"t{tid}", d, row))
+                    print(f"FAIL {name} t{tid} {d}", file=sys.stderr)
+                elif done[0] % 50 == 0:
+                    print(f"... {done[0]} calls done", file=sys.stderr)
+
+    t0 = time.monotonic()
+    threads = [
+        threading.Thread(target=worker, args=(i,))
+        for i in range(args.soak_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    total = len(names) * args.soak_threads
+
+    print(
+        json.dumps(
+            {
+                "mode": "soak",
+                "threads": args.soak_threads,
+                "calls": total,
+                "failures": [
+                    {"query": n, "thread": t, "dir": d, **row}
+                    for n, t, d, row in failures
+                ],
+                "wall_s": round(wall, 1),
+            }
+        )
+    )
+    if failures:
+        print(f"SOAK FAILURES: {len(failures)}/{total}", file=sys.stderr)
+        return 1
+    print(
+        f"soak clean: {total} oracle-compared calls across "
+        f"{args.soak_threads} mixed threads ({wall:.1f}s)",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--dir-a", default="/root/testdata/sf0.01")
@@ -93,6 +177,21 @@ def main(argv: list[str] | None = None) -> int:
         "--window", type=int, default=0, help="0 = full registry"
     )
     parser.add_argument("--names", nargs="*")
+    parser.add_argument(
+        "--soak-threads",
+        type=int,
+        default=0,
+        metavar="N",
+        help=(
+            "mixed-soak mode: instead of two lock-step threads running "
+            "the SAME query, N threads each run the full query list in "
+            "a different deterministic shuffle, each call on a "
+            "per-(thread,query) deterministic directory — exercising "
+            "cross-BUILDER interleavings (UDTF registration, runtime "
+            "conf pinning, catalog caches) rather than same-builder "
+            "collisions. Every call is still oracle-compared."
+        ),
+    )
     args = parser.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -113,6 +212,9 @@ def main(argv: list[str] | None = None) -> int:
     names = args.names or list(qs)
     if args.window:
         names = names[: args.window]
+
+    if args.soak_threads:
+        return soak(spark, qs, oracles, names, args)
 
     barrier = threading.Barrier(2)
     report = {n: {} for n in names}

@@ -46,6 +46,15 @@ def main(argv: list[str] | None = None) -> int:
         "--names", nargs="*", help="explicit query names instead of the window"
     )
     parser.add_argument(
+        "--master",
+        default="local[8]",
+        help=(
+            "Spark master for the bare session — e.g. local[1] to prove "
+            "the registry is parallelism-degenerate-safe (no builder may "
+            "depend on having more than one core or task slot)"
+        ),
+    )
+    parser.add_argument(
         "--conf",
         action="append",
         default=[],
@@ -65,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     import __spark_entry__ as entry
 
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(args.master)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "8")
     )
