@@ -378,11 +378,18 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE text IS NOT NULL
     ),
     r AS (
+        -- COALESCE: a ZERO-byte payload (empty text cell) makes the
+        -- upper bound -1 and DuckDB's generate_series yields NULL, so
+        -- small_hx went NULL — NULL resized_bytes/md5 where the engine
+        -- resizes an empty payload to an empty payload (0 bytes, md5
+        -- of ''). Found by the random-corpus fuzzer
+        -- (tools/stage_random.py seed 1); the driver corpus has no
+        -- empty text cells.
         SELECT doc_id, n, stride,
-               array_to_string(list_transform(
+               COALESCE(array_to_string(list_transform(
                    generate_series(0, CAST(ceil(n / CAST(stride AS DOUBLE)) AS BIGINT) - 1),
                    i -> substr(hx, CAST(i * stride AS INTEGER) * 2 + 1, 2)),
-                   '') AS small_hx
+                   ''), '') AS small_hx
         FROM s
     )
     SELECT doc_id, n AS orig_bytes,

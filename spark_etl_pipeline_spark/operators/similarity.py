@@ -71,16 +71,22 @@ def load_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (surfaced by the round-8 null-injection sweep,
     ``tools/stage_hostile.py``). The family therefore drops them at
     load, and every oracle carries the matching
-    ``len(embedding) > 0`` — a no-op on clean corpora, so registered
-    results are unchanged. All-zero vectors (norm 0 with nonzero
-    length) remain undefined-cosine inputs by contract: a production
-    quality gate should drop them upstream; the check is not done here
-    because float-vs-double norm summation is not bit-portable across
-    engines.
+    ``len(list_filter(embedding, x -> x <> 0)) > 0`` — a no-op on
+    clean corpora, so registered results are unchanged. ALL-ZERO
+    vectors (norm 0 with nonzero length) are dropped by the same gate:
+    they carry no direction, so cosine against them is undefined — and
+    under ANSI mode one such row turns the undefined value into a
+    job-killing DIVIDE_BY_ZERO (surfaced by the random-corpus fuzzer,
+    ``tools/stage_random.py`` seed 2: 11 family queries crashed on a
+    corpus with a handful of zero vectors). The check is
+    ``exists(v, x -> x != 0)`` — pure comparison, NO summation — so it
+    is bit-portable across engines (the earlier concern about
+    float-vs-double norm-fold portability does not apply: a sum of
+    squares is compared against nothing; each element is).
     """
     return (
         table(spark, sf_dir, "embeddings")
-        .filter(F.size("embedding") > 0)
+        .filter(F.expr("exists(embedding, x -> x != cast(0 as float))"))
         .select("vec_id", _vec().alias("v"))
     )
 
@@ -231,7 +237,7 @@ def topk_cosine(
     "sim_topk_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_duck_cos('q.v', 'c.v')} AS cos
@@ -308,7 +314,7 @@ _SIG_DUCK = " + ".join(
     "sim_ann_hyperplane",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     sigs AS (SELECT vec_id, CAST({_SIG_DUCK} AS BIGINT) AS sig FROM e)
     SELECT vec_id, sig,
            COUNT(*) OVER (PARTITION BY sig) AS bucket_size
@@ -340,7 +346,7 @@ def sim_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_search",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id % {CENTROID_STRIDE} = 0),
     assign AS (
@@ -504,7 +510,7 @@ def _ivf_scored_sql(nprobe: int) -> str:
     "sim_ivf_nprobe2",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     {_IVF_CENTS_ASSIGN},
     {_ivf_scored_sql(2)}
     SELECT query_id, neighbor_id, cos
@@ -531,7 +537,7 @@ def sim_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_recall",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     exact_scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_duck_cos('q.v', 'c.v')} AS cos
@@ -626,7 +632,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     "sim_ann_recall_nprobe2",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     exact_scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                {_duck_cos('q.v', 'c.v')} AS cos
@@ -941,7 +947,7 @@ _DUCK_CAND_MULTIPROBE = """cand AS (
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     sigs AS (
         {_DUCK_TABLE_SIGS}
     ),
@@ -1096,7 +1102,7 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
 #: sim_kmeans and the kmeans-backed IVF search.
 _KMEANS_CTES = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}),
     a1 AS (
         SELECT vec_id, cid AS cell FROM (
@@ -1186,7 +1192,7 @@ QUANT_LEVELS = 127  # symmetric int8 range [-127, 127]
     "sim_embed_quantize",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     scaled AS (
         SELECT vec_id, v,
                CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0
@@ -1388,7 +1394,7 @@ def probe_embedding_store(
     "sim_embedding_store",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     sigs AS (
         {_DUCK_TABLE_SIGS}
     ),
@@ -1681,7 +1687,7 @@ def sim_ivf_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     sigs AS (
         {_DUCK_TABLE_SIGS}
@@ -1752,7 +1758,7 @@ def sim_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_threshold_profile",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0),
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     sigs AS (
         {_DUCK_TABLE_SIGS}
     ),
@@ -1815,7 +1821,7 @@ def sim_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-         WHERE len(embedding) > 0
+         WHERE len(list_filter(embedding, x -> x <> 0)) > 0
     ),
     sigs AS (
         {_DUCK_TABLE_SIGS}

@@ -1194,12 +1194,20 @@ UDTF_CHUNK = 32
         SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
     ),
     chunks AS (
+        -- t[1] <> '' drops EMPTY/whitespace-only documents: SQL split
+        -- of '' yields [''] (one empty token) in both engines, but the
+        -- UDTF tokenizes PYTHON-side where ''.split() is [] — an empty
+        -- document has no chunks. (text_chunking, the JVM twin, keeps
+        -- the one-empty-chunk split semantics on BOTH sides — the two
+        -- operators differ on empty docs by construction.) Found by
+        -- the random-corpus fuzzer (tools/stage_random.py seed 1);
+        -- the driver corpus has no empty text cells.
         SELECT doc_id,
                unnest(generate_series(0,
                    CAST(ceil(len(t) / {UDTF_CHUNK}.0) AS INTEGER) - 1))
                    AS chunk_idx,
                t
-        FROM toks WHERE len(t) > 0
+        FROM toks WHERE len(t) > 0 AND t[1] <> ''
     )
     SELECT doc_id,
            CAST(chunk_idx AS INTEGER) AS chunk_idx,

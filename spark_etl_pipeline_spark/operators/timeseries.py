@@ -1909,12 +1909,16 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     series0 AS (
+        -- cents IS NOT NULL mirrors the engine: an all-special day
+        -- (sum guarded to NULL) is not an observation, and a NULL in
+        -- the sorted slope list lands FIRST in Spark's sort_array but
+        -- LAST in list_sort — a silent median shift otherwise
         SELECT event_type,
                list_transform(list(cents ORDER BY day),
                               x -> CAST(x AS DOUBLE)) AS xs,
                list(day ORDER BY day) AS days,
                MIN(day) AS d0
-        FROM daily GROUP BY event_type
+        FROM daily WHERE cents IS NOT NULL GROUP BY event_type
     ),
     series AS (
         SELECT event_type, xs,
@@ -1955,9 +1959,19 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation reuses the sorted-array midpoint form.
     """
     events = table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    # Drop days whose cents are unobservable (every value that day was
+    # NaN/±Inf, so the special-guarded sum is NULL): a day with no
+    # measurement is not an observation, and a NULL inside the sorted
+    # slope array is a cross-engine hazard anyway — Spark's sort_array
+    # puts NULLs FIRST, DuckDB's list_sort puts them LAST, silently
+    # shifting the median index. Found by the random-corpus fuzzer
+    # (tools/stage_random.py seed 1: one day whose only purchase value
+    # was NaN → medians differed by 33 cents/day with equal n_slopes).
+    daily = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.expr(_CENTS)).alias("cents"))
+        .where(F.col("cents").isNotNull())
+    )
     series0 = daily.groupBy("event_type").agg(
         F.expr(
             "transform(sort_array(collect_list(struct(day, cents))), "

@@ -399,14 +399,31 @@ def load_all() -> None:
 #:   ``stream_profiles_drain``. After the jumps, the rest of the r13
 #:   window is the pure ``tools/plan_rotation.py`` output (the 22
 #:   remaining r8-green rows + the oldest r9-green rows, minus
-#:   displacements). Mechanical derivation once
-#:   ``CORRECTNESS_r12.json`` lands::
+#:   displacements). The random-corpus fuzzer
+#:   (``tools/stage_random.py``) then changed more twins late in r12
+#:   (empty-text, all-special-day, and zero-vector edges; see
+#:   ``tests/test_random_corpus.py``): ``text_chunks_udtf`` (oracle
+#:   only; in the r12 window, driver row lands on the fixed twin),
+#:   ``mm_resize`` (oracle only), ``events_theilsen_trend`` (builder +
+#:   oracle + plan snapshot), and the WHOLE similarity family via the
+#:   shared ``load_vectors`` usable-vector gate (now also drops
+#:   zero-NORM vectors — the ANSI DIVIDE_BY_ZERO crash class) plus its
+#:   14 matching oracle predicates; ``sim_ivf_quantized_rerank`` and
+#:   ``sim_embedding_clusters`` sit in the r12 window, the other 14
+#:   family members owe jumps. Mechanical derivation once
+#:   ``CORRECTNESS_r12.json`` lands (25 exception-(a) leads; the
+#:   contract front-loads every refactored builder)::
 #:
 #:       python tools/plan_rotation.py --lead rel_sql_exists \
 #:           rel_sql_scalar_subquery rel_sql_not_in rel_grouping_sets \
 #:           stream_tumbling_drain stream_sliding_drain \
 #:           stream_session_drain stream_rollup_drain \
-#:           stream_profiles_drain
+#:           stream_profiles_drain mm_resize events_theilsen_trend \
+#:           sim_topk_cosine sim_ann_hyperplane sim_ivf_search \
+#:           sim_ivf_nprobe2 sim_ann_recall sim_ann_recall_nprobe2 \
+#:           dedup_embedding_cosine sim_kmeans sim_embed_quantize \
+#:           sim_embedding_store sim_ivf_kmeans sim_threshold_profile \
+#:           docs_dedup_semantic sim_embedding_drift
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last

@@ -1,0 +1,391 @@
+#!/usr/bin/env python
+"""Stage a RANDOM corpus for oracle-differential fuzzing.
+
+The hostile stager (``tools/stage_hostile.py``) damages the FIXED
+driver corpus along one axis at a time; every sweep therefore sees the
+same joint distribution underneath the damage. This tool closes the
+remaining axis — distribution itself. Each seed draws a fresh corpus
+that honors the documented corpus contract:
+
+- same schemas, byte-for-byte (incl. ``events.ts`` TIMESTAMP(NANOS),
+  ``embeddings.embedding`` list<float> of the reference dimension);
+- primary keys unique (``event_id``/``doc_id``/``vec_id``/TPC-H keys;
+  ``(l_orderkey, l_linenumber)`` composite kept unique per order);
+- every CATEGORICAL column draws from the REAL corpus's distinct value
+  set (query literals like mktsegments, priorities, event types, langs
+  keep matching) — but with fresh random weights, so group sizes,
+  join fan-outs, and filter selectivities differ every seed;
+- ``region``/``nation`` are copied verbatim (canonical dimensions);
+- ``n_chars`` = len(text); timestamps stay inside the epoch gates.
+
+Everything else is randomized: numeric magnitudes (mixed
+uniform/heavy-tail, negatives, a low rate of NaN/±Inf in ``value`` —
+all inside the float-specials territory the ``floats`` sweep proved),
+document text (drawn from the real token vocabulary, with seeded
+near-duplicate pairs, exact-duplicate text under distinct doc_ids,
+repetition blocks, and a low rate of hostile-unicode tokens),
+embeddings (assorted norms incl. zero vectors), join fan-outs and
+dangling foreign keys.
+
+Any query that diverges from its DuckDB oracle on such a corpus has a
+distribution assumption the fixed fixtures never probed — a real bug
+or an undocumented contract clause; either is worth pinning.
+
+    python tools/stage_random.py --seed 7 [--out /tmp/spark_etl_rand_7]
+        [--src /root/testdata/sf0.001]
+
+Prints the staged directory; feed it to rehearse_gate --sf-dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+#: Hostile-but-legal unicode tokens (same families the ``unicode``
+#: sweep plants): ZWJ emoji, spaceless CJK, RTL, combining marks,
+#: fullwidth, case traps.
+UNICODE_TOKENS = [
+    "👩‍💻🔥",
+    "漢字テキスト処理",
+    "النص العربي",
+    "été",
+    "ＦＵＬＬｗｉｄｔｈ",
+    "ıstanbul",
+    "straße",
+    "a​b​c",
+]
+
+
+def _rs(seed: int, salt: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([seed, salt]))
+
+
+def _pick(rng, pool, n, skew: float):
+    """Draw n values from pool with a fresh dirichlet weighting; skew>1
+    concentrates mass (hot values), skew<1 flattens."""
+    w = rng.dirichlet(np.full(len(pool), 1.0 / skew))
+    return rng.choice(pool, size=n, p=w)
+
+
+def _money(rng, n, lo=0.0, hi=100000.0, neg_rate=0.02):
+    v = np.round(rng.uniform(lo, hi, n), 2)
+    neg = rng.random(n) < neg_rate
+    v[neg] = -v[neg]
+    return v
+
+
+def stage(src: str, out: str, seed: int) -> str:
+    import os
+    import shutil
+
+    os.makedirs(out, exist_ok=True)
+
+    real = {
+        t: pq.read_table(f"{src}/{t}.parquet")
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+    }
+
+    def dom(table: str, col: str) -> np.ndarray:
+        return real[table].column(col).unique().to_numpy(zero_copy_only=False)
+
+    # canonical dimensions verbatim
+    for t in ("region", "nation"):
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+
+    n_cust = real["customer"].num_rows
+    n_supp = real["supplier"].num_rows
+    n_part = real["part"].num_rows
+    n_ord = real["orders"].num_rows
+    n_li = real["lineitem"].num_rows
+    n_ev = real["events"].num_rows
+    n_doc = real["documents"].num_rows
+    n_emb = real["embeddings"].num_rows
+    nationkeys = dom("nation", "n_nationkey")
+
+    # ---- customer -------------------------------------------------
+    rng = _rs(seed, 1)
+    custkeys = rng.permutation(np.arange(1, n_cust + 1, dtype=np.int64))
+    customer = pd.DataFrame(
+        {
+            "c_custkey": custkeys,
+            "c_name": [f"Customer#{k:09d}" for k in custkeys],
+            "c_nationkey": _pick(rng, nationkeys, n_cust, rng.uniform(0.5, 4)).astype(
+                np.int32
+            ),
+            "c_acctbal": _money(rng, n_cust, -999.99, 9999.99, 0.0),
+            "c_mktsegment": _pick(
+                rng, dom("customer", "c_mktsegment"), n_cust, rng.uniform(0.5, 4)
+            ),
+        }
+    )
+
+    # ---- supplier -------------------------------------------------
+    rng = _rs(seed, 2)
+    suppkeys = rng.permutation(np.arange(1, n_supp + 1, dtype=np.int64))
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": suppkeys,
+            "s_name": [f"Supplier#{k:09d}" for k in suppkeys],
+            "s_nationkey": _pick(rng, nationkeys, n_supp, rng.uniform(0.5, 4)).astype(
+                np.int32
+            ),
+            "s_acctbal": _money(rng, n_supp, -999.99, 9999.99, 0.0),
+        }
+    )
+
+    # ---- part -----------------------------------------------------
+    rng = _rs(seed, 3)
+    partkeys = rng.permutation(np.arange(1, n_part + 1, dtype=np.int64))
+    name_vocab = np.array(
+        list(
+            {
+                w
+                for nm in real["part"].column("p_name").to_pylist()
+                for w in str(nm).split()
+            }
+        )
+    )
+    name_vocab.sort()
+    part = pd.DataFrame(
+        {
+            "p_partkey": partkeys,
+            "p_name": [
+                " ".join(rng.choice(name_vocab, rng.integers(2, 6)))
+                for _ in range(n_part)
+            ],
+            "p_brand": _pick(rng, dom("part", "p_brand"), n_part, rng.uniform(0.5, 4)),
+            "p_type": _pick(rng, dom("part", "p_type"), n_part, rng.uniform(0.5, 4)),
+            "p_size": rng.integers(1, 51, n_part).astype(np.int32),
+            "p_retailprice": _money(rng, n_part, 100.0, 2100.0, 0.0),
+        }
+    )
+
+    # ---- orders ---------------------------------------------------
+    rng = _rs(seed, 4)
+    orderkeys = rng.permutation(np.arange(1, n_ord + 1, dtype=np.int64))
+    odates_real = real["orders"].column("o_orderdate").to_pandas()
+    lo, hi = odates_real.min(), odates_real.max()
+    span_s = max(1, int((hi - lo).total_seconds()))
+    # some customer keys dangle (deleted customers still have orders)
+    cust_pool = np.concatenate(
+        [custkeys, np.arange(n_cust + 1, n_cust + 1 + max(1, n_cust // 20))]
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": orderkeys,
+            "o_custkey": _pick(rng, cust_pool, n_ord, rng.uniform(0.5, 6)).astype(
+                np.int64
+            ),
+            "o_orderstatus": _pick(
+                rng, dom("orders", "o_orderstatus"), n_ord, rng.uniform(0.5, 4)
+            ),
+            "o_totalprice": _money(rng, n_ord, 900.0, 500000.0, 0.0),
+            "o_orderdate": (
+                lo + pd.to_timedelta(rng.integers(0, span_s, n_ord), unit="s")
+            ).floor("ms"),
+            "o_orderpriority": _pick(
+                rng, dom("orders", "o_orderpriority"), n_ord, rng.uniform(0.5, 4)
+            ),
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[ms]")
+
+    # ---- lineitem -------------------------------------------------
+    rng = _rs(seed, 5)
+    # fan-out per order is itself random (1..13 with a heavy tail)
+    ord_pool = np.concatenate(
+        [orderkeys, np.arange(n_ord + 1, n_ord + 1 + max(1, n_ord // 25))]
+    )
+    owner = _pick(rng, ord_pool, n_li, rng.uniform(0.5, 8)).astype(np.int64)
+    owner.sort()
+    linenumber = np.ones(n_li, dtype=np.int32)
+    for i in range(1, n_li):
+        linenumber[i] = linenumber[i - 1] + 1 if owner[i] == owner[i - 1] else 1
+    sdates_real = real["lineitem"].column("l_shipdate").to_pandas()
+    slo, shi = sdates_real.min(), sdates_real.max()
+    sspan = max(1, int((shi - slo).total_seconds()))
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": owner,
+            "l_partkey": _pick(rng, partkeys, n_li, rng.uniform(0.5, 6)).astype(
+                np.int64
+            ),
+            "l_suppkey": _pick(rng, suppkeys, n_li, rng.uniform(0.5, 4)).astype(
+                np.int64
+            ),
+            "l_linenumber": linenumber,
+            "l_quantity": np.round(rng.uniform(1, 50, n_li)),
+            "l_extendedprice": _money(rng, n_li, 900.0, 100000.0, 0.0),
+            "l_discount": np.round(rng.uniform(0.0, 0.10, n_li), 2),
+            "l_tax": np.round(rng.uniform(0.0, 0.08, n_li), 2),
+            "l_returnflag": _pick(
+                rng, dom("lineitem", "l_returnflag"), n_li, rng.uniform(0.5, 4)
+            ),
+            "l_linestatus": _pick(
+                rng, dom("lineitem", "l_linestatus"), n_li, rng.uniform(0.5, 4)
+            ),
+            "l_shipdate": (
+                slo + pd.to_timedelta(rng.integers(0, sspan, n_li), unit="s")
+            ).floor("ms"),
+        }
+    )
+    lineitem["l_shipdate"] = lineitem["l_shipdate"].astype("datetime64[ms]")
+    perm = rng.permutation(n_li)
+    lineitem = lineitem.iloc[perm].reset_index(drop=True)
+
+    # ---- events ---------------------------------------------------
+    rng = _rs(seed, 6)
+    eids = rng.permutation(np.arange(1, n_ev + 1, dtype=np.int64))
+    ets_real = real["events"].column("ts").to_pandas()
+    elo, ehi = ets_real.min(), ets_real.max()
+    espan_ns = max(1, int((ehi - elo).value if hasattr((ehi - elo), "value") else (ehi - elo).total_seconds() * 1e9))
+    n_users = int(rng.integers(5, 200))
+    user_pool = np.arange(1, n_users + 1, dtype=np.int64)
+    value = _money(rng, n_ev, 0.0, 1000.0, 0.05)
+    specials = rng.random(n_ev)
+    value[specials < 0.004] = np.nan
+    value[(specials >= 0.004) & (specials < 0.006)] = np.inf
+    value[(specials >= 0.006) & (specials < 0.008)] = -np.inf
+    props_k = rng.integers(-5, 100, n_ev)
+    events = pd.DataFrame(
+        {
+            "event_id": eids,
+            "ts": elo + pd.to_timedelta(rng.integers(0, espan_ns, n_ev), unit="ns"),
+            "user_id": _pick(rng, user_pool, n_ev, rng.uniform(0.5, 8)).astype(
+                np.int64
+            ),
+            "event_type": _pick(
+                rng, dom("events", "event_type"), n_ev, rng.uniform(0.5, 4)
+            ),
+            "value": value,
+            "props": [f'{{"k": {int(k)}}}' for k in props_k],
+        }
+    )
+    # match the corpus's physical unit (micros; sub-us detail dropped)
+    events["ts"] = events["ts"].astype("datetime64[us]")
+
+    # ---- documents ------------------------------------------------
+    rng = _rs(seed, 7)
+    docids = rng.permutation(np.arange(1, n_doc + 1, dtype=np.int64))
+    vocab = np.array(
+        sorted(
+            {
+                w
+                for t in real["documents"].column("text").to_pylist()
+                for w in str(t).split()
+            }
+        )
+    )
+
+    def make_text() -> str:
+        n_words = int(rng.integers(0, 120))
+        words = list(rng.choice(vocab, n_words)) if n_words else []
+        # low-rate hostile unicode and repetition blocks
+        if words and rng.random() < 0.06:
+            words[int(rng.integers(0, len(words)))] = str(
+                UNICODE_TOKENS[int(rng.integers(0, len(UNICODE_TOKENS)))]
+            )
+        if words and rng.random() < 0.08:
+            i = int(rng.integers(0, len(words)))
+            words[i: i + 1] = [words[i]] * int(rng.integers(3, 12))
+        return " ".join(words)
+
+    texts = [make_text() for _ in range(n_doc)]
+    # seeded near-duplicates: ~8% of docs are a light edit of another,
+    # ~2% exact text copies under a DIFFERENT doc_id (legal — only the
+    # keys are contract-unique; finding these is the dedup operators'
+    # whole job)
+    for _ in range(max(1, n_doc // 12)):
+        a, b = rng.integers(0, n_doc, 2)
+        w = texts[int(a)].split()
+        if len(w) > 4:
+            w[int(rng.integers(0, len(w)))] = str(vocab[int(rng.integers(0, len(vocab)))])
+            texts[int(b)] = " ".join(w)
+    for _ in range(max(1, n_doc // 50)):
+        a, b = rng.integers(0, n_doc, 2)
+        texts[int(b)] = texts[int(a)]
+    documents = pd.DataFrame(
+        {
+            "doc_id": docids,
+            "text": texts,
+            "lang": _pick(rng, dom("documents", "lang"), n_doc, rng.uniform(0.5, 4)),
+            "source": _pick(
+                rng, dom("documents", "source"), n_doc, rng.uniform(0.5, 6)
+            ),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+    # ---- embeddings -----------------------------------------------
+    rng = _rs(seed, 8)
+    dim = len(real["embeddings"].column("embedding")[0].as_py())
+    vecids = rng.permutation(np.arange(1, n_emb + 1, dtype=np.int64))
+    base = rng.normal(0, 1, (n_emb, dim))
+    # assorted norms: most unit-ish, some tiny, some huge, a few zero
+    scale = rng.choice(
+        [1.0, 0.001, 100.0], size=n_emb, p=[0.9, 0.05, 0.05]
+    ) * rng.uniform(0.5, 2.0, n_emb)
+    vecs = base * scale[:, None]
+    zero = rng.random(n_emb) < 0.01
+    vecs[zero] = 0.0
+    # seeded near-neighbor pairs so ANN/dedup queries have positives
+    for _ in range(max(1, n_emb // 20)):
+        a, b = rng.integers(0, n_emb, 2)
+        vecs[int(b)] = vecs[int(a)] + rng.normal(0, 0.01, dim)
+    labels = dom("embeddings", "label")
+    embeddings = pd.DataFrame(
+        {
+            "vec_id": vecids,
+            "label": _pick(rng, labels, n_emb, rng.uniform(0.5, 4)).astype(np.int32),
+        }
+    )
+
+    # ---- write, preserving exact arrow schemas --------------------
+    def write(name: str, pdf: pd.DataFrame, schema: pa.Schema) -> None:
+        tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        pq.write_table(tbl, f"{out}/{name}.parquet")
+
+    write("customer", customer, real["customer"].schema)
+    write("supplier", supplier, real["supplier"].schema)
+    write("part", part, real["part"].schema)
+    write("orders", orders, real["orders"].schema)
+    write("lineitem", lineitem, real["lineitem"].schema)
+    write("events", events, real["events"].schema)
+    write("documents", documents, real["documents"].schema)
+    emb_tbl = pa.Table.from_arrays(
+        [
+            pa.array(embeddings["vec_id"].to_numpy(), type=pa.int64()),
+            pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                type=real["embeddings"].schema.field("embedding").type,
+            ),
+            pa.array(embeddings["label"].to_numpy(), type=pa.int32()),
+        ],
+        schema=real["embeddings"].schema,
+    )
+    pq.write_table(emb_tbl, f"{out}/embeddings.parquet")
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seed", type=int, required=True)
+    parser.add_argument("--src", default="/root/testdata/sf0.001")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
+    out = args.out or f"/tmp/spark_etl_rand_{args.seed}"
+    print(stage(args.src, out, args.seed))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
