@@ -410,9 +410,13 @@ def load_all() -> None:
 #:   zero-NORM vectors — the ANSI DIVIDE_BY_ZERO crash class) plus its
 #:   14 matching oracle predicates; ``sim_ivf_quantized_rerank`` and
 #:   ``sim_embedding_clusters`` sit in the r12 window, the other 14
-#:   family members owe jumps. Mechanical derivation once
-#:   ``CORRECTNESS_r12.json`` lands (25 exception-(a) leads; the
-#:   contract front-loads every refactored builder)::
+#:   family members owe jumps. (``stream_profiles_drain`` — already a
+#:   lead from the drain-naming fix — was refactored a second time:
+#:   the stateful accumulator now emits NULL, not its 0.0 initial
+#:   state, for a key with zero finite measurements; fuzz seed 7.)
+#:   Mechanical derivation once ``CORRECTNESS_r12.json`` lands (25
+#:   exception-(a) leads; the contract front-loads every refactored
+#:   builder)::
 #:
 #:       python tools/plan_rotation.py --lead rel_sql_exists \
 #:           rel_sql_scalar_subquery rel_sql_not_in rel_grouping_sets \

@@ -29,7 +29,7 @@ if TYPE_CHECKING:
     import pandas as pd
 
 PROFILE_SCHEMA = "user_id bigint, n_events bigint, total_value double"
-STATE_SCHEMA = "n bigint, total double"
+STATE_SCHEMA = "n bigint, n_finite bigint, total double"
 
 
 def running_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +50,7 @@ def running_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, n_finite, total = state.get if state.exists else (0, 0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             # finite values only: pandas .sum() already skips NaN, but
@@ -61,10 +61,21 @@ def running_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = pdf["value"]
             import numpy as np
 
-            total += float(v[np.isfinite(v)].sum())
-        state.update((n, total))
+            fin = v[np.isfinite(v)]
+            n_finite += len(fin)
+            total += float(fin.sum())
+        state.update((n, n_finite, total))
+        # SQL SUM over zero (finite) observations is NULL, not 0: a
+        # user whose every measurement is damaged has an UNKNOWN total,
+        # and emitting the 0.0 initial state silently fabricates a
+        # value (random-corpus fuzzer seed 7: a one-event user whose
+        # only value was -Inf — engine said 0.0, oracle NULL)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total if n_finite else None],
+            }
         )
 
     return (

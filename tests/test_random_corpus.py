@@ -28,8 +28,15 @@ with the arithmetic-free, bit-portable ``exists(v, x -> x != 0)``,
 mirrored by 14 ``len(list_filter(embedding, x -> x <> 0)) > 0``
 oracle predicates.
 
+Seed 7 found the fabricated-aggregate class: a user whose EVERY value
+is non-finite. The stateful profile accumulator
+(``running_user_profiles``) emitted its 0.0 initial state where SQL
+SUM over zero finite observations is NULL — silently fabricating a
+total for a fully-damaged key. The state now tracks ``n_finite`` and
+emits NULL until a finite measurement arrives.
+
 This module pins the staged premises (the edges are actually present)
-and the post-fix agreement on the seed-1 and seed-2 corpora.
+and the post-fix agreement on the seed-1, seed-2, and seed-7 corpora.
 """
 
 from __future__ import annotations
@@ -149,6 +156,56 @@ def test_similarity_survives_zero_vectors(
     spdf = registry.queries()[name](spark, random_dir2).toPandas()
     dpdf = random_duck2.sql(registry.oracles()[name]).df()
     _assert_matches_oracle(name, spdf, dpdf)
+
+
+@pytest.fixture(scope="module")
+def random_dir7(tmp_path_factory):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_random import stage
+
+    out = str(tmp_path_factory.mktemp("randcorpus") / "seed7")
+    stage(SF_SMOKE, out, seed=7)
+    return out
+
+
+@pytest.fixture(scope="module")
+def random_duck7(random_dir7):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{random_dir7}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_premise_seed7_contains_fully_damaged_user(random_duck7):
+    n = random_duck7.sql(
+        """
+        SELECT count(*) FROM (
+            SELECT user_id FROM events GROUP BY user_id
+            HAVING SUM(CASE WHEN isnan(value) OR isinf(value)
+                            THEN NULL ELSE value END) IS NULL
+        )
+        """
+    ).fetchone()[0]
+    assert n >= 1, "seed-7 corpus lost its all-nonfinite-values user"
+
+
+def test_stateful_profile_emits_null_for_fully_damaged_user(
+    spark, random_dir7, random_duck7
+):
+    """Pre-fix the state store's 0.0 initial total leaked out as a
+    fabricated aggregate for a user with zero finite measurements;
+    post-fix the drain agrees with SQL SUM's NULL."""
+    registry.load_all()
+    spdf = registry.queries()["stream_profiles_drain"](
+        spark, random_dir7
+    ).toPandas()
+    dpdf = random_duck7.sql(
+        registry.oracles()["stream_profiles_drain"]
+    ).df()
+    _assert_matches_oracle("stream_profiles_drain", spdf, dpdf)
 
 
 def test_empty_document_chunk_semantics(spark, random_dir):
