@@ -251,7 +251,11 @@ def clickstream_pipeline(
                strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d') AS transaction_date,
                strftime(ts + INTERVAL 9 HOUR, '%H:%M:%S') AS transaction_time,
                CASE WHEN event_type IN ('purchase','click')
-                        THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        THEN TRY_CAST(CASE WHEN json_valid(props)
+                                           AND json_type(props, '$.k')
+                                               IN ('BIGINT','UBIGINT','VARCHAR')
+                                           THEN json_extract_string(props, '$.k')
+                                      END AS BIGINT)
                     WHEN event_type IN ('view','error')
                         THEN TRY_CAST(round(value) AS BIGINT)
                END AS code
@@ -306,7 +310,12 @@ def etl_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("transaction_time"),
         F.when(
             F.col("event_type").isin("purchase", "click"),
-            F.get_json_object("props", "$.k").cast("long"),
+            # try_cast: get_json_object already NULLs malformed JSON,
+            # but a non-integral or out-of-range extracted token
+            # ('3.5', an over-bigint literal) turned ONE damaged
+            # payload into a job-killing ANSI CAST_INVALID_INPUT
+            # (props-edge fuzz corpus)
+            F.get_json_object("props", "$.k").try_cast("long"),
         )
         .when(F.col("event_type").isin("view", "error"), F.round("value").try_cast("long"))
         .alias("code"),

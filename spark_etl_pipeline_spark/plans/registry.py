@@ -414,7 +414,11 @@ def load_all() -> None:
 #:   lead from the drain-naming fix — was refactored a second time:
 #:   the stateful accumulator now emits NULL, not its 0.0 initial
 #:   state, for a key with zero finite measurements; fuzz seed 7.)
-#:   Mechanical derivation once ``CORRECTNESS_r12.json`` lands (25
+#:   The props-edge fuzz band then hardened the three JSON-props
+#:   consumers (try-semantics extraction, json_valid + json_type
+#:   oracle guards; ``rel_variant_props`` is in the r12 window,
+#:   ``etl_json_struct`` and ``etl_events_pipeline`` owe jumps).
+#:   Mechanical derivation once ``CORRECTNESS_r12.json`` lands (27
 #:   exception-(a) leads; the contract front-loads every refactored
 #:   builder)::
 #:
@@ -427,7 +431,8 @@ def load_all() -> None:
 #:           sim_ivf_nprobe2 sim_ann_recall sim_ann_recall_nprobe2 \
 #:           dedup_embedding_cosine sim_kmeans sim_embed_quantize \
 #:           sim_embedding_store sim_ivf_kmeans sim_threshold_profile \
-#:           docs_dedup_semantic sim_embedding_drift
+#:           docs_dedup_semantic sim_embedding_drift \
+#:           etl_json_struct etl_events_pipeline
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last

@@ -1191,12 +1191,28 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_json_struct",
     oracle="""
+    WITH x AS (
+        -- STRICT-typing twin of from_json's declared int field: only
+        -- a JSON INTEGER that fits int32 yields k (a quoted "12", a
+        -- 3.5, an array, or an oversized int is NULL — from_json does
+        -- not coerce across JSON types), and json_valid guards
+        -- malformed payloads that DuckDB json functions ERROR on.
+        SELECT event_type,
+               TRY_CAST(CASE WHEN json_valid(props)
+                              AND json_type(props, '$.k')
+                                  IN ('BIGINT', 'UBIGINT')
+                             THEN json_extract_string(props, '$.k')
+                        END AS INTEGER) AS k,
+               CASE WHEN NOT json_valid(props)
+                         OR json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END AS null_missing
+        FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_missing
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(null_missing) AS BIGINT) AS n_null_missing
+    FROM x
     GROUP BY event_type
     """,
 )
@@ -1204,10 +1220,17 @@ def etl_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit-schema JSON parsing: ``from_json`` with a declared
     struct (the blessed path per SURVEY §1 — no schema inference in
     production), including a declared-but-absent field that must come
-    back null rather than error."""
+    back null rather than error.
+
+    ``k`` is declared INT, the contract's 32-bit counter type: an
+    out-of-int32 payload nulls the FIELD (permissive parse), and the
+    64-bit SUM over int32 inputs cannot hit ANSI ARITHMETIC_OVERFLOW —
+    with k declared bigint, two adversarial int64-extreme payloads
+    made the aggregate itself the job-killer (props-edge fuzz
+    corpus)."""
     events = table(spark, sf_dir, "events")
     parsed = events.withColumn(
-        "p", F.from_json("props", "struct<k: bigint, missing: string>")
+        "p", F.from_json("props", "struct<k: int, missing: string>")
     )
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -3043,13 +3066,31 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_variant_props",
     oracle="""
+    WITH x AS (
+        -- try-semantics twin of the engine's
+        -- try_cast(try_variant_get(try_parse_json(props)) as int):
+        -- malformed JSON (json_valid guard — DuckDB json_extract
+        -- ERRORS on it), wrong-typed/array/huge values, and
+        -- out-of-int32 ints all become NULL instead of poisoning the
+        -- aggregate. The json_type guard matters because DuckDB's
+        -- string->int TRY_CAST ROUNDS decimals ('3.5' -> 4) where
+        -- Spark's try_cast rejects them: only integer and string JSON
+        -- values are coercible on both sides. k is a 32-bit counter
+        -- by contract, so the integer SUM cannot overflow.
+        -- (props-edge fuzz corpus.)
+        SELECT event_type,
+               TRY_CAST(CASE WHEN json_valid(props)
+                              AND json_type(props, '$.k')
+                                  IN ('BIGINT', 'UBIGINT', 'VARCHAR')
+                             THEN json_extract_string(props, '$.k')
+                        END AS INTEGER) AS k
+        FROM events
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-                AS BIGINT) AS sum_k,
-           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
-                                    AS INTEGER)) AS BIGINT) AS n_distinct_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM x
     GROUP BY event_type
     """,
 )
@@ -3069,10 +3110,19 @@ def rel_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles (extraction projects it away before the exchange).
     """
     ev = table(spark, sf_dir, "events")
+    # TRY at every layer: try_parse_json (malformed payload → NULL
+    # variant, where parse_json FAILFAST kills the whole query on ONE
+    # bad row — props-edge fuzz corpus), extraction as string, then
+    # try_cast to the contract's 32-bit counter type (floats, quoted
+    # non-numerics, arrays, out-of-range ints → NULL). One damaged
+    # payload in 10^12 rows must cost one NULL, not the job.
     return (
         ev.select(
             "event_type",
-            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+            F.expr(
+                "try_cast(try_variant_get(try_parse_json(props), "
+                "'$.k', 'string') as int)"
+            ).alias("k"),
         )
         .groupBy("event_type")
         .agg(

@@ -35,8 +35,20 @@ SUM over zero finite observations is NULL — silently fabricating a
 total for a fully-damaged key. The state now tracks ``n_finite`` and
 emits NULL until a finite measurement arrives.
 
+The ``--props-edge`` band (exotic-but-real JSON payloads: boundary
+ints, floats, nulls, wrong types, oversized ints, malformed text)
+found three CRASH classes in the three props consumers — VARIANT
+``parse_json`` FAILFAST, an ANSI sum overflow through a bigint-declared
+field, and CAST_INVALID_INPUT on a non-integral extracted token — plus
+a twin asymmetry: DuckDB's string→int TRY_CAST ROUNDS decimals
+('3.5' → 4) where Spark's try_cast rejects them. All three paths now
+extract with try-semantics at every layer, and the oracles guard with
+``json_valid`` + a ``json_type`` whitelist of the cross-engine
+coercible JSON types.
+
 This module pins the staged premises (the edges are actually present)
-and the post-fix agreement on the seed-1, seed-2, and seed-7 corpora.
+and the post-fix agreement on the seed-1, seed-2, seed-7, and
+props-edge corpora.
 """
 
 from __future__ import annotations
@@ -206,6 +218,61 @@ def test_stateful_profile_emits_null_for_fully_damaged_user(
         registry.oracles()["stream_profiles_drain"]
     ).df()
     _assert_matches_oracle("stream_profiles_drain", spdf, dpdf)
+
+
+PROPS_PINNED = [
+    "rel_variant_props",
+    "etl_json_struct",
+    "etl_events_pipeline",
+]
+
+
+@pytest.fixture(scope="module")
+def props_dir(tmp_path_factory):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from tools.stage_random import stage
+
+    out = str(tmp_path_factory.mktemp("randcorpus") / "seed21_props")
+    stage(SF_SMOKE, out, seed=21, props_edge=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def props_duck(props_dir):
+    con = duckdb.connect()
+    for t in registry.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{props_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_premise_props_edge_payloads_present(props_duck):
+    """The edge corpus actually carries malformed and boundary
+    payloads of each hazard class."""
+    got = {
+        r[0]
+        for r in props_duck.sql(
+            "SELECT DISTINCT props FROM events WHERE NOT json_valid(props)"
+            " OR json_type(props, '$.k') NOT IN ('BIGINT', 'UBIGINT')"
+            " OR TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)"
+            "   NOT BETWEEN -2147483648 AND 2147483647"
+        ).fetchall()
+    }
+    assert any(not s or "json" in s for s in got), "malformed payloads lost"
+    assert '{"k": 3.5}' in got, "decimal payload lost"
+    assert '{"k": 9223372036854775807}' in got, "boundary-int payload lost"
+
+
+@pytest.mark.parametrize("name", PROPS_PINNED)
+def test_props_consumers_survive_edge_payloads(
+    spark, props_dir, props_duck, name
+):
+    """Pre-fix: VARIANT FAILFAST / ANSI sum overflow /
+    CAST_INVALID_INPUT — one damaged payload killed the whole query."""
+    registry.load_all()
+    spdf = registry.queries()[name](spark, props_dir).toPandas()
+    dpdf = props_duck.sql(registry.oracles()[name]).df()
+    _assert_matches_oracle(name, spdf, dpdf)
 
 
 def test_empty_document_chunk_semantics(spark, random_dir):

@@ -62,6 +62,27 @@ UNICODE_TOKENS = [
 ]
 
 
+#: Exotic-but-plausible props payloads for --props-edge: a 100-TB JSON
+#: column always carries boundary ints, floats where ints are expected,
+#: nulls, missing keys, wrong types, oversized ints, and outright
+#: malformed text. Extraction must treat every one as data, not poison.
+PROPS_EDGE = [
+    '{"k": 9223372036854775807}',
+    '{"k": -9223372036854775808}',
+    '{"k": 2147483648}',
+    '{"k": 3.5}',
+    '{"k": null}',
+    "{}",
+    '{"k": "12"}',
+    '{"k": "abc"}',
+    '{"k": 99999999999999999999999999}',
+    '{"k": [1, 2]}',
+    '{"k": {"nested": 1}}',
+    "not json at all",
+    "",
+]
+
+
 def _rs(seed: int, salt: int) -> np.random.Generator:
     return np.random.default_rng(np.random.SeedSequence([seed, salt]))
 
@@ -80,7 +101,7 @@ def _money(rng, n, lo=0.0, hi=100000.0, neg_rate=0.02):
     return v
 
 
-def stage(src: str, out: str, seed: int) -> str:
+def stage(src: str, out: str, seed: int, props_edge: bool = False) -> str:
     import os
     import shutil
 
@@ -256,6 +277,11 @@ def stage(src: str, out: str, seed: int) -> str:
     value[(specials >= 0.004) & (specials < 0.006)] = np.inf
     value[(specials >= 0.006) & (specials < 0.008)] = -np.inf
     props_k = rng.integers(-5, 100, n_ev)
+    props = [f'{{"k": {int(k)}}}' for k in props_k]
+    if props_edge:
+        hit = rng.random(n_ev) < 0.05
+        for i in np.flatnonzero(hit):
+            props[i] = PROPS_EDGE[int(rng.integers(0, len(PROPS_EDGE)))]
     events = pd.DataFrame(
         {
             "event_id": eids,
@@ -267,7 +293,7 @@ def stage(src: str, out: str, seed: int) -> str:
                 rng, dom("events", "event_type"), n_ev, rng.uniform(0.5, 4)
             ),
             "value": value,
-            "props": [f'{{"k": {int(k)}}}' for k in props_k],
+            "props": props,
         }
     )
     # match the corpus's physical unit (micros; sub-us detail dropped)
@@ -381,9 +407,16 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--seed", type=int, required=True)
     parser.add_argument("--src", default="/root/testdata/sf0.001")
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--props-edge",
+        action="store_true",
+        help="replace ~5%% of events.props with exotic/malformed JSON "
+        "payloads (boundary ints, floats, nulls, wrong types, non-JSON)",
+    )
     args = parser.parse_args(argv)
-    out = args.out or f"/tmp/spark_etl_rand_{args.seed}"
-    print(stage(args.src, out, args.seed))
+    suffix = "_props" if args.props_edge else ""
+    out = args.out or f"/tmp/spark_etl_rand_{args.seed}{suffix}"
+    print(stage(args.src, out, args.seed, props_edge=args.props_edge))
     return 0
 
 
