@@ -1194,20 +1194,27 @@ UDTF_CHUNK = 32
         SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
     ),
     chunks AS (
-        -- t[1] <> '' drops EMPTY/whitespace-only documents: SQL split
-        -- of '' yields [''] (one empty token) in both engines, but the
-        -- UDTF tokenizes PYTHON-side where ''.split() is [] — an empty
-        -- document has no chunks. (text_chunking, the JVM twin, keeps
-        -- the one-empty-chunk split semantics on BOTH sides — the two
-        -- operators differ on empty docs by construction.) Found by
-        -- the random-corpus fuzzer (tools/stage_random.py seed 1);
+        -- Drop EXACTLY the one case the UDTF skips: the single-empty-
+        -- token split of an empty/space-only document. SQL split of
+        -- '' yields [''] (one empty token) in both engines, but the
+        -- UDTF tokenizes PYTHON-side where the strip(' ')-then-split
+        -- of such text is [] — an empty document has no chunks.
+        -- (text_chunking, the JVM twin, keeps the one-empty-chunk
+        -- split semantics on BOTH sides — the two operators differ on
+        -- empty docs by construction.) The guard must NOT be the
+        -- broader t[1] <> '': text that begins with a TAB/NEWLINE
+        -- after the space-trim (e.g. '\thello') splits to
+        -- ['', 'hello'] in BOTH tokenizers, so the UDTF emits a chunk
+        -- with first_token='' and the oracle must keep the row too
+        -- (ADVICE r12; pinned in tests/test_random_corpus.py). Found
+        -- by the random-corpus fuzzer (tools/stage_random.py seed 1);
         -- the driver corpus has no empty text cells.
         SELECT doc_id,
                unnest(generate_series(0,
                    CAST(ceil(len(t) / {UDTF_CHUNK}.0) AS INTEGER) - 1))
                    AS chunk_idx,
                t
-        FROM toks WHERE len(t) > 0 AND t[1] <> ''
+        FROM toks WHERE NOT (len(t) = 1 AND t[1] = '')
     )
     SELECT doc_id,
            CAST(chunk_idx AS INTEGER) AS chunk_idx,

@@ -242,7 +242,7 @@ def clickstream_pipeline(
 
 @register(
     "etl_events_pipeline",
-    oracle="""
+    oracle=r"""
     WITH normalized AS (
         SELECT CASE WHEN user_id % 10 = 0 THEN 'anon-' || CAST(event_id AS VARCHAR)
                     ELSE CAST(user_id AS VARCHAR) END AS user_key,
@@ -250,10 +250,20 @@ def clickstream_pipeline(
                event_type,
                strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d') AS transaction_date,
                strftime(ts + INTERVAL 9 HOUR, '%H:%M:%S') AS transaction_time,
+               -- VARCHAR arm restricted to integer-shaped strings:
+               -- DuckDB's string->int TRY_CAST coerces '3.5' (rounds
+               -- to 4) and '1e3' (1000) where Spark's try_cast yields
+               -- NULL for both (see rel_variant_props).
                CASE WHEN event_type IN ('purchase','click')
                         THEN TRY_CAST(CASE WHEN json_valid(props)
-                                           AND json_type(props, '$.k')
-                                               IN ('BIGINT','UBIGINT','VARCHAR')
+                                           AND (json_type(props, '$.k')
+                                                    IN ('BIGINT','UBIGINT')
+                                                OR (json_type(props, '$.k')
+                                                        = 'VARCHAR'
+                                                    AND regexp_matches(
+                                                        json_extract_string(
+                                                            props, '$.k'),
+                                                        '^[\s\x0b]*[+-]?[0-9]+[\s\x0b]*$')))
                                            THEN json_extract_string(props, '$.k')
                                       END AS BIGINT)
                     WHEN event_type IN ('view','error')

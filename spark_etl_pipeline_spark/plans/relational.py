@@ -3065,7 +3065,7 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_variant_props",
-    oracle="""
+    oracle=r"""
     WITH x AS (
         -- try-semantics twin of the engine's
         -- try_cast(try_variant_get(try_parse_json(props)) as int):
@@ -3073,15 +3073,23 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- ERRORS on it), wrong-typed/array/huge values, and
         -- out-of-int32 ints all become NULL instead of poisoning the
         -- aggregate. The json_type guard matters because DuckDB's
-        -- string->int TRY_CAST ROUNDS decimals ('3.5' -> 4) where
-        -- Spark's try_cast rejects them: only integer and string JSON
-        -- values are coercible on both sides. k is a 32-bit counter
-        -- by contract, so the integer SUM cannot overflow.
-        -- (props-edge fuzz corpus.)
+        -- string->int TRY_CAST COERCES non-integral numeric strings
+        -- ('3.5' -> 4 by rounding, '1e3' -> 1000) where Spark's
+        -- try_cast rejects both, so the VARCHAR arm is further
+        -- restricted to INTEGER-SHAPED strings — optionally
+        -- whitespace-padded (Spark's cast trims all whitespace, and
+        -- so does DuckDB's TRY_CAST; \x0b because RE2's \s omits
+        -- vertical tab while Spark's trim does not), optional sign,
+        -- digits only. k is a 32-bit counter by contract, so the
+        -- integer SUM cannot overflow. (props-edge fuzz corpus.)
         SELECT event_type,
                TRY_CAST(CASE WHEN json_valid(props)
-                              AND json_type(props, '$.k')
-                                  IN ('BIGINT', 'UBIGINT', 'VARCHAR')
+                              AND (json_type(props, '$.k')
+                                       IN ('BIGINT', 'UBIGINT')
+                                   OR (json_type(props, '$.k') = 'VARCHAR'
+                                       AND regexp_matches(
+                                           json_extract_string(props, '$.k'),
+                                           '^[\s\x0b]*[+-]?[0-9]+[\s\x0b]*$')))
                              THEN json_extract_string(props, '$.k')
                         END AS INTEGER) AS k
         FROM events

@@ -526,7 +526,16 @@ def _drain_to_table(
         .start()
     )
     try:
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False on TIMEOUT with the
+        # query still running; the finally-stop would then freeze a
+        # PARTIALLY-filled memory sink and the caller would checkpoint
+        # truncated rows as if they were the full drain (ADVICE r12).
+        # A slow drain must fail loudly, not return silent partials.
+        if not q.awaitTermination(300):
+            raise TimeoutError(
+                f"streaming drain {table_name!r} did not finish within "
+                "300s — refusing to read a partially-filled memory sink"
+            )
     finally:
         q.stop()
     out = spark.table(table_name).localCheckpoint(eager=True)

@@ -44,7 +44,16 @@ a twin asymmetry: DuckDB's string→int TRY_CAST ROUNDS decimals
 ('3.5' → 4) where Spark's try_cast rejects them. All three paths now
 extract with try-semantics at every layer, and the oracles guard with
 ``json_valid`` + a ``json_type`` whitelist of the cross-engine
-coercible JSON types.
+coercible JSON types. r13 tightened the whitelist's VARCHAR arm to
+INTEGER-SHAPED strings (ADVICE r12): DuckDB's string→int TRY_CAST
+coerces quoted decimals/scientific notation ('3.5' → 4, '1e3' → 1000)
+where Spark's try_cast rejects both — the corpus now carries those
+payloads and a whitespace-padded quoted integer that BOTH engines
+accept. r13 also fixed the UDTF chunker's oracle guard: text whose
+first character after the space-trim is a TAB/NEWLINE splits to a
+leading EMPTY token in BOTH tokenizers, so only the genuinely-empty
+single-empty-token split may be dropped — make_text now pads a few
+docs with leading/trailing non-space whitespace to hold the premise.
 
 This module pins the staged premises (the edges are actually present)
 and the post-fix agreement on the seed-1, seed-2, seed-7, and
@@ -108,6 +117,20 @@ def test_premise_contains_the_fuzzed_edges(random_duck):
     ).fetchone()[0]
     assert n_unobservable_days >= 1, (
         "seed-1 corpus lost its all-special (unobservable-cents) day"
+    )
+    # tab/newline-PADDED text with real content: a space-only trim
+    # keeps the pad, so the ASCII \s+ split yields an EMPTY boundary
+    # token — both tokenizers emit it and the UDTF oracle must keep
+    # the row (ADVICE r12: the old t[1] <> '' guard dropped it)
+    n_ws_padded = random_duck.sql(
+        r"""
+        SELECT count(*) FROM documents
+        WHERE trim(text) <> ''
+          AND regexp_matches(trim(text), '^[\t\n\r\f]|[\t\n\r\f]$')
+        """
+    ).fetchone()[0]
+    assert n_ws_padded >= 1, (
+        "seed-1 corpus lost its tab/newline-padded non-empty documents"
     )
 
 
@@ -261,6 +284,38 @@ def test_premise_props_edge_payloads_present(props_duck):
     assert any(not s or "json" in s for s in got), "malformed payloads lost"
     assert '{"k": 3.5}' in got, "decimal payload lost"
     assert '{"k": 9223372036854775807}' in got, "boundary-int payload lost"
+    # quoted non-integral numerics: DuckDB TRY_CAST coerces ('3.5'->4,
+    # '1e3'->1000) where Spark try_cast is NULL — present so the sweep
+    # exercises the oracle's integer-shaped VARCHAR guard (ADVICE r12)
+    assert '{"k": "3.5"}' in got, "quoted-decimal payload lost"
+    assert '{"k": "1e3"}' in got, "quoted-scientific payload lost"
+    # whitespace-padded quoted integers flow through as VALUES on both
+    # sides (both engines trim before the parse) — the guard must keep
+    # them while rejecting the quoted decimals above
+    assert '{"k": " 12 "}' in got, "whitespace-padded quoted-int lost"
+
+
+def test_premise_duckdb_coerces_what_spark_rejects(spark):
+    """The cross-engine fact behind the oracles' integer-shaped VARCHAR
+    guard (ADVICE r12): DuckDB's string->int TRY_CAST COERCES
+    non-integral numeric strings (rounds '3.5' to 4, parses '1e3' to
+    1000) where Spark's try_cast yields NULL for both; BOTH engines
+    trim whitespace around a plain integer. If either engine changes,
+    this pin explains which guard to revisit."""
+    con = duckdb.connect()
+    duck = {
+        s: con.execute(
+            "SELECT TRY_CAST(? AS INTEGER)", [s]
+        ).fetchone()[0]
+        for s in ["3.5", "1e3", " 12 ", "12\n"]
+    }
+    con.close()
+    assert duck == {"3.5": 4, "1e3": 1000, " 12 ": 12, "12\n": 12}
+    rows = spark.createDataFrame(
+        [("3.5",), ("1e3",), (" 12 ",), ("12\n",)], "s string"
+    ).selectExpr("s", "try_cast(s as int) AS i").collect()
+    got = {r.s: r.i for r in rows}
+    assert got == {"3.5": None, "1e3": None, " 12 ": 12, "12\n": 12}
 
 
 @pytest.mark.parametrize("name", PROPS_PINNED)

@@ -75,12 +75,29 @@ PROPS_EDGE = [
     "{}",
     '{"k": "12"}',
     '{"k": "abc"}',
+    # quoted NON-INTEGRAL numerics: DuckDB's string->int TRY_CAST
+    # coerces these ('3.5' rounds to 4, '1e3' -> 1000) where Spark's
+    # try_cast yields NULL — the oracle's VARCHAR arm must reject them
+    # (ADVICE r12; pinned in tests/test_random_corpus.py)
+    '{"k": "3.5"}',
+    '{"k": "1e3"}',
+    # whitespace-padded integers: BOTH engines trim before the parse,
+    # so these must flow through as values, not NULLs
+    '{"k": " 12 "}',
+    '{"k": "12\\n"}',
     '{"k": 99999999999999999999999999}',
     '{"k": [1, 2]}',
     '{"k": {"nested": 1}}',
     "not json at all",
     "",
 ]
+
+
+#: Leading/trailing whitespace pads for document text (see make_text):
+#: tab/newline survive a space-only trim, so the downstream ASCII \s+
+#: split produces an EMPTY boundary token — a tokenizer edge the
+#: space-joined vocabulary can never reach.
+WS_PAD = ["\t", "\n", "\t\t", "\n ", " \t"]
 
 
 def _rs(seed: int, salt: int) -> np.random.Generator:
@@ -323,7 +340,16 @@ def stage(src: str, out: str, seed: int, props_edge: bool = False) -> str:
         if words and rng.random() < 0.08:
             i = int(rng.integers(0, len(words)))
             words[i: i + 1] = [words[i]] * int(rng.integers(3, 12))
-        return " ".join(words)
+        text = " ".join(words)
+        # low-rate leading/trailing NON-SPACE whitespace: a space-only
+        # trim keeps it, so the ASCII \s+ split yields a leading (or
+        # trailing) EMPTY token in BOTH tokenizers — the UDTF-vs-oracle
+        # guard edge ADVICE r12 flagged (space-joined tokens alone can
+        # never produce it)
+        if rng.random() < 0.03:
+            pad = str(WS_PAD[int(rng.integers(0, len(WS_PAD)))])
+            text = pad + text if rng.random() < 0.5 else text + pad
+        return text
 
     texts = [make_text() for _ in range(n_doc)]
     # seeded near-duplicates: ~8% of docs are a light edit of another,
