@@ -360,7 +360,7 @@ def load_all() -> None:
 #:   round from the CORRECTNESS_r*.json history
 #:   (``python tools/plan_rotation.py`` reproduces this window
 #:   verbatim). After this window the oldest driver row becomes r7.
-#: - **r12 (this window, _EMIT_FIRST)**: the remaining 22 r7-green rows
+#: - **r12 (done — 50/50 green, CORRECTNESS_r12)**: the remaining 22 r7-green rows
 #:   + the 28 oldest r8-green rows — the exact
 #:   ``python tools/plan_rotation.py`` natural window, reordered per
 #:   exception (b) to LEAD with the two builders that changed
@@ -373,6 +373,14 @@ def load_all() -> None:
 #:   but is a no-op under the driver's UTC-host session, and the
 #:   ``streaming/source.py`` warning is log-only — no jumps for either.
 #:   After this window the oldest driver row in the repo becomes r8.
+#: - **r13 (this window, _EMIT_FIRST)**: the 28 exception-(a) leads
+#:   from the amended ledger below, then the pure
+#:   ``python tools/plan_rotation.py`` staleness order — the 21
+#:   remaining r8-green rows + the oldest r9-green row
+#:   (``text_decontaminate``). Lead count capped at 28 precisely so
+#:   the last two r8 rows (``text_chunking``, ``etl_upsert_merge``)
+#:   stay inside the window at their exactly-5-round contract edge.
+#:   After this window the oldest driver row in the repo becomes r9.
 #: - **r13 ledger (written at r12 close, amended after the late-r12
 #:   concurrency fix)**: seven SQL-front-door builders changed in r12
 #:   (temp-view binding → parameterized ``spark.sql`` DataFrame args;
@@ -418,21 +426,39 @@ def load_all() -> None:
 #:   consumers (try-semantics extraction, json_valid + json_type
 #:   oracle guards; ``rel_variant_props`` is in the r12 window,
 #:   ``etl_json_struct`` and ``etl_events_pipeline`` owe jumps).
-#:   Mechanical derivation once ``CORRECTNESS_r12.json`` lands (27
-#:   exception-(a) leads; the contract front-loads every refactored
-#:   builder)::
+#:   **r13-open amendments**: (1) ``sim_embedding_drift`` was listed
+#:   among the similarity leads in error — its builder reads the
+#:   embeddings table directly (``similarity.py`` ``_vec()`` only,
+#:   never ``load_vectors``) and neither it nor its oracle changed in
+#:   r12, so it owes no jump (ADVICE r12); the similarity family
+#:   contributes 13 leads, not 14. (2) Two r13 oracle tightenings add
+#:   leads on queries with r12 rows: ``rel_variant_props`` and
+#:   ``text_chunks_udtf`` (integer-shaped VARCHAR guard /
+#:   boundary-empty-token guard — the driver runs the oracle SQL, so
+#:   an oracle-only change owes a fresh row). (3) The r13
+#:   ``_drain_to_table`` timeout-raise touches all eight drains, but
+#:   it is FAILURE-PATH-ONLY: a drain that finishes returns bitwise-
+#:   identical rows, so a green driver row cannot distinguish the
+#:   change and no jump is owed for it — the five older drains still
+#:   lead for the r12 uuid/NULL-state fixes, while
+#:   ``stream_join_drain``/``stream_enrich_drain``/
+#:   ``stream_dedup_drain`` (fresh r12 rows on the uuid-fixed code)
+#:   stay in place; jumping them would displace the last two r8 rows
+#:   (``text_chunking``, ``etl_upsert_merge``) to a 6-round gap and
+#:   break the 5-round contract, which outranks a zero-information
+#:   jump. Mechanical derivation (28 exception-(a) leads)::
 #:
 #:       python tools/plan_rotation.py --lead rel_sql_exists \
 #:           rel_sql_scalar_subquery rel_sql_not_in rel_grouping_sets \
 #:           stream_tumbling_drain stream_sliding_drain \
 #:           stream_session_drain stream_rollup_drain \
-#:           stream_profiles_drain mm_resize events_theilsen_trend \
+#:           stream_profiles_drain rel_variant_props text_chunks_udtf \
+#:           mm_resize events_theilsen_trend \
 #:           sim_topk_cosine sim_ann_hyperplane sim_ivf_search \
 #:           sim_ivf_nprobe2 sim_ann_recall sim_ann_recall_nprobe2 \
 #:           dedup_embedding_cosine sim_kmeans sim_embed_quantize \
 #:           sim_embedding_store sim_ivf_kmeans sim_threshold_profile \
-#:           docs_dedup_semantic sim_embedding_drift \
-#:           etl_json_struct etl_events_pipeline
+#:           docs_dedup_semantic etl_json_struct etl_events_pipeline
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
@@ -441,71 +467,41 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r12 window (the ``python tools/plan_rotation.py`` natural
-    # window — the 22 remaining r7-green rows + the 28 oldest r8-green
-    # rows — reordered per exception (b) to lead with the two builders
-    # that changed semantically in r11 after their last driver row:
-    # ``rel_recursive_month_spine`` (MAX RECURSION LEVEL bound, r7 row)
-    # and ``events_gap_fill_lerp`` (O(n^2)->O(n log n) frame rewrite,
-    # r8 row). Both already sat inside the natural window, so this is a
-    # front-load, not a displacement. After this window the oldest
-    # driver row in the repo becomes r8. ---
-    "rel_recursive_month_spine",  # r7
-    "events_gap_fill_lerp",  # r8
-    "rel_supplier_hhi",  # r7
-    "events_cusum_drift",  # r7
-    "events_ewma",  # r7
-    "events_rolling_median",  # r7
-    "mm_payload_impurity",  # r7
-    "events_active_users",  # r7
-    "rel_like_filter",  # r7
-    "rel_lateral_topn",  # r7
-    "text_chunks_udtf",  # r7
-    "stream_pysource_drain",  # r7
-    "src_python_datasource",  # r7
-    "rel_variant_props",  # r7
-    "events_mad_outliers",  # r7
-    "docs_source_divergence",  # r7
-    "graph_reachability",  # r7
-    "docs_bm25_topk",  # r7
-    "events_chi2_independence",  # r7
-    "events_delete_propagation",  # r7
-    "graph_triangles",  # r7
-    "docs_dedup_passages",  # r7
-    "dq_audit",  # r7
-    "stream_join_drain",  # r8
-    "events_attribution",  # r8
-    "events_transition_matrix",  # r8
-    "events_value_winsorized",  # r8
-    "stream_enrich_drain",  # r8
-    "sim_ivf_quantized_rerank",  # r8
-    "graph_clustering_coeff",  # r8
-    "rel_basket_rules",  # r8
-    "stream_upsert_drain",  # r8
-    "graph_kcore",  # r8
-    "mm_phash_buckets",  # r8
-    "events_top_paths",  # r8
-    "events_seasonality",  # r8
-    "rel_pareto_customers",  # r8
-    "docs_cap_per_source",  # r8
-    "events_cumulative_reach",  # r8
-    "rel_gini_revenue",  # r8
-    "sim_embedding_clusters",  # r8
-    "events_audience_overlap",  # r8
-    "events_incremental_rollup",  # r8
-    "dedup_cluster_sizes",  # r8
-    "events_autocorr",  # r8
-    "stream_dedup_drain",  # r8
-    "graph_pagerank_suppliers",  # r8
-    "events_anomaly_rolling",  # r8
-    "rel_asof_nearest",  # r8
-    "events_funnel_windowed",  # r8
-)
-
-_EMIT_LAST = (
-    # --- the r8 remainder not taken by the r12 window, then the
-    # r9/r10/r11 windows strictly oldest-driver-row-first; the r11
-    # window (freshest rows in the repo) sits at the very end. ---
+    # --- r13 window: the 28 exception-(a) leads from the amended r13
+    # ledger above, then the pure ``python tools/plan_rotation.py``
+    # staleness order — the 21 remaining r8-green rows + the oldest
+    # r9-green row. Sized so that NO r8 row slips past the 5-round
+    # contract edge (see the ledger's drain-timeout adjudication).
+    # After this window the oldest driver row in the repo becomes
+    # r9. ---
+    "rel_sql_exists",  # r9
+    "rel_sql_scalar_subquery",  # r9
+    "rel_sql_not_in",  # r9
+    "rel_grouping_sets",  # r9
+    "stream_tumbling_drain",  # r11
+    "stream_sliding_drain",  # r10
+    "stream_session_drain",  # r10
+    "stream_rollup_drain",  # r10
+    "stream_profiles_drain",  # r10
+    "rel_variant_props",  # r12
+    "text_chunks_udtf",  # r12
+    "mm_resize",  # r11
+    "events_theilsen_trend",  # r11
+    "sim_topk_cosine",  # r11
+    "sim_ann_hyperplane",  # r10
+    "sim_ivf_search",  # r10
+    "sim_ivf_nprobe2",  # r10
+    "sim_ann_recall",  # r10
+    "sim_ann_recall_nprobe2",  # r10
+    "dedup_embedding_cosine",  # r9
+    "sim_kmeans",  # r11
+    "sim_embed_quantize",  # r10
+    "sim_embedding_store",  # r9
+    "sim_ivf_kmeans",  # r10
+    "sim_threshold_profile",  # r9
+    "docs_dedup_semantic",  # r9
+    "etl_json_struct",  # r9
+    "etl_events_pipeline",  # r8
     "rel_rfm_segmentation",  # r8
     "rel_calendar_spine",  # r8
     "text_lang_id",  # r8
@@ -526,13 +522,15 @@ _EMIT_LAST = (
     "mm_decode_features",  # r8
     "text_quality_score",  # r8
     "text_chunking",  # r8
-    "etl_events_pipeline",  # r8
     "etl_upsert_merge",  # r8
-    "dedup_embedding_cosine",  # r9
-    "sim_threshold_profile",  # r9
-    "docs_dedup_semantic",  # r9
-    "sim_embedding_store",  # r9
     "text_decontaminate",  # r9
+)
+
+_EMIT_LAST = (
+    # --- everything not in the r13 window, strictly
+    # oldest-driver-row-first (registration order as the tiebreak):
+    # the r9 remainder, then the r10/r11/r12 windows; the r12 window
+    # (freshest rows in the repo) sits at the very end. ---
     "text_repetition_score",  # r9
     "events_zscore",  # r9
     "text_stratified_sample",  # r9
@@ -561,14 +559,9 @@ _EMIT_LAST = (
     "docs_dedup_corpus",  # r9
     "rel_range_join",  # r9
     "rel_percentiles",  # r9
-    "rel_sql_exists",  # r9
-    "rel_sql_scalar_subquery",  # r9
-    "rel_sql_not_in",  # r9
     "q13_customer_distribution",  # r9
     "rel_window_analytics",  # r9
     "q19_disjunctive_filter",  # r9
-    "etl_json_struct",  # r9
-    "rel_grouping_sets",  # r9
     "rel_set_ops",  # r9
     "profile_orders",  # r9
     "text_rare_bigram_ratio",  # r9
@@ -589,16 +582,10 @@ _EMIT_LAST = (
     "q22_dormant_customers",  # r10
     "stream_dedup_replay",  # r10
     "text_repetition_filter",  # r10
-    "sim_embed_quantize",  # r10
     "dedup_components_star",  # r10
-    "sim_ivf_nprobe2",  # r10
-    "sim_ann_recall_nprobe2",  # r10
     "events_skew_salted_agg",  # r10
     "events_skew_salted_join",  # r10
     "rel_partition_prune",  # r10
-    "sim_ann_hyperplane",  # r10
-    "sim_ivf_search",  # r10
-    "sim_ann_recall",  # r10
     "stream_tumbling_counts",  # r10
     "stream_sliding_counts",  # r10
     "stream_session_windows",  # r10
@@ -609,17 +596,12 @@ _EMIT_LAST = (
     "events_period_over_period",  # r10
     "text_pmi_bigrams",  # r10
     "docs_tfidf_topk",  # r10
-    "sim_ivf_kmeans",  # r10
-    "stream_sliding_drain",  # r10
-    "stream_session_drain",  # r10
     "events_value_deciles",  # r10
     "events_heavy_hitters",  # r10
     "rel_window_range_time",  # r10
     "rel_corr_stats",  # r10
     "events_feature_assembly",  # r10
-    "stream_rollup_drain",  # r10
     "mm_audio_window",  # r10
-    "stream_profiles_drain",  # r10
     "text_normalize",  # r10
     "docs_split_leakage_safe",  # r10
     "docs_shard_shuffle",  # r10
@@ -628,56 +610,99 @@ _EMIT_LAST = (
     "q9_product_profit",  # r10
     "q11_important_stock",  # r10
     "q16_parts_suppliers",  # r10
-    "q20_potential_promotion",  # r6
-    "q21_waiting_supplier",  # r6
-    "stream_tumbling_drain",  # r6
-    "docs_dedup_store",  # r6
-    "dedup_containment_onesided",  # r6
-    "dedup_minhash_lsh",  # r6
-    "docs_length_histogram",  # r6
-    "docs_pack_sequences",  # r6
-    "events_rolling_features",  # r6
-    "events_user_sequences",  # r6
-    "events_weighted_sample",  # r6
-    "mm_resize",  # r6
-    "q12_priority_lines",  # r6
-    "q14_promo_revenue",  # r6
-    "q18_large_orders",  # r6
-    "sim_kmeans",  # r6
-    "sim_topk_cosine",  # r6
-    "text_bpe_token_count",  # r6
-    "text_fingerprint",  # r6
-    "text_lang_id_ngram",  # r6
-    "text_lang_stats_pandas",  # r6
-    "text_token_stats",  # r6
-    "text_train_test_split",  # r6
-    "text_vocab_topk",  # r6
-    "text_tokenizer_fertility",  # r7
-    "rel_snapshot_reconcile",  # r7
-    "events_conversion_lag",  # r7
-    "events_new_vs_returning",  # r7
-    "dedup_threshold_sweep",  # r7
-    "events_activity_streaks",  # r7
-    "events_user_diversity",  # r7
-    "rel_budget_allocation",  # r7
-    "docs_novelty_curve",  # r7
-    "sim_embedding_drift",  # r7
-    "events_segment_bitmask",  # r7
-    "events_survival_curve",  # r7
-    "events_markov_stationary",  # r7
-    "src_orc_roundtrip",  # r7
-    "events_holt_backtest",  # r7
-    "events_theilsen_trend",  # r7
-    "rel_benford_deviation",  # r7
-    "dedup_minhash_calibration",  # r7
-    "events_holt_forecast",  # r7
-    "events_burst_users",  # r7
-    "events_lateness_audit",  # r7
-    "mm_frame_dedup",  # r7
-    "docs_shingle_profile",  # r7
-    "events_interarrival",  # r7
-    "rel_order_backlog",  # r7
-    "rel_ship_lag",  # r7
+    "q20_potential_promotion",  # r11
+    "q21_waiting_supplier",  # r11
+    "docs_dedup_store",  # r11
+    "dedup_containment_onesided",  # r11
+    "dedup_minhash_lsh",  # r11
+    "docs_length_histogram",  # r11
+    "docs_pack_sequences",  # r11
+    "events_rolling_features",  # r11
+    "events_user_sequences",  # r11
+    "events_weighted_sample",  # r11
+    "q12_priority_lines",  # r11
+    "q14_promo_revenue",  # r11
+    "q18_large_orders",  # r11
+    "text_bpe_token_count",  # r11
+    "text_fingerprint",  # r11
+    "text_lang_id_ngram",  # r11
+    "text_lang_stats_pandas",  # r11
+    "text_token_stats",  # r11
+    "text_train_test_split",  # r11
+    "text_vocab_topk",  # r11
+    "text_tokenizer_fertility",  # r11
+    "rel_snapshot_reconcile",  # r11
+    "events_conversion_lag",  # r11
+    "events_new_vs_returning",  # r11
+    "dedup_threshold_sweep",  # r11
+    "events_activity_streaks",  # r11
+    "events_user_diversity",  # r11
+    "rel_budget_allocation",  # r11
+    "docs_novelty_curve",  # r11
+    "sim_embedding_drift",  # r11
+    "events_segment_bitmask",  # r11
+    "events_survival_curve",  # r11
+    "events_markov_stationary",  # r11
+    "src_orc_roundtrip",  # r11
+    "events_holt_backtest",  # r11
+    "rel_benford_deviation",  # r11
+    "dedup_minhash_calibration",  # r11
+    "events_holt_forecast",  # r11
+    "events_burst_users",  # r11
+    "events_lateness_audit",  # r11
+    "mm_frame_dedup",  # r11
+    "docs_shingle_profile",  # r11
+    "events_interarrival",  # r11
+    "rel_order_backlog",  # r11
+    "rel_ship_lag",  # r11
+    "rel_recursive_month_spine",  # r12
+    "events_gap_fill_lerp",  # r12
+    "rel_supplier_hhi",  # r12
+    "events_cusum_drift",  # r12
+    "events_ewma",  # r12
+    "events_rolling_median",  # r12
+    "mm_payload_impurity",  # r12
+    "events_active_users",  # r12
+    "rel_like_filter",  # r12
+    "rel_lateral_topn",  # r12
+    "stream_pysource_drain",  # r12
+    "src_python_datasource",  # r12
+    "events_mad_outliers",  # r12
+    "docs_source_divergence",  # r12
+    "graph_reachability",  # r12
+    "docs_bm25_topk",  # r12
+    "events_chi2_independence",  # r12
+    "events_delete_propagation",  # r12
+    "graph_triangles",  # r12
+    "docs_dedup_passages",  # r12
+    "dq_audit",  # r12
+    "stream_join_drain",  # r12
+    "events_attribution",  # r12
+    "events_transition_matrix",  # r12
+    "events_value_winsorized",  # r12
+    "stream_enrich_drain",  # r12
+    "sim_ivf_quantized_rerank",  # r12
+    "graph_clustering_coeff",  # r12
+    "rel_basket_rules",  # r12
+    "stream_upsert_drain",  # r12
+    "graph_kcore",  # r12
+    "mm_phash_buckets",  # r12
+    "events_top_paths",  # r12
+    "events_seasonality",  # r12
+    "rel_pareto_customers",  # r12
+    "docs_cap_per_source",  # r12
+    "events_cumulative_reach",  # r12
+    "rel_gini_revenue",  # r12
+    "sim_embedding_clusters",  # r12
+    "events_audience_overlap",  # r12
+    "events_incremental_rollup",  # r12
+    "dedup_cluster_sizes",  # r12
+    "events_autocorr",  # r12
+    "stream_dedup_drain",  # r12
+    "graph_pagerank_suppliers",  # r12
+    "events_anomaly_rolling",  # r12
+    "rel_asof_nearest",  # r12
+    "events_funnel_windowed",  # r12
 )
 
 
