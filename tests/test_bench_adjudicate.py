@@ -183,16 +183,110 @@ def test_write_path_records_are_refused(tmp_path):
         badj._load(str(p))
 
 
+def test_cpu_canary_classification_boundaries():
+    """The r13 band classification (VERDICT r12 task 2): ok inside the
+    measured quiet-host band, fast_transient below it, unreliable above
+    it, absent when the record carries no canary."""
+    lo, hi = badj.CPU_BAND_LO, badj.CPU_BAND_HI
+    assert badj.classify_cpu_canary(lo) == "ok"
+    assert badj.classify_cpu_canary(hi) == "ok"
+    assert badj.classify_cpu_canary((lo + hi) / 2) == "ok"
+    assert badj.classify_cpu_canary(lo - 0.001) == "fast_transient"
+    assert badj.classify_cpu_canary(0.357) == "fast_transient"  # the r12 run
+    assert badj.classify_cpu_canary(hi + 0.001) == "unreliable_this_run"
+    assert badj.classify_cpu_canary(None) == "absent"
+    assert badj.classify_cpu_canary(0) == "absent"
+
+
+def test_below_band_canary_suppresses_manufactured_flags():
+    """The r12 driver-bench artifact, in miniature: a below-band canary
+    scales every ratio UP; a query whose RAW ratio is under the flag
+    line must land in suppressed_flags, not flagged — and must not
+    gate."""
+    anchor = {"canary_sec": 0.40, "queries": {"qa": 1.0, "qb": 1.0}}
+    run = {
+        "canary_sec": 0.32,  # below band -> scale 1.25
+        # qa: raw 1.30 <= 1.5 but norm 1.625 > 1.5 -> manufactured
+        # qb: raw 1.60 > 1.5 (norm 2.0) -> real even without the scale
+        "queries": {"qa": 1.30, "qb": 1.60},
+    }
+    out = badj.adjudicate(run, anchor)
+    assert out["cpu_canary_status"] == "fast_transient"
+    assert out["suppressed_flags"] == ["qa"]
+    assert out["flagged"] == ["qb"]
+    assert out["queries"]["qa"]["status"] == "flag_suppressed_fast_canary"
+
+
+def test_above_band_canary_surfaces_masked_raw_flags():
+    """The mirror hazard: an above-band canary scales ratios DOWN, so a
+    genuinely slow query can hide under the line — it must be listed
+    under masked_raw_flags for bracketing review, without gating."""
+    anchor = {"canary_sec": 0.40, "queries": {"qa": 1.0, "qb": 1.0}}
+    run = {
+        "canary_sec": 0.60,  # above band -> scale 0.667
+        # qa: raw 1.80 > 1.5 but norm 1.2 -> masked by the scale-down
+        "queries": {"qa": 1.80, "qb": 1.0},
+    }
+    out = badj.adjudicate(run, anchor)
+    assert out["cpu_canary_status"] == "unreliable_this_run"
+    assert out["flagged"] == []
+    assert out["masked_raw_flags"] == ["qa"]
+    assert out["queries"]["qa"]["status"] == "band"
+
+
+def test_in_band_canary_keeps_normalized_flags():
+    """Inside the band the scale-up is a trusted interpolation: a
+    normalized-only exceedance still flags (no suppression)."""
+    anchor = {"canary_sec": 0.46, "queries": {"qa": 1.0}}
+    run = {"canary_sec": 0.40, "queries": {"qa": 1.35}}  # norm 1.5525
+    out = badj.adjudicate(run, anchor)
+    assert out["cpu_canary_status"] == "ok"
+    assert out["flagged"] == ["qa"]
+    assert out["suppressed_flags"] == []
+
+
+def test_r12_driver_bench_adjudicates_clean(tmp_path):
+    """The real test case from VERDICT r12 task 2: re-adjudicating the
+    r12 driver bench (canary 0.357, below band) against ITS OWN host
+    generation's anchor must yield ZERO flags, with text_decontaminate
+    and text_pmi_bigrams explained under suppressed_flags."""
+    import pytest
+
+    path = Path(__file__).resolve().parents[1] / "BENCH_r12.json"
+    if not path.exists():
+        pytest.skip("BENCH_r12.json not present")
+    out = badj.adjudicate(badj._load(str(path)), badj.ANCHOR_2026_08_15)
+    assert out["cpu_canary_status"] == "fast_transient"
+    assert out["flagged"] == []
+    assert out["suppressed_flags"] == [
+        "text_decontaminate",
+        "text_pmi_bigrams",
+    ]
+
+
 def test_embedded_anchor_matches_baseline_record():
-    """The embedded anchor is the BASELINE.md min-of-2 vector: spot-pin
+    """The embedded anchors are BASELINE.md's min-of-N vectors: spot-pin
     the totals so a drive-by edit of one can't drift from the other."""
-    assert badj.ANCHOR["canary_sec"] == 0.409
-    # r11 raw-byte-read io reference (min-of-2: 0.530/0.527)
-    assert badj.ANCHOR["io_canary_sec"] == 0.527
-    # 34 r10 entries + the r12 headline addition (events_gap_fill_lerp,
-    # anchored at its own quiet-host pair min — BASELINE.md r12 section)
+    # r13 default anchor (2026-08-16 host generation, min-of-3)
+    assert badj.ANCHOR["canary_sec"] == 0.394
+    assert badj.ANCHOR["io_canary_sec"] == 0.600
     assert len(badj.ANCHOR["queries"]) == 35
-    assert badj.ANCHOR["queries"]["events_gap_fill_lerp"] == 0.642
+    assert round(sum(badj.ANCHOR["queries"].values()), 2) == 45.93
+    # the r13 anchor canary must itself be IN the band it classifies
+    # against — an out-of-band anchor would bias every future scale
+    assert (
+        badj.CPU_BAND_LO <= badj.ANCHOR["canary_sec"] <= badj.CPU_BAND_HI
+    )
+    # superseded 2026-08-15 anchor, kept for history/replay
+    hist = badj.ANCHOR_2026_08_15
+    assert hist["canary_sec"] == 0.409
+    # r11 raw-byte-read io reference (min-of-2: 0.530/0.527)
+    assert hist["io_canary_sec"] == 0.527
+    # 34 r10 entries + the r12 headline addition (events_gap_fill_lerp)
+    assert len(hist["queries"]) == 35
+    assert hist["queries"]["events_gap_fill_lerp"] == 0.642
     # the r10 vector sums to 38.733 (the "38.73 s" record, rounded);
     # + 0.642 = 39.375 -> 39.38
-    assert round(sum(badj.ANCHOR["queries"].values()), 2) == 39.38
+    assert round(sum(hist["queries"].values()), 2) == 39.38
+    # both anchors cover the same headline set
+    assert set(hist["queries"]) == set(badj.ANCHOR["queries"])

@@ -18,6 +18,17 @@ ratios and a verdict per query:
               queries (uniform & inflation-biased = host band,
               concentrated = code) before blaming a plan.
 
+The CPU canary READING itself is classified against the measured
+quiet-host band (round 13 — the r12 driver bench carried a 0.357
+canary, BELOW every recorded quiet run, and the blind 1.146x scale-UP
+manufactured the round's only two flags): ``ok`` inside the band,
+``fast_transient`` below it (normalized-only flags move to
+``suppressed_flags``; a real regression still flags on its raw ratio),
+``unreliable_this_run`` above it (the scale-DOWN can mask a real
+regression, so raw-only exceedances are listed under
+``masked_raw_flags`` for bracketing-run review). Only ``flagged``
+gates the exit code.
+
 If the run carries ``io_canary_sec`` and the anchor has one, a second
 normalization is printed: CPU-flat-but-IO-high runs are storage-side
 host band the CPU canary cannot see (the r9 adjudication gap). The
@@ -62,6 +73,43 @@ IO_OK_MAX = 1.25
 IO_OK_MIN = 0.75
 IO_CONTENDED_MAX = 2.0
 
+#: Measured quiet-host CPU-canary band (round 13; see BASELINE.md's
+#: canary-band record — r12's seven-run span was 0.39–0.47 and the r13
+#: re-recorded A/B pair sits inside it). A canary OUTSIDE this band in
+#: either direction means the host regime differs from everything the
+#: anchor describes, so the blind ac/rc multiplier stops being a
+#: correction and starts MANUFACTURING results: r12's driver run
+#: carried a 0.357 canary (below band) whose 1.146x scale-UP pushed two
+#: in-band queries past the flag line — the instrument artifact this
+#: classification exists to name (VERDICT r12 task 2).
+CPU_BAND_LO = 0.39
+CPU_BAND_HI = 0.47
+
+
+def classify_cpu_canary(canary: float | None) -> str:
+    """Classify the run's CPU canary READING against the quiet-host band.
+
+    - ``ok``: inside [CPU_BAND_LO, CPU_BAND_HI] — the ac/rc
+      normalization interpolates within measured regimes; trust it.
+    - ``fast_transient``: BELOW the band — a turbo/idle-burst host ran
+      the tiny canary faster than any recorded quiet run; the resulting
+      scale-UP inflates every normalized ratio and can manufacture
+      flags out of in-band queries. Normalized-only flags are
+      suppressed to ``suppressed_flags`` (a real regression still flags
+      via its RAW ratio).
+    - ``unreliable_this_run``: ABOVE the band — contention beyond any
+      recorded regime; the scale-DOWN deflates ratios and can MASK a
+      real regression, so raw-only exceedances are surfaced under
+      ``masked_raw_flags`` for bracketing-run review.
+    - ``absent``: no canary on the run (pre-r9 records) — raw ratios
+      only, nothing to classify.
+    """
+    if not canary:
+        return "absent"
+    if CPU_BAND_LO <= canary <= CPU_BAND_HI:
+        return "ok"
+    return "fast_transient" if canary < CPU_BAND_LO else "unreliable_this_run"
+
 
 def classify_io_ratio(ratio: float) -> str:
     """Classify run_io_canary / reference_io_canary (see module doc)."""
@@ -71,11 +119,65 @@ def classify_io_ratio(ratio: float) -> str:
         return "contended"
     return "unreliable_this_run"
 
-#: Round-10 anchor: per-query MIN of the two back-to-back
-#: canary-bearing runs recorded in BASELINE.md (2026-08-15). The
-#: io_canary reference is recorded separately once measured on a quiet
-#: host; None means "skip the IO normalization".
+#: Round-13 anchor (2026-08-16): per-query MIN of the three
+#: back-to-back sf0.1 runs recorded in BASELINE.md's r13 canary-band
+#: section (totals 59.99/54.66/50.92 s; CPU canaries 0.397/0.360/0.394;
+#: io canaries 0.720/0.622/0.600). The r13 host generation runs the
+#: headline set ~1.35x the 2026-08-15 host at EQUAL CPU canary — a
+#: sustained-throughput difference the 1.5 s all-core sprint canary
+#: cannot see — so the old anchor stopped being host-comparable (three
+#: runs against it produced three DISJOINT flag sets, every one a
+#: transient). canary_sec is the min of the IN-BAND readings (the
+#: 0.360 reading is the below-band fast-transient class and would bias
+#: the scale); io_canary_sec likewise. The superseded 2026-08-15
+#: anchor is kept below for history / --anchor replay.
 ANCHOR = {
+    "canary_sec": 0.394,
+    "io_canary_sec": 0.600,
+    "queries": {
+        "q1_pricing_summary": 1.912,
+        "q6_forecast_revenue": 0.523,
+        "q3_top_orders": 2.011,
+        "q5_region_revenue": 2.156,
+        "rel_window_running": 0.97,
+        "rel_dedup_keyed": 0.991,
+        "etl_events_pipeline": 1.851,
+        "rel_asof_join": 0.886,
+        "dedup_minhash_lsh": 2.512,
+        "dedup_simhash": 1.229,
+        "dedup_embedding_cosine": 3.342,
+        "text_quality_score": 0.394,
+        "text_fingerprint": 0.353,
+        "sim_topk_cosine": 0.752,
+        "sim_ivf_search": 1.138,
+        "stream_tumbling_counts": 0.572,
+        "stream_session_windows": 0.859,
+        "mm_decode_features": 1.967,
+        "sim_kmeans": 1.528,
+        "text_decontaminate": 0.882,
+        "docs_pack_sequences": 0.285,
+        "events_weighted_sample": 0.328,
+        "docs_dedup_corpus": 2.703,
+        "docs_dedup_incremental": 2.215,
+        "text_repetition_filter": 1.702,
+        "q8_market_share": 1.374,
+        "q10_returned_items": 1.055,
+        "rel_scd2_history": 0.901,
+        "events_sessionize": 0.829,
+        "events_gap_fill": 0.843,
+        "text_pmi_bigrams": 0.806,
+        "graph_reachability": 3.274,
+        "docs_bm25_topk": 0.935,
+        "docs_source_divergence": 0.966,
+        "events_gap_fill_lerp": 0.888,
+    },
+}
+
+#: SUPERSEDED round-10 anchor: per-query MIN of the two back-to-back
+#: canary-bearing runs recorded in BASELINE.md (2026-08-15). Kept for
+#: history and for replaying r9–r12 bench records on their own host
+#: generation; not the default.
+ANCHOR_2026_08_15 = {
     "canary_sec": 0.409,
     # quiet-host reference re-recorded in round 11 under the fixed
     # raw-byte-read protocol (bench.py module doc): min of two
@@ -152,6 +254,7 @@ def adjudicate(run: dict, anchor: dict) -> dict:
     rc = run.get("canary_sec")
     ac = anchor.get("canary_sec")  # pre-r9 records carry no canary
     scale = (ac / rc) if (rc and ac) else 1.0
+    cpu_status = classify_cpu_canary(rc)
     rows = {}
     ratios = []
     for name, a_sec in anchor["queries"].items():
@@ -161,10 +264,19 @@ def adjudicate(run: dict, anchor: dict) -> dict:
         if r_sec is None or r_sec < 0 or a_sec is None or a_sec <= 0:
             rows[name] = {"status": "missing_or_errored"}
             continue
+        raw = r_sec / a_sec
         norm = (r_sec * scale) / a_sec
         ratios.append(norm)
         if norm > FLAG_RATIO:
-            status = "flag"
+            # an out-of-band-FAST canary scales every ratio UP: a flag
+            # that exists only after that scale-up is the instrument
+            # talking, not the plan (r12: canary 0.357 manufactured two
+            # flags out of raw 1.42/1.32) — suppress unless the RAW
+            # ratio independently exceeds the line
+            if cpu_status == "fast_transient" and raw <= FLAG_RATIO:
+                status = "flag_suppressed_fast_canary"
+            else:
+                status = "flag"
         elif norm < 1 / FLAG_RATIO:
             status = "fast"  # anomalous speedup: review, don't gate
         elif abs(norm - 1) <= NOISE_BAND:
@@ -173,18 +285,38 @@ def adjudicate(run: dict, anchor: dict) -> dict:
             status = "band"
         rows[name] = {
             "raw_sec": r_sec,
-            "raw_ratio": round(r_sec / a_sec, 3),
+            "raw_ratio": round(raw, 3),
             "norm_ratio": round(norm, 3),
             "status": status,
         }
     out = {
         "canary_scale": round(scale, 4),
         "canary_applied": bool(rc and ac),
+        "cpu_canary_status": cpu_status,
+        "cpu_canary_band": [CPU_BAND_LO, CPU_BAND_HI],
         "median_norm_ratio": round(statistics.median(ratios), 3)
         if ratios
         else None,
         "flagged": sorted(
             n for n, r in rows.items() if r.get("status") == "flag"
+        ),
+        # normalized-only exceedances under a below-band canary: the
+        # scale-up manufactured them; listed for the record, not gating
+        "suppressed_flags": sorted(
+            n
+            for n, r in rows.items()
+            if r.get("status") == "flag_suppressed_fast_canary"
+        ),
+        # the mirror hazard: an ABOVE-band canary scales ratios DOWN,
+        # so a genuinely slow query can hide under the line — surface
+        # raw-only exceedances for bracketing-run review (not gating:
+        # on a merely-contended host raw ratios inflate legitimately)
+        "masked_raw_flags": sorted(
+            n
+            for n, r in rows.items()
+            if cpu_status == "unreliable_this_run"
+            and r.get("status") not in ("flag", "missing_or_errored")
+            and r.get("raw_ratio", 0) > FLAG_RATIO
         ),
         # anomalous speedups (norm < 1/FLAG_RATIO): possible lost work
         # (empty intermediate, over-pruning filter) — human review, not
