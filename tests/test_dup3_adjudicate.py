@@ -35,13 +35,16 @@ UNIVERSE = sorted(set(d3.CORE) | set(d3.TIE_FLAKY) | {"q1", "q2", "q3"})
 
 
 def test_expected_set_shape():
-    """20 always-diverge core (19 r8 + text_decontaminate), 3 composed-
-    only tie-flaky; the two sets are disjoint."""
+    """20 always-diverge core (19 r8 + text_decontaminate), 4 composed-
+    only tie-flaky (the r12 three + stream_session_drain, which the
+    first r13 rerun surfaced — engine bit-stable 6/6, oracle flaky);
+    the two sets are disjoint."""
     assert len(d3.CORE) == 20
-    assert len(d3.TIE_FLAKY) == 3
+    assert len(d3.TIE_FLAKY) == 4
     assert not set(d3.CORE) & set(d3.TIE_FLAKY)
     assert d3.CORE["text_decontaminate"] == "doc-grain-mirror"
     assert d3.TIE_FLAKY["rel_scd2_history"] == "two-pass-tie-flaky"
+    assert d3.TIE_FLAKY["stream_session_drain"] == "two-pass-tie-flaky"
 
 
 def test_plain_sweep_exact_core_is_clean():

@@ -140,3 +140,147 @@ def test_vacuum_keeps_latest_and_n_newest(spark, tmp_path):
     assert "v3" not in deleted  # current pointer protected
     assert "v9" not in deleted  # newest kept
     assert deleted == ["v4"]
+
+
+def test_stateful_drain_kill_and_resume_matches_uninterrupted(
+    spark, tmp_path, monkeypatch
+):
+    """Kill a RUNNING ``applyInPandasWithState`` drain partway through
+    its input, restart from the same checkpoint, and prove the state
+    store picks up EXACTLY where the kill left it: the per-user final
+    profiles across the two query incarnations equal the batch oracle
+    (= an uninterrupted run), with no key double-counted and none
+    reset to zero — the exactly-once-state claim a production
+    deployment leans on (VERDICT r12 task 6).
+
+    The events table is staged as 12 files and the stream capped at
+    one file per micro-batch so the kill lands mid-stream; the source
+    injection point (``stateful._events_stream``) is monkeypatched to
+    carry ``maxFilesPerTrigger`` over the pre-normalized staging — the
+    stateful operator under test (update fn, state schema, update
+    output mode) runs unmodified.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    import spark_etl_pipeline_spark.streaming.stateful as st
+    from spark_etl_pipeline_spark.plans.registry import table
+    from tests.conftest import SF_SMOKE
+
+    src = tmp_path / "staged"
+    ev = table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    ev.repartition(12).write.parquet(str(src / "events.parquet"))
+    staged = spark.read.parquet(str(src / "events.parquet"))
+    n_files = len(
+        [f for f in os.listdir(str(src / "events.parquet")) if f.endswith(".parquet")]
+    )
+    assert n_files >= 10, "need many micro-batches for a mid-stream kill"
+
+    # batch oracle == what an uninterrupted drain converges to (the
+    # plain drain-vs-batch equivalence is pinned elsewhere); NULL total
+    # for a user with zero finite measurements, like the operator
+    finite = F.when(
+        ~F.isnan("value") & (F.abs("value") != float("inf")), F.col("value")
+    )
+    oracle = {
+        r.user_id: (r.n, r.tot)
+        for r in staged.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(finite).alias("tot"))
+        .collect()
+    }
+
+    monkeypatch.setattr(
+        st,
+        "_events_stream",
+        lambda s, sf_dir: s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.*"),
+    )
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "emissions")
+
+    # a memory sink refuses checkpoint recovery ("this query does not
+    # support recovering from checkpoint location"), so the drain goes
+    # through the fault-tolerant foreachBatch path — parquet-append per
+    # micro-batch, stamped with batch id and incarnation
+    def sink_for(incarnation: str):
+        def sink(bdf, bid):
+            (
+                bdf.withColumn("batch_id", F.lit(bid))
+                .withColumn("incarnation", F.lit(incarnation))
+                .write.mode("append")
+                .parquet(outdir)
+            )
+
+        return sink
+
+    # ---- incarnation 1: run, then KILL after >=2 committed batches --
+    q1 = (
+        st.running_user_profiles(spark, str(src))
+        .writeStream.foreachBatch(sink_for("pre"))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and p["batchId"] >= 2:
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(60)
+    pre = spark.read.parquet(outdir).where("incarnation = 'pre'").toPandas()
+    assert len(pre), "kill landed before any batch committed"
+    pre_final = pre.loc[pre.groupby("user_id")["n_events"].idxmax()]
+    consumed = int(pre_final["n_events"].sum())
+    total_rows = sum(n for n, _ in oracle.values())
+    assert consumed < total_rows, (
+        "kill landed after the whole input was consumed — premise lost "
+        f"({consumed}/{total_rows}); raise the file count"
+    )
+
+    # ---- incarnation 2: SAME checkpoint, drain the remainder --------
+    q2 = (
+        st.running_user_profiles(spark, str(src))
+        .writeStream.foreachBatch(sink_for("post"))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300), "resume drain did not finish"
+    q2.stop()
+    both = spark.read.parquet(outdir).toPandas()
+    post = both[both.incarnation == "post"]
+    assert len(post), "resume consumed nothing — the kill was not mid-stream"
+
+    # ---- final per-user state across both incarnations --------------
+    # (a batch whose sink write landed but whose offset commit the kill
+    # interrupted is REPLAYED on restart — foreachBatch is
+    # at-least-once — with identical emissions, since the state store
+    # restored the pre-batch state; max-n_events dedup absorbs it)
+    import pandas as pd
+
+    final = both.loc[both.groupby("user_id")["n_events"].idxmax()]
+    got = {
+        int(r.user_id): (int(r.n_events), r.total_value)
+        for r in final.itertuples()
+    }
+    assert set(got) == set(oracle), "key set drifted across the restart"
+    for uid, (n, tot) in oracle.items():
+        gn, gtot = got[uid]
+        # exactly-once state: a replayed batch must not double-count
+        # (gn > n) and a reset state must not undercount (gn < n)
+        assert gn == n, f"user {uid}: n_events {gn} != {n}"
+        if tot is None:
+            assert gtot is None or pd.isna(gtot), f"user {uid}: fabricated total"
+        else:
+            assert abs(gtot - tot) <= 1e-6 * max(1.0, abs(tot)), (
+                f"user {uid}: total {gtot} != {tot}"
+            )
+
