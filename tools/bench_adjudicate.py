@@ -3,9 +3,11 @@
 
 BASELINE.md's round-10 gate, applied programmatically instead of by
 hand each round: given a candidate ``bench.py`` JSON line (or driver
-``BENCH_r*.json`` wrapper) and an anchor (default: the round-10
-min-of-2 record embedded below), emit per-query CANARY-NORMALIZED
-ratios and a verdict per query:
+``BENCH_r*.json`` wrapper) and an anchor (default: the round-13
+min-of-3 record embedded below — re-based to the 2026-08-16 host
+generation; the round-10 vector is kept as ``ANCHOR_2026_08_15`` for
+replaying older records), emit per-query CANARY-NORMALIZED ratios and
+a verdict per query:
 
 - normalized ratio = (query_sec * anchor_canary / run_canary)
                      / anchor_query_sec
@@ -351,7 +353,7 @@ def main() -> int:
     p.add_argument("run", help="bench JSON line file or driver BENCH_r*.json")
     p.add_argument(
         "--anchor",
-        help="another bench JSON as the anchor (default: the r10 record)",
+        help="another bench JSON as the anchor (default: the r13 record)",
     )
     a = p.parse_args()
     run = _load(a.run)
