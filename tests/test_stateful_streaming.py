@@ -3,6 +3,8 @@ real streams (availableNow drain) and checked against batch oracles."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from spark_etl_pipeline_spark.plans.registry import table
@@ -118,3 +120,117 @@ def test_idle_session_timeout_flushes_exactly_idle_users(spark, tmp_path):
     assert closed == {(1, 2)}  # idle user flushed once, with full count
     assert (2, 1) in open_updates  # active-at-end user emitted only updates
     assert not any(u == 2 for (u, _) in closed)
+
+
+def test_idle_session_timer_state_survives_kill_and_resume(spark, tmp_path):
+    """An ARMED EventTimeTimeout must survive a query restart: the
+    timer is state-store state, distinct from the value state the
+    profiles kill-resume test covers (tests/test_incremental.py).
+
+    Incarnation 1 sees only user 1's events (watermark too low to fire
+    anything), arms user 1's idle timer, and is killed. User 1 never
+    appears in the input again; a watermark-advancing event lands
+    AFTER the kill. If the restored incarnation closes user 1 with the
+    FULL pre-kill count, three things held across the restart at once:
+    the value state (n=2), the armed timer (the hasTimedOut branch ran
+    with NO new data for the key), and exactly-once emission (one
+    closed row, not zero, not two)."""
+    import datetime as dt
+    import time
+
+    from spark_etl_pipeline_spark.streaming.stateful import (
+        idle_session_summaries,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "src"
+    outdir = str(tmp_path / "emissions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: user 1's whole session — present BEFORE the kill only
+    write_file(
+        "b1",
+        [
+            (1, t0, 101, "view", 1.0, "{}"),
+            (1, t0 + dt.timedelta(minutes=5), 102, "click", 1.0, "{}"),
+        ],
+        1_000_000,
+    )
+
+    def query(sink_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+            .withWatermark("ts", "10 minutes")
+        )
+        out = idle_session_summaries(stream, gap="30 minutes")
+
+        def sink(bdf, bid):
+            (
+                bdf.withColumn("incarnation", F.lit(sink_name))
+                .write.mode("append")
+                .parquet(outdir)
+            )
+
+        return (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+        )
+
+    # ---- incarnation 1: consume b1, arm the timer, KILL -------------
+    q1 = query("pre").trigger(processingTime="0 seconds").start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and int(p["numInputRows"]) > 0:
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(60)
+    pre = spark.read.parquet(outdir).where("incarnation = 'pre'").toPandas()
+    assert len(pre), "kill landed before the first batch committed"
+    assert not pre.closed.any(), (
+        "premise lost: the session closed BEFORE the kill — the "
+        "watermark should still be below user 1's timeout"
+    )
+
+    # the watermark-advancer arrives only after the kill: the restart
+    # must fire user 1's timer from RESTORED state, with no new rows
+    # for the key anywhere in incarnation 2's input
+    write_file(
+        "b2",
+        [(2, t0 + dt.timedelta(hours=6), 201, "view", 1.0, "{}")],
+        2_000_000,
+    )
+
+    # ---- incarnation 2: same checkpoint, availableNow ----------------
+    q2 = query("post").trigger(availableNow=True).start()
+    assert q2.awaitTermination(300), "resume drain did not finish"
+    q2.stop()
+    post = spark.read.parquet(outdir).where("incarnation = 'post'").toPandas()
+
+    closed = post[post.closed]
+    assert len(closed) == 1, f"expected exactly one closed row: {closed}"
+    assert int(closed.iloc[0].user_id) == 1
+    assert int(closed.iloc[0].n_events) == 2, (
+        "value state lost across restart: closed with "
+        f"{int(closed.iloc[0].n_events)} events, not the pre-kill 2"
+    )
+    # user 1 had no data after the kill — its close can only have come
+    # from the restored timer; user 2 (active at end) must stay open
+    assert not post[(post.user_id == 2) & post.closed].shape[0]
