@@ -234,3 +234,106 @@ def test_idle_session_timer_state_survives_kill_and_resume(spark, tmp_path):
     # user 1 had no data after the kill — its close can only have come
     # from the restored timer; user 2 (active at end) must stay open
     assert not post[(post.user_id == 2) & post.closed].shape[0]
+
+
+def test_streaming_dedup_state_survives_kill_and_resume(spark, tmp_path):
+    """Third state-store surface across a restart (value state:
+    tests/test_incremental.py; timer state: the test above): the KEYED
+    DEDUP state of ``dropDuplicatesWithinWatermark``. A replay of an
+    already-emitted event arriving AFTER the kill is absorbed only if
+    the restarted query recovered the seen-keys state — without it the
+    replay re-emits and downstream double-counts, the exact
+    at-least-once-source failure the operator exists to absorb."""
+    import datetime as dt
+    import time
+
+    import spark_etl_pipeline_spark.streaming.stateful as st
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "src"
+    outdir = str(tmp_path / "emissions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: events A (101), B (102), and a SAME-BATCH replay of A
+    a = (1, t0, 101, "view", 1.0, "{}")
+    write_file("b1", [a, (2, t0 + dt.timedelta(minutes=1), 102, "click", 2.0, "{}"), a], 1_000_000)
+
+    monkeypatched = st._events_stream
+
+    def staged_stream(s, sf_dir):
+        return (
+            s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sf_dir}/b*")
+        )
+
+    st._events_stream = staged_stream
+    try:
+        def query(sink_name):
+            out = st.dedup_events_within_watermark(spark, str(src))
+
+            def sink(bdf, bid):
+                (
+                    bdf.withColumn("incarnation", F.lit(sink_name))
+                    .write.mode("append")
+                    .parquet(outdir)
+                )
+
+            return (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+            )
+
+        # ---- incarnation 1: consume b1 (A dedups in-batch), KILL ----
+        q1 = query("pre").trigger(processingTime="0 seconds").start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and int(p["numInputRows"]) > 0:
+                break
+            time.sleep(0.05)
+        q1.stop()
+        q1.awaitTermination(60)
+        pre = spark.read.parquet(outdir).where("incarnation = 'pre'").toPandas()
+        assert sorted(pre.event_id) == [101, 102], (
+            f"in-batch dedup premise lost: {sorted(pre.event_id)}"
+        )
+
+        # the CROSS-RESTART replay of A lands only after the kill,
+        # inside the watermark horizon, plus one genuinely new event C
+        write_file(
+            "b2",
+            [a, (3, t0 + dt.timedelta(minutes=10), 103, "view", 3.0, "{}")],
+            2_000_000,
+        )
+
+        # ---- incarnation 2: same checkpoint, availableNow ------------
+        q2 = query("post").trigger(availableNow=True).start()
+        assert q2.awaitTermination(300), "resume drain did not finish"
+        q2.stop()
+    finally:
+        st._events_stream = monkeypatched
+
+    both = spark.read.parquet(outdir).toPandas()
+    post = both[both.incarnation == "post"]
+    assert sorted(post.event_id) == [103], (
+        "dedup state lost across restart: the post-kill replay of event "
+        f"101 re-emitted (post incarnation emitted {sorted(post.event_id)})"
+    )
+    assert sorted(both.event_id) == [101, 102, 103], (
+        f"exactly-once violated across the restart: {sorted(both.event_id)}"
+    )
