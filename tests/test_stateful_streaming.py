@@ -337,3 +337,124 @@ def test_streaming_dedup_state_survives_kill_and_resume(spark, tmp_path):
     assert sorted(both.event_id) == [101, 102, 103], (
         f"exactly-once violated across the restart: {sorted(both.event_id)}"
     )
+
+
+def test_session_window_merge_state_survives_kill_and_resume(spark, tmp_path):
+    """Fourth state surface across a restart: the built-in
+    ``session_window`` MERGE state. A post-restart event lands within
+    the gap of a session whose earlier events were consumed before the
+    kill — the restarted query must EXTEND that session (one row,
+    full count, original start) rather than open a fragment, which is
+    only possible if the windowed-aggregation state recovered."""
+    import datetime as dt
+    import time
+
+    from spark_etl_pipeline_spark.streaming.windows import session
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "src"
+    outdir = str(tmp_path / "emissions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    write_file(
+        "b1",
+        [
+            (1, t0, 101, "view", 1.0, "{}"),
+            (1, t0 + dt.timedelta(minutes=10), 102, "click", 1.0, "{}"),
+        ],
+        1_000_000,
+    )
+
+    def query(sink_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+            .withWatermark("ts", "10 minutes")
+        )
+        agg = (
+            session(stream, "ts", "30 minutes", ["user_id"])
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                "n_events",
+            )
+        )
+
+        def sink(bdf, bid):
+            (
+                bdf.withColumn("incarnation", F.lit(sink_name))
+                .withColumn("batch_id", F.lit(bid))
+                .write.mode("append")
+                .parquet(outdir)
+            )
+
+        return (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+        )
+
+    # ---- incarnation 1: consume b1 (open session, 2 events), KILL ---
+    q1 = query("pre").trigger(processingTime="0 seconds").start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q1.lastProgress
+        if p and int(p["numInputRows"]) > 0:
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination(60)
+    pre = spark.read.parquet(outdir).where("incarnation = 'pre'").toPandas()
+    assert len(pre), "kill landed before the first batch committed"
+    pre_last = pre[pre.batch_id == pre.batch_id.max()]
+    assert (
+        len(pre_last[pre_last.user_id == 1]) == 1
+        and int(pre_last[pre_last.user_id == 1].n_events.iloc[0]) == 2
+    ), f"pre-kill premise lost: {pre_last.to_dict('records')}"
+
+    # the extender lands within 30 min of the pre-kill session's last
+    # event — same session, ONLY if the merge state survived the kill
+    write_file(
+        "b2",
+        [
+            (1, t0 + dt.timedelta(minutes=25), 103, "view", 1.0, "{}"),
+            (2, t0 + dt.timedelta(hours=6), 201, "view", 1.0, "{}"),
+        ],
+        2_000_000,
+    )
+
+    # ---- incarnation 2: same checkpoint, availableNow ----------------
+    q2 = query("post").trigger(availableNow=True).start()
+    assert q2.awaitTermination(300), "resume drain did not finish"
+    q2.stop()
+    post = spark.read.parquet(outdir).toPandas()
+    post = post[post.incarnation == "post"]
+    final = post[post.batch_id == post.batch_id.max()]
+    u1 = final[final.user_id == 1]
+    assert len(u1) == 1, (
+        "session merge state lost: user 1 shows "
+        f"{len(u1)} sessions after the restart: {u1.to_dict('records')}"
+    )
+    assert int(u1.n_events.iloc[0]) == 3, (
+        f"session fragment: n_events {int(u1.n_events.iloc[0])} != 3"
+    )
+    assert u1.session_start.iloc[0] == "2024-01-01 12:00:00", (
+        "merged session lost its pre-kill start: "
+        f"{u1.session_start.iloc[0]}"
+    )
