@@ -458,3 +458,108 @@ def test_session_window_merge_state_survives_kill_and_resume(spark, tmp_path):
         "merged session lost its pre-kill start: "
         f"{u1.session_start.iloc[0]}"
     )
+
+
+def test_stream_stream_join_buffer_survives_kill_and_resume(spark, tmp_path):
+    """Fifth and last stateful surface across a restart: the
+    STREAM-STREAM JOIN buffer. A click consumed BEFORE the kill is
+    buffered in the join state awaiting a future purchase; the matching
+    purchase arrives only AFTER the restart. The pair can form only if
+    the buffered side survived the checkpoint — lose it and the join
+    silently emits nothing (no error, just a missing row: the worst
+    failure shape)."""
+    import datetime as dt
+    import time
+
+    import spark_etl_pipeline_spark.streaming.windows as w
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "src"
+    outdir = str(tmp_path / "emissions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+        os.utime(p, (mtime, mtime))
+
+    # b1: the click only — it must sit in the join buffer across the kill
+    write_file("b1", [(1, t0, 101, "click", 1.0, "{}")], 1_000_000)
+
+    orig = w.events_stream
+
+    def staged_stream(s, sf_dir):
+        return (
+            s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sf_dir}/b*")
+        )
+
+    w.events_stream = staged_stream
+    try:
+        def query(sink_name):
+            out = w.stream_stream_join(spark, str(src))
+
+            def sink(bdf, bid):
+                (
+                    bdf.withColumn("incarnation", F.lit(sink_name))
+                    .write.mode("append")
+                    .parquet(outdir)
+                )
+
+            return (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+            )
+
+        q1 = query("pre").trigger(processingTime="0 seconds").start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q1.lastProgress
+            if p and int(p["numInputRows"]) > 0:
+                break
+            time.sleep(0.05)
+        q1.stop()
+        q1.awaitTermination(60)
+        import os as _os
+
+        pre_rows = 0
+        if _os.path.isdir(outdir):
+            df = spark.read.parquet(outdir)
+            pre_rows = df.where("incarnation = 'pre'").count()
+        assert pre_rows == 0, (
+            "premise lost: a pair emitted before the purchase existed"
+        )
+
+        # the matching purchase lands only after the kill: click.ts is
+        # inside [purchase.ts - 1h, purchase.ts), so the buffered click
+        # is the only possible match source
+        write_file(
+            "b2",
+            [(1, t0 + dt.timedelta(minutes=30), 201, "purchase", 9.0, "{}")],
+            2_000_000,
+        )
+
+        q2 = query("post").trigger(availableNow=True).start()
+        assert q2.awaitTermination(300), "resume drain did not finish"
+        q2.stop()
+    finally:
+        w.events_stream = orig
+
+    got = spark.read.parquet(outdir).toPandas()
+    pairs = sorted(
+        (int(r.purchase_id), int(r.click_id)) for r in got.itertuples()
+    )
+    assert pairs == [(201, 101)], (
+        "join buffer lost across restart — expected the pre-kill click "
+        f"to match the post-restart purchase; got {pairs}"
+    )
