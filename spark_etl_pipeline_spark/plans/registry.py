@@ -373,7 +373,7 @@ def load_all() -> None:
 #:   but is a no-op under the driver's UTC-host session, and the
 #:   ``streaming/source.py`` warning is log-only — no jumps for either.
 #:   After this window the oldest driver row in the repo becomes r8.
-#: - **r13 (this window, _EMIT_FIRST)**: the 28 exception-(a) leads
+#: - **r13 (done — 50/50 green, CORRECTNESS_r13)**: the 28 exception-(a) leads
 #:   from the amended ledger below, then the pure
 #:   ``python tools/plan_rotation.py`` staleness order — the 21
 #:   remaining r8-green rows + the oldest r9-green row
@@ -460,6 +460,16 @@ def load_all() -> None:
 #:           sim_embedding_store sim_ivf_kmeans sim_threshold_profile \
 #:           docs_dedup_semantic etl_json_struct etl_events_pipeline
 #:
+#: - **r14 (this window, _EMIT_FIRST)**: the ledger is EMPTY — the r13
+#:   window's 28 leads consumed every exception-(a) debt, and the r13
+#:   diff (oracle text on two queries already IN the r13 window, a
+#:   UDTF oracle guard likewise in-window, the failure-path-only drain
+#:   timeout, and this rotation ledger) leaves no builder refactored
+#:   after its newest driver row. Pure ``python tools/plan_rotation.py``
+#:   staleness order: the 40 r9-green rows + the 10 oldest r10-green
+#:   rows (``text_pii_scrub`` … ``stream_dedup_replay``). After this
+#:   window the oldest driver row in the repo becomes r10.
+#:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
 #: driver row jumps to the next window regardless of age; (b) a cohort
@@ -467,70 +477,12 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r13 window: the 28 exception-(a) leads from the amended r13
-    # ledger above, then the pure ``python tools/plan_rotation.py``
-    # staleness order — the 21 remaining r8-green rows + the oldest
-    # r9-green row. Sized so that NO r8 row slips past the 5-round
-    # contract edge (see the ledger's drain-timeout adjudication).
-    # After this window the oldest driver row in the repo becomes
-    # r9. ---
-    "rel_sql_exists",  # r9
-    "rel_sql_scalar_subquery",  # r9
-    "rel_sql_not_in",  # r9
-    "rel_grouping_sets",  # r9
-    "stream_tumbling_drain",  # r11
-    "stream_sliding_drain",  # r10
-    "stream_session_drain",  # r10
-    "stream_rollup_drain",  # r10
-    "stream_profiles_drain",  # r10
-    "rel_variant_props",  # r12
-    "text_chunks_udtf",  # r12
-    "mm_resize",  # r11
-    "events_theilsen_trend",  # r11
-    "sim_topk_cosine",  # r11
-    "sim_ann_hyperplane",  # r10
-    "sim_ivf_search",  # r10
-    "sim_ivf_nprobe2",  # r10
-    "sim_ann_recall",  # r10
-    "sim_ann_recall_nprobe2",  # r10
-    "dedup_embedding_cosine",  # r9
-    "sim_kmeans",  # r11
-    "sim_embed_quantize",  # r10
-    "sim_embedding_store",  # r9
-    "sim_ivf_kmeans",  # r10
-    "sim_threshold_profile",  # r9
-    "docs_dedup_semantic",  # r9
-    "etl_json_struct",  # r9
-    "etl_events_pipeline",  # r8
-    "rel_rfm_segmentation",  # r8
-    "rel_calendar_spine",  # r8
-    "text_lang_id",  # r8
-    "q1_pricing_summary",  # r8
-    "q6_forecast_revenue",  # r8
-    "q3_top_orders",  # r8
-    "q5_region_revenue",  # r8
-    "rel_agg_stats",  # r8
-    "rel_window_rank",  # r8
-    "rel_window_running",  # r8
-    "rel_window_frame",  # r8
-    "dedup_exact",  # r8
-    "dedup_simhash_pairs",  # r8
-    "dedup_simhash",  # r8
-    "dedup_fuzzy_levenshtein",  # r8
-    "dedup_components",  # r8
-    "mm_frame_sample",  # r8
-    "mm_decode_features",  # r8
-    "text_quality_score",  # r8
-    "text_chunking",  # r8
-    "etl_upsert_merge",  # r8
-    "text_decontaminate",  # r9
-)
-
-_EMIT_LAST = (
-    # --- everything not in the r13 window, strictly
-    # oldest-driver-row-first (registration order as the tiebreak):
-    # the r9 remainder, then the r10/r11/r12 windows; the r12 window
-    # (freshest rows in the repo) sits at the very end. ---
+    # --- r14 window: the pure ``python tools/plan_rotation.py``
+    # staleness order — the ledger is EMPTY (the r13 window's 28
+    # exception-(a) leads consumed every refactor debt, and the r13
+    # diff touched no builder after its driver row), so no jumps:
+    # the 40 r9-green rows + the 10 oldest r10-green rows. After
+    # this window the oldest driver row in the repo becomes r10. ---
     "text_repetition_score",  # r9
     "events_zscore",  # r9
     "text_stratified_sample",  # r9
@@ -581,6 +533,13 @@ _EMIT_LAST = (
     "q17_small_quantity",  # r10
     "q22_dormant_customers",  # r10
     "stream_dedup_replay",  # r10
+)
+
+_EMIT_LAST = (
+    # --- everything not in the r14 window, strictly
+    # oldest-driver-row-first (registration order as the tiebreak):
+    # the r10 remainder, then the r11/r12/r13 windows; the r13
+    # window (freshest rows in the repo) sits at the very end. ---
     "text_repetition_filter",  # r10
     "dedup_components_star",  # r10
     "events_skew_salted_agg",  # r10
@@ -703,6 +662,56 @@ _EMIT_LAST = (
     "events_anomaly_rolling",  # r12
     "rel_asof_nearest",  # r12
     "events_funnel_windowed",  # r12
+    "rel_sql_exists",  # r13
+    "rel_sql_scalar_subquery",  # r13
+    "rel_sql_not_in",  # r13
+    "rel_grouping_sets",  # r13
+    "stream_tumbling_drain",  # r13
+    "stream_sliding_drain",  # r13
+    "stream_session_drain",  # r13
+    "stream_rollup_drain",  # r13
+    "stream_profiles_drain",  # r13
+    "rel_variant_props",  # r13
+    "text_chunks_udtf",  # r13
+    "mm_resize",  # r13
+    "events_theilsen_trend",  # r13
+    "sim_topk_cosine",  # r13
+    "sim_ann_hyperplane",  # r13
+    "sim_ivf_search",  # r13
+    "sim_ivf_nprobe2",  # r13
+    "sim_ann_recall",  # r13
+    "sim_ann_recall_nprobe2",  # r13
+    "dedup_embedding_cosine",  # r13
+    "sim_kmeans",  # r13
+    "sim_embed_quantize",  # r13
+    "sim_embedding_store",  # r13
+    "sim_ivf_kmeans",  # r13
+    "sim_threshold_profile",  # r13
+    "docs_dedup_semantic",  # r13
+    "etl_json_struct",  # r13
+    "etl_events_pipeline",  # r13
+    "rel_rfm_segmentation",  # r13
+    "rel_calendar_spine",  # r13
+    "text_lang_id",  # r13
+    "q1_pricing_summary",  # r13
+    "q6_forecast_revenue",  # r13
+    "q3_top_orders",  # r13
+    "q5_region_revenue",  # r13
+    "rel_agg_stats",  # r13
+    "rel_window_rank",  # r13
+    "rel_window_running",  # r13
+    "rel_window_frame",  # r13
+    "dedup_exact",  # r13
+    "dedup_simhash_pairs",  # r13
+    "dedup_simhash",  # r13
+    "dedup_fuzzy_levenshtein",  # r13
+    "dedup_components",  # r13
+    "mm_frame_sample",  # r13
+    "mm_decode_features",  # r13
+    "text_quality_score",  # r13
+    "text_chunking",  # r13
+    "etl_upsert_merge",  # r13
+    "text_decontaminate",  # r13
 )
 
 
