@@ -3,8 +3,20 @@
 
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
-     "canary_sec": C, "io_canary_sec": D}
+     "queries": {"q1_pricing_summary": sec, ...},
+     "passes": {"q1_pricing_summary": [sec, sec], ...}, "sf": 0.1,
+     "canary_sec": C, "sustained_canary_sec": S, "io_canary_sec": D}
+
+Round-14 protocol: every query is timed TWICE back-to-back and
+``queries`` carries the per-query MIN; both raw passes are kept under
+``passes`` for shape analysis. The r13 host generation shows
+non-reproducing per-query transients of 2–5× (BASELINE.md r13
+re-record; the r13 driver artifact read 71.84 s where two same-code
+re-runs read 49.3/44.0 s), so a single timed pass no longer produces
+an interpretable per-query number. The comparison anchor
+(``tools/bench_adjudicate.py``) is already a per-query min across
+runs, so min-of-2 makes the driver's one-shot reading like-for-like.
+``value`` is the sum of the per-query mins.
 
 ``canary_sec`` is a HOST-SPEED CANARY: the min-of-3 wall of a fixed
 synthetic pure-JVM workload (xxhash64-fold over spark.range — no IO,
@@ -13,6 +25,14 @@ per-query ratios have repeatedly moved ±10-45% with UNCHANGED code
 (BASELINE.md's host-band history); dividing both sides' query times by
 their session's canary separates host drift from code regressions with
 a measurement instead of an argument.
+
+``sustained_canary_sec`` (round 14) is the SUSTAINED-THROUGHPUT
+complement: the same xxhash64 fold at 8× the rows (~10–12 s of
+all-core work), min-of-2. The r13 host generation runs the headline
+set ~1.35× the previous generation at EQUAL sprint canary — a
+sustained regime (thermal/steal/turbo-budget) the 1.5 s burst reading
+cannot see. Sprint-flat but sustained-high explains a uniformly slow
+run without blaming any plan.
 
 ``io_canary_sec`` is the STORAGE-SIDE complement (round 10): the CPU
 canary is blind to IO/scheduler drift — the r9 adjudication found a
@@ -262,6 +282,20 @@ JDBC_SINK_QUERY = "etl_events_pipeline"
 JDBC_URL = "jdbc:derby:memory:sparketl_bench;create=true"
 JDBC_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
+#: --sink csv mode (round 14): the K3 single-file CSV export
+#: (``sources.write_csv_single_file``, coalesce(1) by design — the
+#: reference's report-export path) is correctness-tested but was the
+#: last sink without a cost point (parquet ≈2.3 s r11, JDBC ≈2.2 s
+#: r12). Times ONE flat-schema headline output through the real
+#: single-writer funnel. Same contract as the other sink modes: the
+#: number = execution + coalesce(1) + CSV encode + write; subtract
+#: the query's noop reading to isolate the sink cost. NOT part of the
+#: comparison gate — its own BASELINE.md section.
+CSV_SINK_QUERY = "text_quality_score"
+
+#: timed passes per query (round 14; see module doc)
+N_PASSES = 2
+
 
 def main() -> None:
     import argparse
@@ -269,12 +303,14 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--sink",
-        choices=["noop", "parquet", "jdbc"],
+        choices=["noop", "parquet", "jdbc", "csv"],
         default="noop",
         help="parquet: time partitioned parquet writes of the "
         "WRITE_SINK queries instead of the noop headline run; "
         "jdbc: time a batched JDBC append of the JDBC_SINK_QUERY "
-        "output into an in-memory Derby database",
+        "output into an in-memory Derby database; "
+        "csv: time the K3 single-file CSV export of the "
+        "CSV_SINK_QUERY output",
     )
     args = ap.parse_args()
 
@@ -309,50 +345,82 @@ def main() -> None:
         print(f"[bench] warmup: ERROR {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     total = 0.0
     if args.sink == "parquet":
         run_names = list(WRITE_SINK)
     elif args.sink == "jdbc":
         run_names = [JDBC_SINK_QUERY]
+    elif args.sink == "csv":
+        run_names = [CSV_SINK_QUERY]
     else:
         run_names = HEADLINE
     for name in run_names:
         builder = qs.get(name)
         if builder is None:
             continue
+        # N_PASSES timed runs back-to-back; ``queries`` carries the
+        # min, ``passes`` both raws (module doc: one pass is not
+        # interpretable under this host generation's 2–5× transients).
+        # Any errored pass marks the query errored (-1.0) — a query
+        # that fails intermittently is a finding, not a min-of-1.
+        pass_secs: list[float] = []
         try:
             # build once untimed so plan analysis / file listing warms up
             builder(spark, sf_dir).schema
-            t0 = time.monotonic()
-            if args.sink == "parquet":
-                builder(spark, sf_dir).write.mode("overwrite").partitionBy(
-                    WRITE_SINK[name]
-                ).parquet(f"/tmp/spark_graft_bench/write_sink/{name}.parquet")
-            elif args.sink == "jdbc":
-                from spark_etl_pipeline_spark.sources import write_jdbc_append
+            for _ in range(N_PASSES):
+                t0 = time.monotonic()
+                if args.sink == "parquet":
+                    builder(spark, sf_dir).write.mode(
+                        "overwrite"
+                    ).partitionBy(WRITE_SINK[name]).parquet(
+                        f"/tmp/spark_graft_bench/write_sink/{name}.parquet"
+                    )
+                elif args.sink == "jdbc":
+                    from spark_etl_pipeline_spark.sources import (
+                        write_jdbc_append,
+                    )
 
-                # fresh table per timed run (Derby in-memory DB lives
-                # for the JVM; a stale table would turn the append into
-                # a duplicate-load and double the byte count)
-                write_jdbc_append(
-                    builder(spark, sf_dir),
-                    url=JDBC_URL,
-                    table=f"bench_{name}_{int(t0 * 1000)}",
-                    user="app",
-                    password="app",
-                    driver=JDBC_DRIVER,
-                )
-            else:
-                builder(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            dt = round(time.monotonic() - t0, 3)
+                    # fresh table per timed pass (Derby in-memory DB
+                    # lives for the JVM; a stale table would turn the
+                    # append into a duplicate-load and double the byte
+                    # count) — the ms-stamped name is unique per pass
+                    write_jdbc_append(
+                        builder(spark, sf_dir),
+                        url=JDBC_URL,
+                        table=f"bench_{name}_{int(t0 * 1000)}",
+                        user="app",
+                        password="app",
+                        driver=JDBC_DRIVER,
+                    )
+                elif args.sink == "csv":
+                    from spark_etl_pipeline_spark.sources import (
+                        write_csv_single_file,
+                    )
+
+                    write_csv_single_file(
+                        builder(spark, sf_dir),
+                        f"/tmp/spark_graft_bench/write_sink/{name}.csv",
+                    )
+                else:
+                    builder(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                pass_secs.append(round(time.monotonic() - t0, 3))
+            dt = min(pass_secs)
             timings[name] = dt
+            passes[name] = pass_secs
             total += dt
-            print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+            print(
+                f"[bench] {name}: {dt:.3f}s (passes: "
+                + "/".join(f"{p:.3f}" for p in pass_secs)
+                + ")",
+                file=sys.stderr,
+            )
         except Exception as exc:  # keep the JSON line intact on any failure
             print(f"[bench] {name}: ERROR {exc}", file=sys.stderr)
             timings[name] = -1.0
+            passes[name] = pass_secs + [-1.0]
 
     # Host-speed canary: fixed pure-JVM CPU work (whole-stage-codegen
     # xxhash64 fold over a range — no IO, no shuffle, no engine code),
@@ -379,6 +447,29 @@ def main() -> None:
         # documented min-of-3 — emit null rather than a weaker number
         canary = None
         print(f"[bench] canary: ERROR {exc}", file=sys.stderr)
+
+    # Sustained-throughput canary (round 14): the same xxhash64 fold
+    # at 8× the rows — ~10–12 s of all-core work per pass, min-of-2.
+    # The 1.5 s sprint canary reads turbo/idle-burst speed; the r13
+    # host generation runs the headline set ~1.35× slower at EQUAL
+    # sprint canary, a sustained regime only a long workload can see.
+    sustained = None
+    try:
+        from pyspark.sql import functions as F
+
+        for _ in range(2):
+            t0 = time.monotonic()
+            spark.range(0, 16_000_000_000, 1, 32).select(
+                F.expr("bit_xor(xxhash64(id))")
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            sustained = dt if sustained is None else min(sustained, dt)
+        sustained = round(sustained, 3)
+        print(f"[bench] sustained canary: {sustained:.3f}s", file=sys.stderr)
+    except Exception as exc:
+        # same contract: a partial min must not masquerade as min-of-2
+        sustained = None
+        print(f"[bench] sustained canary: ERROR {exc}", file=sys.stderr)
 
     # IO-side canary: raw sequential byte-read of the 3.2 GB
     # incompressible table (400M rows of xxhash64(id) in 32 files)
@@ -457,8 +548,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "passes": passes,
                 "sf": sf,
                 "canary_sec": canary,
+                "sustained_canary_sec": sustained,
                 "io_canary_sec": io_canary,
                 "io_canary_restaged": io_canary_restaged,
                 "sink": args.sink,

@@ -25,6 +25,20 @@ from pyspark.sql import functions as F
 from spark_etl_pipeline_spark.plans.registry import register, table
 
 # Tokenization shared by every operator: whitespace split of trimmed text.
+#
+# KNOWN oracle divergence class, VERTICAL TAB (ADVICE r13): the engine
+# side's Java \s ([ \t\n\x0B\f\r]) and the UDTF's Python re.ASCII \s
+# both treat \x0b as whitespace, while the oracle's DuckDB/RE2 \s
+# ([\t\n\f\r ]) does not — 'a\x0bb' is 2 tokens engine-side, 1 token
+# oracle-side. Unreachable today: no driver table, fixture, or fuzz
+# pool (tools/stage_random.py WS_PAD deliberately excludes \x0b)
+# carries a vertical tab. Closing it means widening EVERY oracle split
+# site (this constant plus the raw '\s+' sites in operators/dedup.py
+# and below) to '[\s\x0b]+' IN ONE SWEEP — a partial widening would
+# make the oracle-side tokenizers mutually inconsistent — and ledgering
+# exception-(a) leads for all ~25 consumers; deferred until a rotation
+# window can absorb that debt. A fuzzer hit on \x0b text is THIS
+# documented class, not an engine bug.
 TOKENS_SPARK = r"split(trim(text), '\\s+')"
 TOKENS_DUCK = r"string_split_regex(trim(text), '\s+')"
 
@@ -1249,9 +1263,11 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Unicode-aware (NEL U+0085, NBSP U+00A0, ideographic
             # spaces...) while the oracle's RE2 \s and the JVM twin's
             # Java \s are ASCII-only — the round-8 unicode sweep caught
-            # this Python-side split diverging on NEL/NBSP text. strip
-            # matches the oracle's trim() (spaces only) for the same
-            # reason.
+            # this Python-side split diverging on NEL/NBSP text. The
+            # residual \x0b asymmetry (in Python/Java \s, not RE2 \s)
+            # is the documented divergence class next to TOKENS_DUCK
+            # (ADVICE r13; unreachable by every corpus). strip matches
+            # the oracle's trim() (spaces only) for the same reason.
             toks = (text or "").strip(" ")
             if not toks:
                 return

@@ -253,7 +253,11 @@ def clickstream_pipeline(
                -- VARCHAR arm restricted to integer-shaped strings:
                -- DuckDB's string->int TRY_CAST coerces '3.5' (rounds
                -- to 4) and '1e3' (1000) where Spark's try_cast yields
-               -- NULL for both (see rel_variant_props).
+               -- NULL for both; pad class [\x00-\x20\x7f] is the exact
+               -- set Spark's cast strips (exhaustive codepoint probe,
+               -- r14) and must be regexp-stripped before DuckDB's cast
+               -- (which only trims [\x09-\x0d\x20]) — full derivation
+               -- at rel_variant_props.
                CASE WHEN event_type IN ('purchase','click')
                         THEN TRY_CAST(CASE WHEN json_valid(props)
                                            AND (json_type(props, '$.k')
@@ -263,8 +267,12 @@ def clickstream_pipeline(
                                                     AND regexp_matches(
                                                         json_extract_string(
                                                             props, '$.k'),
-                                                        '^[\s\x0b]*[+-]?[0-9]+[\s\x0b]*$')))
-                                           THEN json_extract_string(props, '$.k')
+                                                        '^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$')))
+                                           THEN regexp_replace(
+                                                    json_extract_string(
+                                                        props, '$.k'),
+                                                    '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$',
+                                                    '', 'g')
                                       END AS BIGINT)
                     WHEN event_type IN ('view','error')
                         THEN TRY_CAST(round(value) AS BIGINT)

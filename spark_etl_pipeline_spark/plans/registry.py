@@ -469,6 +469,19 @@ def load_all() -> None:
 #:   staleness order: the 40 r9-green rows + the 10 oldest r10-green
 #:   rows (``text_pii_scrub`` … ``stream_dedup_replay``). After this
 #:   window the oldest driver row in the repo becomes r10.
+#: - **r15 ledger (written at r14)**: two oracle-text changes owe
+#:   exception-(a) leads — ``rel_variant_props`` and
+#:   ``etl_events_pipeline`` (r13 rows): the integer-shaped VARCHAR
+#:   arm's pad class widened from ``[\s\x0b]`` to ``[\x00-\x20\x7f]``,
+#:   the EXACT set Spark's cast strips (exhaustive codepoint probe;
+#:   ADVICE r13 item 1), with a regexp-strip before DuckDB's narrower
+#:   TRY_CAST; control-char payloads added to the props-edge fuzz
+#:   corpus and swept green at r14. Both fit the natural r15 window
+#:   (29 r10 rows + leads ≤ 50). NOT ledgered: the ``\x0b`` tokenizer
+#:   divergence stays documentation-only (see the TOKENS_DUCK comment
+#:   in ``operators/text.py`` — closing it needs a one-sweep widening
+#:   of every oracle split site, ~25 leads, deferred until a window
+#:   can absorb that debt).
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last

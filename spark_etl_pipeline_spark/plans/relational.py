@@ -3076,11 +3076,15 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- string->int TRY_CAST COERCES non-integral numeric strings
         -- ('3.5' -> 4 by rounding, '1e3' -> 1000) where Spark's
         -- try_cast rejects both, so the VARCHAR arm is further
-        -- restricted to INTEGER-SHAPED strings — optionally
-        -- whitespace-padded (Spark's cast trims all whitespace, and
-        -- so does DuckDB's TRY_CAST; \x0b because RE2's \s omits
-        -- vertical tab while Spark's trim does not), optional sign,
-        -- digits only. k is a 32-bit counter by contract, so the
+        -- restricted to INTEGER-SHAPED strings: optional sign, digits,
+        -- padded by [\x00-\x20\x7f] — the EXACT class Spark's cast
+        -- strips, derived by exhaustive codepoint probe (r14, ADVICE
+        -- r13: every ASCII control char incl. \x1f/\x7f is stripped;
+        -- NEL U+0085, APC U+009F, NBSP and the Unicode space family
+        -- are NOT — both engines yield NULL there, so the class above
+        -- is the whole divergence surface). DuckDB's own TRY_CAST
+        -- strips only [\x09-\x0d\x20], so the pads are regexp-stripped
+        -- before the cast. k is a 32-bit counter by contract, so the
         -- integer SUM cannot overflow. (props-edge fuzz corpus.)
         SELECT event_type,
                TRY_CAST(CASE WHEN json_valid(props)
@@ -3089,8 +3093,11 @@ def rel_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    OR (json_type(props, '$.k') = 'VARCHAR'
                                        AND regexp_matches(
                                            json_extract_string(props, '$.k'),
-                                           '^[\s\x0b]*[+-]?[0-9]+[\s\x0b]*$')))
-                             THEN json_extract_string(props, '$.k')
+                                           '^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$')))
+                             THEN regexp_replace(
+                                      json_extract_string(props, '$.k'),
+                                      '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$',
+                                      '', 'g')
                         END AS INTEGER) AS k
         FROM events
     )

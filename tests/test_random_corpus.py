@@ -293,6 +293,13 @@ def test_premise_props_edge_payloads_present(props_duck):
     # sides (both engines trim before the parse) — the guard must keep
     # them while rejecting the quoted decimals above
     assert '{"k": " 12 "}' in got, "whitespace-padded quoted-int lost"
+    # control-char-padded quoted integers (ADVICE r13): Spark's cast
+    # strips exactly [\x00-\x20\x7f]; the oracle regexp-strips the same
+    # class before DuckDB's narrower TRY_CAST — these must flow through
+    # as VALUES, while the NEL/NBSP pads below are NULL on BOTH sides
+    assert '{"k": "\\u001f12"}' in got, "ctrl-char-padded quoted-int lost"
+    assert '{"k": "\\u007f12"}' in got, "DEL-padded quoted-int lost"
+    assert '{"k": "\\u008512"}' in got, "NEL-padded payload lost"
 
 
 def test_premise_duckdb_coerces_what_spark_rejects(spark):
@@ -316,6 +323,40 @@ def test_premise_duckdb_coerces_what_spark_rejects(spark):
     ).selectExpr("s", "try_cast(s as int) AS i").collect()
     got = {r.s: r.i for r in rows}
     assert got == {"3.5": None, "1e3": None, " 12 ": 12, "12\n": 12}
+
+
+def test_premise_spark_cast_strip_class_is_exactly_00_20_7f(spark):
+    """The cross-engine fact behind the [\\x00-\\x20\\x7f] pad class in
+    the JSON-cast oracles (ADVICE r13, closed r14): Spark's try_cast
+    strips EVERY ASCII control char plus space and DEL around an
+    integer — but NOT NEL (U+0085), APC (U+009F), NBSP (U+00A0), or
+    the Unicode space family (U+2008, U+3000 probed here), where both
+    engines agree on NULL. DuckDB's own TRY_CAST trims only
+    [\\x09-\\x0d\\x20], which is why the oracle regexp-strips the pads
+    before casting. Derived by exhaustive codepoint probe over
+    U+0001..U+02FF; if either engine changes, this pin names the guard
+    to revisit."""
+    pads = {
+        "\x1f12": 12, "12\x07": 12, "\x7f12": 12, "\x0b12": 12,
+        "\x8512": None, "\x9f12": None, "\xa012": None,
+        " 12": None, "　12": None,
+    }
+    rows = spark.createDataFrame(
+        [(s,) for s in pads], "s string"
+    ).selectExpr("s", "try_cast(s as int) AS i").collect()
+    assert {r.s: r.i for r in rows} == pads
+    con = duckdb.connect()
+    for s, want in pads.items():
+        duck = con.execute(
+            r"""SELECT CASE WHEN regexp_matches(
+                    ?, '^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$')
+                THEN TRY_CAST(regexp_replace(
+                    ?, '^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$', '', 'g')
+                    AS INTEGER) END""",
+            [s, s],
+        ).fetchone()[0]
+        assert duck == want, f"oracle guard diverges from Spark on {s!r}"
+    con.close()
 
 
 @pytest.mark.parametrize("name", PROPS_PINNED)

@@ -137,3 +137,62 @@ def test_write_sink_partition_columns_exist(spark):
         assert part_col in cols, (
             f"{name}: partition column {part_col!r} not in output {cols}"
         )
+
+
+def test_json_string_cast_oracles_carry_integer_shape_guard():
+    """Static gate for the DuckDB-coerces-where-Spark-rejects cast
+    divergence (VERDICT r14 task 6): DuckDB's string->int TRY_CAST
+    rounds '3.5' to 4 and parses '1e3' as 1000 where Spark's try_cast
+    yields NULL for both, so ANY oracle that TRY_CASTs a JSON-extracted
+    string must gate the cast behind a json_type whitelist, and — if it
+    admits the VARCHAR type at all — restrict that arm to
+    integer-shaped strings padded by exactly [\\x00-\\x20\\x7f] (the
+    measured Spark strip class, regexp-stripped before the cast since
+    DuckDB's own trim is narrower). The r13 fix closed the two known
+    sites by hand; this gate keeps the next JSON consumer from
+    reintroducing the class."""
+    import re
+
+    # the required guard fragments, byte-for-byte as the two audited
+    # sites spell them (a semantically-equivalent-but-different guard
+    # should be a deliberate, reviewed change — update both this gate
+    # and the comment trail at rel_variant_props when that happens)
+    shape_regex = r"'^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$'"
+    pad_strip = r"'^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$'"
+
+    offenders = []
+    for name, spec in registry.REGISTRY.items():
+        sql = spec.oracle or ""
+        # every TRY_CAST whose argument expression involves a JSON
+        # string extraction — conservative containment check: the cast
+        # and the extraction appearing in the same oracle is enough to
+        # demand the guard (false positives would only force an
+        # explicit whitelist entry here, never hide a real site)
+        if not re.search(r"TRY_CAST", sql, re.IGNORECASE):
+            continue
+        if "json_extract_string" not in sql:
+            continue
+        if "json_type" not in sql:
+            offenders.append((name, "no json_type whitelist on the cast"))
+            continue
+        if "'VARCHAR'" in sql:
+            if shape_regex not in sql:
+                offenders.append(
+                    (name, "VARCHAR arm without the integer-shape regex")
+                )
+            elif pad_strip not in sql:
+                offenders.append(
+                    (name, "VARCHAR arm without the pad-strip before cast")
+                )
+    assert not offenders, (
+        "oracles TRY_CASTing JSON-extracted strings without the "
+        f"integer-shape guard: {offenders}"
+    )
+    # the gate must actually be exercising something: the two audited
+    # sites stay registered
+    guarded = [
+        n
+        for n, s in registry.REGISTRY.items()
+        if s.oracle and "json_extract_string" in s.oracle and "'VARCHAR'" in s.oracle
+    ]
+    assert {"rel_variant_props", "etl_events_pipeline"} <= set(guarded)

@@ -57,6 +57,17 @@ it gets human review too, though it does not fail the exit-code gate
 (a deliberately smaller-sf run against the sf0.1 anchor makes every
 query "fast" and is not an error).
 
+Round-14 additions: (1) r14+ bench records time every query twice and
+``queries`` carries the per-query min — the anchor is already a
+per-query min across runs, so the comparison is like-for-like; the raw
+passes ride along on each adjudicated row (a flag whose two passes
+straddle the line is the transient term visible inside one run).
+(2) ``sustained_canary_sec`` (the sprint xxhash fold at 8× rows,
+min-of-2) is classified against its own quiet-host band — the r13
+host generation ran the headline set ~1.35× at EQUAL sprint canary, a
+regime only a ~10 s workload can see. Classification-only; it
+contextualizes uniform flag inflation, it never gates or rescales.
+
 Usage:
     python tools/bench_adjudicate.py BENCH_r10.json
     python tools/bench_adjudicate.py run.json --anchor other.json
@@ -86,6 +97,42 @@ IO_CONTENDED_MAX = 2.0
 #: classification exists to name (VERDICT r12 task 2).
 CPU_BAND_LO = 0.39
 CPU_BAND_HI = 0.47
+
+#: Measured quiet-host SUSTAINED-canary band (round 14; BASELINE.md's
+#: r14 sustained-canary record). The sprint canary reads turbo/idle-
+#: burst speed and was EQUAL across the two host generations whose
+#: headline throughput differed ~1.35× (the r13 re-base finding) — the
+#: sustained canary (same xxhash fold, 8× rows, ~10–12 s all-core,
+#: min-of-2 in bench.py) is the instrument that can see that regime.
+#: A reading ABOVE the band means the host's sustained throughput is
+#: slower than every regime the anchor describes: normalized flags on
+#: such a run are host-suspect (read them with the sustained ratio in
+#: hand before blaming a plan). BELOW the band mirrors the CPU
+#: fast-transient hazard at sustained scale.
+SUSTAINED_BAND_LO = 10.4
+SUSTAINED_BAND_HI = 12.5
+
+
+def classify_sustained_canary(sustained: float | None) -> str:
+    """Classify the run's sustained-canary reading against the band.
+
+    Same taxonomy as :func:`classify_cpu_canary`: ``ok`` inside the
+    band, ``fast_transient`` below, ``unreliable_this_run`` above,
+    ``absent`` when the run predates the instrument (pre-r14 records).
+    Classification-only: the sustained reading CONTEXTUALIZES flags
+    (a uniformly-inflated run with sprint-flat/sustained-high canaries
+    is the r13 host-generation regime, not a plan regression); it does
+    not gate the exit code.
+    """
+    if not sustained:
+        return "absent"
+    if SUSTAINED_BAND_LO <= sustained <= SUSTAINED_BAND_HI:
+        return "ok"
+    return (
+        "fast_transient"
+        if sustained < SUSTAINED_BAND_LO
+        else "unreliable_this_run"
+    )
 
 
 def classify_cpu_canary(canary: float | None) -> str:
@@ -257,6 +304,7 @@ def adjudicate(run: dict, anchor: dict) -> dict:
     ac = anchor.get("canary_sec")  # pre-r9 records carry no canary
     scale = (ac / rc) if (rc and ac) else 1.0
     cpu_status = classify_cpu_canary(rc)
+    run_passes = run.get("passes") or {}  # r14+ records: raw min-of-2
     rows = {}
     ratios = []
     for name, a_sec in anchor["queries"].items():
@@ -291,6 +339,12 @@ def adjudicate(run: dict, anchor: dict) -> dict:
             "norm_ratio": round(norm, 3),
             "status": status,
         }
+        # r14+ runs carry both raw passes per query: keep them on the
+        # row for shape analysis — a flag whose two passes straddle
+        # the line (e.g. 4.1/1.3) is the transient term showing up
+        # INSIDE one run, corroborating host over plan.
+        if name in run_passes:
+            rows[name]["passes"] = run_passes[name]
     out = {
         "canary_scale": round(scale, 4),
         "canary_applied": bool(rc and ac),
@@ -334,6 +388,16 @@ def adjudicate(run: dict, anchor: dict) -> dict:
         ),
         "queries": rows,
     }
+    rs = run.get("sustained_canary_sec")
+    out["sustained_canary_status"] = classify_sustained_canary(rs)
+    out["sustained_canary_band"] = [SUSTAINED_BAND_LO, SUSTAINED_BAND_HI]
+    a_sus = anchor.get("sustained_canary_sec")
+    if rs and a_sus:
+        # run-vs-anchor sustained ratio: the multiplier a sprint-flat/
+        # sustained-slow host applies to every query — context for
+        # reading uniform flag inflation, never a normalizer (a second
+        # blind scale would compound with the CPU one)
+        out["sustained_ratio"] = round(rs / a_sus, 3)
     rio, aio = run.get("io_canary_sec"), anchor.get("io_canary_sec")
     if rio and aio:
         ratio = rio / aio

@@ -85,6 +85,16 @@ PROPS_EDGE = [
     # so these must flow through as values, not NULLs
     '{"k": " 12 "}',
     '{"k": "12\\n"}',
+    # control-char-padded integers (ADVICE r13): Spark's cast strips
+    # the exact class [\x00-\x20\x7f] (exhaustive codepoint probe,
+    # r14) — \x1f/\x07/\x7f pads must flow through as values; the
+    # oracle regexp-strips them before DuckDB's narrower TRY_CAST
+    '{"k": "\\u001f12"}',
+    '{"k": "12\\u0007"}',
+    '{"k": "\\u007f12"}',
+    # NEL/NBSP pads are NOT stripped by either engine: NULL both sides
+    '{"k": "\\u008512"}',
+    '{"k": "\\u00a012"}',
     '{"k": 99999999999999999999999999}',
     '{"k": [1, 2]}',
     '{"k": {"nested": 1}}',
@@ -296,9 +306,16 @@ def stage(src: str, out: str, seed: int, props_edge: bool = False) -> str:
     props_k = rng.integers(-5, 100, n_ev)
     props = [f'{{"k": {int(k)}}}' for k in props_k]
     if props_edge:
-        hit = rng.random(n_ev) < 0.05
-        for i in np.flatnonzero(hit):
-            props[i] = PROPS_EDGE[int(rng.integers(0, len(PROPS_EDGE)))]
+        # every hazard class lands AT LEAST once (the first hits take
+        # the payload list in order — r14: a grown pool left seed 21
+        # without the quoted-scientific payload when all hits drew at
+        # random); remaining hits draw randomly for volume
+        hit = np.flatnonzero(rng.random(n_ev) < 0.05)
+        for j, i in enumerate(hit):
+            if j < len(PROPS_EDGE):
+                props[i] = PROPS_EDGE[j]
+            else:
+                props[i] = PROPS_EDGE[int(rng.integers(0, len(PROPS_EDGE)))]
     events = pd.DataFrame(
         {
             "event_id": eids,
