@@ -449,17 +449,20 @@ def main() -> None:
         print(f"[bench] canary: ERROR {exc}", file=sys.stderr)
 
     # Sustained-throughput canary (round 14): the same xxhash64 fold
-    # at 8× the rows — ~10–12 s of all-core work per pass, min-of-2.
-    # The 1.5 s sprint canary reads turbo/idle-burst speed; the r13
-    # host generation runs the headline set ~1.35× slower at EQUAL
-    # sprint canary, a sustained regime only a long workload can see.
+    # at 32× the rows — ~9–10 s of all-core work per pass on the
+    # quiet r13-generation host (the sprint's REAL quiet cost is
+    # ~0.4 s, not its nominal 1.5 s design point, so "8× the rows"
+    # would read only ~2.3 s — measured while sizing this), min-of-2.
+    # The sprint canary reads turbo/idle-burst speed; the r13 host
+    # generation runs the headline set ~1.35× slower at EQUAL sprint
+    # canary, a sustained regime only a ~10 s workload can see.
     sustained = None
     try:
         from pyspark.sql import functions as F
 
         for _ in range(2):
             t0 = time.monotonic()
-            spark.range(0, 16_000_000_000, 1, 32).select(
+            spark.range(0, 64_000_000_000, 1, 32).select(
                 F.expr("bit_xor(xxhash64(id))")
             ).write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0

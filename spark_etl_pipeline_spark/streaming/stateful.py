@@ -128,6 +128,17 @@ def idle_session_summaries(
     timeout is what bounds it — an idle key cannot linger past
     watermark + gap.
 
+    Session COMPOSITION is decided by event-time gap splitting inside
+    the update function, NOT by when timeouts fire: micro-batch
+    boundaries are not a stable grid (Spark consolidates batches on
+    restart — the r14 fuzz kill-resume crossing measured a resumed
+    query taking two files in its first batch under
+    ``maxFilesPerTrigger=1``), so anything composition-affecting must
+    depend on the data alone. Closed-session rows are therefore
+    restart-exact; the per-batch OPEN-session progress rows are
+    update-stream telemetry whose granularity follows the batch grid
+    by nature.
+
     The caller must ``withWatermark`` the stream on ``ts`` BEFORE
     calling (event-time timeouts require a watermark).
     """
@@ -147,19 +158,53 @@ def idle_session_summaries(
             )
             return
         n, last_us = state.get if state.exists else (0, 0)
+        # EVENT-TIME gap splitting (r14): walk this batch's event times
+        # in order and close a session the moment the NEXT event proves
+        # the gap elapsed — session COMPOSITION is then a function of
+        # the event times alone, not of where micro-batch boundaries
+        # fall. The first draft closed sessions only via the timeout,
+        # which fires at batch-boundary watermark evaluations; Spark
+        # legitimately CONSOLIDATES batches on restart (the fuzz
+        # kill-resume crossing caught the first post-restart batch
+        # taking two files under maxFilesPerTrigger=1), so a
+        # boundary-dependent composition diverged between a killed-and-
+        # resumed run and an uninterrupted one. With gap splitting the
+        # timeout's only job is flushing the FINAL open session of an
+        # idle key. Composition is exact for streams delivered in
+        # event-time order across batches (within-batch disorder is
+        # sorted here); a cross-batch straggler joins the open session,
+        # the same at-arrival semantics every restart sees identically.
+        gap_us = _gap_to_ms(gap) * 1000
+        closed_ns: list[int] = []
+        ts_us: list[int] = []
         for pdf in pdfs:
-            n += len(pdf)
-            batch_max = int(pdf["ts"].max().value // 1000)  # ns -> µs
-            last_us = max(last_us, batch_max)
+            ts_us.extend(
+                int(v) // 1000 for v in pdf["ts"].astype("int64").tolist()
+            )
+        ts_us.sort()
+        for t in ts_us:
+            if n > 0 and t - last_us > gap_us:
+                closed_ns.append(n)
+                n = 0
+            n += 1
+            last_us = max(last_us, t)
         state.update((n, last_us))
-        # re-arm: flush when the watermark passes last event + gap.
-        # CLAMP to the current watermark: with multiple micro-batches a
-        # key's desired timeout can already lie behind the watermark
-        # (a late-ish key in a stream whose watermark other keys advanced)
-        # — Spark rejects a timeout in the past, and the correct
-        # semantics is "flush at the next opportunity".
-        gap_ms = _gap_to_ms(gap)
-        desired = last_us // 1000 + gap_ms
+        if closed_ns:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed_ns),
+                    "n_events": closed_ns,
+                    "closed": [True] * len(closed_ns),
+                }
+            )
+        # re-arm: flush the open session when the watermark passes
+        # last event + gap. CLAMP to the current watermark: with
+        # multiple micro-batches a key's desired timeout can already
+        # lie behind the watermark (a late-ish key in a stream whose
+        # watermark other keys advanced) — Spark rejects a timeout in
+        # the past, and the correct semantics is "flush at the next
+        # opportunity".
+        desired = last_us // 1000 + _gap_to_ms(gap)
         state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "closed": [False]}

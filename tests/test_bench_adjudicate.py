@@ -186,16 +186,26 @@ def test_write_path_records_are_refused(tmp_path):
 def test_cpu_canary_classification_boundaries():
     """The r13 band classification (VERDICT r12 task 2): ok inside the
     measured quiet-host band, fast_transient below it, unreliable above
-    it, absent when the record carries no canary."""
+    it, absent when the record carries no canary. The band is a
+    HOST-GENERATION property carried on each anchor (r14): the r12 run's
+    0.357 canary is below ITS generation's [0.39, 0.47] band but inside
+    the re-recorded r14 band whose quiet floor moved to 0.355."""
     lo, hi = badj.CPU_BAND_LO, badj.CPU_BAND_HI
     assert badj.classify_cpu_canary(lo) == "ok"
     assert badj.classify_cpu_canary(hi) == "ok"
     assert badj.classify_cpu_canary((lo + hi) / 2) == "ok"
     assert badj.classify_cpu_canary(lo - 0.001) == "fast_transient"
-    assert badj.classify_cpu_canary(0.357) == "fast_transient"  # the r12 run
+    # the r12 driver run, against its own generation's band
+    assert badj.classify_cpu_canary(0.357, 0.39, 0.47) == "fast_transient"
     assert badj.classify_cpu_canary(hi + 0.001) == "unreliable_this_run"
     assert badj.classify_cpu_canary(None) == "absent"
     assert badj.classify_cpu_canary(0) == "absent"
+    # every embedded anchor carries its generation's band, and its own
+    # canary reading is inside it
+    for anchor in (badj.ANCHOR, badj.ANCHOR_R13_SINGLEPASS,
+                   badj.ANCHOR_2026_08_15):
+        alo, ahi = anchor["cpu_band"]
+        assert alo <= anchor["canary_sec"] <= ahi
 
 
 def test_below_band_canary_suppresses_manufactured_flags():
@@ -267,16 +277,30 @@ def test_r12_driver_bench_adjudicates_clean(tmp_path):
 def test_embedded_anchor_matches_baseline_record():
     """The embedded anchors are BASELINE.md's min-of-N vectors: spot-pin
     the totals so a drive-by edit of one can't drift from the other."""
-    # r13 default anchor (2026-08-16 host generation, min-of-3)
-    assert badj.ANCHOR["canary_sec"] == 0.394
-    assert badj.ANCHOR["io_canary_sec"] == 0.600
+    # r14 default anchor (min-of-2 protocol, 2026-08-16)
+    assert badj.ANCHOR["canary_sec"] == 0.371
+    assert badj.ANCHOR["io_canary_sec"] == 0.693
+    assert badj.ANCHOR["sustained_canary_sec"] == 7.471
     assert len(badj.ANCHOR["queries"]) == 35
-    assert round(sum(badj.ANCHOR["queries"].values()), 2) == 45.93
-    # the r13 anchor canary must itself be IN the band it classifies
+    assert round(sum(badj.ANCHOR["queries"].values()), 2) == 30.09
+    # the anchor canary must itself be IN the band it classifies
     # against — an out-of-band anchor would bias every future scale
     assert (
         badj.CPU_BAND_LO <= badj.ANCHOR["canary_sec"] <= badj.CPU_BAND_HI
     )
+    # the anchor's sustained reading sits in the sustained band too
+    assert (
+        badj.SUSTAINED_BAND_LO
+        <= badj.ANCHOR["sustained_canary_sec"]
+        <= badj.SUSTAINED_BAND_HI
+    )
+    # superseded r13 single-pass anchor (2026-08-16 host, min-of-3)
+    r13 = badj.ANCHOR_R13_SINGLEPASS
+    assert r13["canary_sec"] == 0.394
+    assert r13["io_canary_sec"] == 0.600
+    assert len(r13["queries"]) == 35
+    assert round(sum(r13["queries"].values()), 2) == 45.93
+    assert set(r13["queries"]) == set(badj.ANCHOR["queries"])
     # superseded 2026-08-15 anchor, kept for history/replay
     hist = badj.ANCHOR_2026_08_15
     assert hist["canary_sec"] == 0.409
@@ -290,3 +314,56 @@ def test_embedded_anchor_matches_baseline_record():
     assert round(sum(hist["queries"].values()), 2) == 39.38
     # both anchors cover the same headline set
     assert set(hist["queries"]) == set(badj.ANCHOR["queries"])
+
+
+def test_sustained_canary_classification_boundaries():
+    """The r14 sustained-throughput band: the sprint canary was EQUAL
+    across two host generations whose headline throughput differed
+    ~1.35x, so the ~8 s workload gets its own band and taxonomy."""
+    lo, hi = badj.SUSTAINED_BAND_LO, badj.SUSTAINED_BAND_HI
+    assert badj.classify_sustained_canary(lo) == "ok"
+    assert badj.classify_sustained_canary(hi) == "ok"
+    assert badj.classify_sustained_canary(lo - 0.01) == "fast_transient"
+    assert badj.classify_sustained_canary(hi + 0.01) == "unreliable_this_run"
+    # pre-r14 records carry no sustained reading
+    assert badj.classify_sustained_canary(None) == "absent"
+
+
+def test_sustained_canary_classified_and_ratio_emitted():
+    """A run carrying sustained_canary_sec gets a classification and,
+    when the anchor has one too, the run/anchor ratio — context only,
+    never a normalizer or a gate."""
+    anchor = {
+        "canary_sec": 0.40,
+        "sustained_canary_sec": 8.0,
+        "queries": {"qa": 1.0},
+    }
+    run = {
+        "canary_sec": 0.40,
+        "sustained_canary_sec": 16.0,  # sustained-slow regime
+        "queries": {"qa": 1.0},
+    }
+    out = badj.adjudicate(run, anchor)
+    assert out["sustained_canary_status"] == "unreliable_this_run"
+    assert out["sustained_ratio"] == 2.0
+    assert out["flagged"] == []  # classification-only: no gating effect
+    # absent on the run -> absent status, no ratio
+    out2 = badj.adjudicate({"canary_sec": 0.40, "queries": {"qa": 1.0}}, anchor)
+    assert out2["sustained_canary_status"] == "absent"
+    assert "sustained_ratio" not in out2
+
+
+def test_min_of_2_passes_ride_along_on_rows():
+    """r14+ bench records carry both raw passes per query; the
+    adjudicated row keeps them for shape analysis (a flag whose two
+    passes straddle the line is the transient term visible inside one
+    run), and queries without a pass record stay unadorned."""
+    anchor = {"canary_sec": 0.40, "queries": {"qa": 1.0, "qb": 1.0}}
+    run = {
+        "canary_sec": 0.40,
+        "queries": {"qa": 1.0, "qb": 1.0},
+        "passes": {"qa": [4.1, 1.0]},
+    }
+    out = badj.adjudicate(run, anchor)
+    assert out["queries"]["qa"]["passes"] == [4.1, 1.0]
+    assert "passes" not in out["queries"]["qb"]

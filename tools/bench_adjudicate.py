@@ -3,10 +3,11 @@
 
 BASELINE.md's round-10 gate, applied programmatically instead of by
 hand each round: given a candidate ``bench.py`` JSON line (or driver
-``BENCH_r*.json`` wrapper) and an anchor (default: the round-13
-min-of-3 record embedded below — re-based to the 2026-08-16 host
-generation; the round-10 vector is kept as ``ANCHOR_2026_08_15`` for
-replaying older records), emit per-query CANARY-NORMALIZED ratios and
+``BENCH_r*.json`` wrapper) and an anchor (default: the round-14
+min-of-2-protocol record embedded below; the single-pass r13 and
+2026-08-15 vectors are kept as ``ANCHOR_R13_SINGLEPASS`` /
+``ANCHOR_2026_08_15`` for replaying older records), emit per-query
+CANARY-NORMALIZED ratios and
 a verdict per query:
 
 - normalized ratio = (query_sec * anchor_canary / run_canary)
@@ -62,7 +63,7 @@ Round-14 additions: (1) r14+ bench records time every query twice and
 per-query min across runs, so the comparison is like-for-like; the raw
 passes ride along on each adjudicated row (a flag whose two passes
 straddle the line is the transient term visible inside one run).
-(2) ``sustained_canary_sec`` (the sprint xxhash fold at 8× rows,
+(2) ``sustained_canary_sec`` (the sprint xxhash fold at 32× rows,
 min-of-2) is classified against its own quiet-host band — the r13
 host generation ran the headline set ~1.35× at EQUAL sprint canary, a
 regime only a ~10 s workload can see. Classification-only; it
@@ -86,31 +87,37 @@ IO_OK_MAX = 1.25
 IO_OK_MIN = 0.75
 IO_CONTENDED_MAX = 2.0
 
-#: Measured quiet-host CPU-canary band (round 13; see BASELINE.md's
-#: canary-band record — r12's seven-run span was 0.39–0.47 and the r13
-#: re-recorded A/B pair sits inside it). A canary OUTSIDE this band in
-#: either direction means the host regime differs from everything the
-#: anchor describes, so the blind ac/rc multiplier stops being a
-#: correction and starts MANUFACTURING results: r12's driver run
-#: carried a 0.357 canary (below band) whose 1.146x scale-UP pushed two
-#: in-band queries past the flag line — the instrument artifact this
-#: classification exists to name (VERDICT r12 task 2).
-CPU_BAND_LO = 0.39
-CPU_BAND_HI = 0.47
+#: Measured quiet-host CPU-canary band (re-recorded r14; BASELINE.md's
+#: canary-band record). A canary OUTSIDE this band in either direction
+#: means the host regime differs from everything the anchor describes,
+#: so the blind ac/rc multiplier stops being a correction and starts
+#: MANUFACTURING results: r12's driver run carried a 0.357 canary
+#: (below the then-band) whose 1.146x scale-UP pushed two in-band
+#: queries past the flag line — the instrument artifact this
+#: classification exists to name (VERDICT r12 task 2). The r12-derived
+#: band was [0.39, 0.47]; by r14 three of four fresh quiet readings
+#: sat below its floor (0.439/0.366/0.375/0.371 this session,
+#: 0.397/0.360/0.394 in the r13 judge bracketing pair), so the floor
+#: is re-recorded from the pooled quiet evidence rather than left
+#: misclassifying quiet runs as fast transients.
+CPU_BAND_LO = 0.355
+CPU_BAND_HI = 0.45
 
 #: Measured quiet-host SUSTAINED-canary band (round 14; BASELINE.md's
-#: r14 sustained-canary record). The sprint canary reads turbo/idle-
-#: burst speed and was EQUAL across the two host generations whose
-#: headline throughput differed ~1.35× (the r13 re-base finding) — the
-#: sustained canary (same xxhash fold, 8× rows, ~10–12 s all-core,
-#: min-of-2 in bench.py) is the instrument that can see that regime.
-#: A reading ABOVE the band means the host's sustained throughput is
-#: slower than every regime the anchor describes: normalized flags on
-#: such a run are host-suspect (read them with the sustained ratio in
-#: hand before blaming a plan). BELOW the band mirrors the CPU
-#: fast-transient hazard at sustained scale.
-SUSTAINED_BAND_LO = 10.4
-SUSTAINED_BAND_HI = 12.5
+#: r14 sustained-canary record — two quiet min-of-2 readings
+#: 8.263/7.471 plus contended-context corroboration at 8.5–9.2 under a
+#: concurrent 8-thread job; widen as rounds accumulate readings). The
+#: sprint canary reads turbo/idle-burst speed and was EQUAL across the
+#: two host generations whose headline throughput differed ~1.35× (the
+#: r13 re-base finding) — the sustained canary (same xxhash fold, 32×
+#: rows, ~8–9 s all-core, min-of-2 in bench.py) is the instrument that
+#: can see that regime. A reading ABOVE the band means the host's
+#: sustained throughput is slower than every regime the anchor
+#: describes: normalized flags on such a run are host-suspect (read
+#: them with the sustained ratio in hand before blaming a plan). BELOW
+#: the band mirrors the CPU fast-transient hazard at sustained scale.
+SUSTAINED_BAND_LO = 6.9
+SUSTAINED_BAND_HI = 9.3
 
 
 def classify_sustained_canary(sustained: float | None) -> str:
@@ -135,8 +142,18 @@ def classify_sustained_canary(sustained: float | None) -> str:
     )
 
 
-def classify_cpu_canary(canary: float | None) -> str:
+def classify_cpu_canary(
+    canary: float | None,
+    lo: float = CPU_BAND_LO,
+    hi: float = CPU_BAND_HI,
+) -> str:
     """Classify the run's CPU canary READING against the quiet-host band.
+
+    The band is a HOST-GENERATION property, so each embedded anchor
+    carries its own (``cpu_band``) and adjudicate() classifies against
+    the anchor's band — replaying a 2026-08-15 record must use that
+    generation's [0.39, 0.47], not today's. The module constants are
+    the CURRENT generation's record (the default).
 
     - ``ok``: inside [CPU_BAND_LO, CPU_BAND_HI] — the ac/rc
       normalization interpolates within measured regimes; trust it.
@@ -155,9 +172,9 @@ def classify_cpu_canary(canary: float | None) -> str:
     """
     if not canary:
         return "absent"
-    if CPU_BAND_LO <= canary <= CPU_BAND_HI:
+    if lo <= canary <= hi:
         return "ok"
-    return "fast_transient" if canary < CPU_BAND_LO else "unreliable_this_run"
+    return "fast_transient" if canary < lo else "unreliable_this_run"
 
 
 def classify_io_ratio(ratio: float) -> str:
@@ -168,7 +185,66 @@ def classify_io_ratio(ratio: float) -> str:
         return "contended"
     return "unreliable_this_run"
 
-#: Round-13 anchor (2026-08-16): per-query MIN of the three
+#: Round-14 anchor (2026-08-16, MIN-OF-2 PROTOCOL): bench.py now
+#: times every query twice and reports the per-query min, which
+#: measures the WARM regime (pass 2 is systematically faster —
+#: page cache + Python workers + per-plan codegen warm; e.g.
+#: mm_decode_features 2.2 s cold / 0.37 s warm in every recorded
+#: run), so the single-pass r13 anchor stopped being
+#: protocol-comparable (a min-of-2 run adjudicated against it reads
+#: median ~0.8 with a 10-deep suspect_fast list). Re-based to the
+#: per-query min across the two back-to-back final-code sf0.1 runs
+#: recorded in BASELINE.md's r14 section (totals 31.29/32.95 s;
+#: CPU canaries 0.375/0.371; sustained 8.263/7.471; io
+#: 0.693/0.699). canary_sec/io/sustained are the mins of the
+#: in-band readings. The superseded single-pass r13 anchor is kept
+#: below as ANCHOR_R13_SINGLEPASS for replaying BENCH_r13 and
+#: earlier records.
+ANCHOR = {
+    "canary_sec": 0.371,
+    "cpu_band": [CPU_BAND_LO, CPU_BAND_HI],
+    "sustained_canary_sec": 7.471,
+    "io_canary_sec": 0.693,
+    "queries": {
+        "q1_pricing_summary": 0.877,
+        "q6_forecast_revenue": 0.363,
+        "q3_top_orders": 1.124,
+        "q5_region_revenue": 1.469,
+        "rel_window_running": 0.42,
+        "rel_dedup_keyed": 0.57,
+        "etl_events_pipeline": 1.116,
+        "rel_asof_join": 0.513,
+        "dedup_minhash_lsh": 1.276,
+        "dedup_simhash": 0.861,
+        "dedup_embedding_cosine": 2.02,
+        "text_quality_score": 0.272,
+        "text_fingerprint": 0.218,
+        "sim_topk_cosine": 0.434,
+        "sim_ivf_search": 0.842,
+        "stream_tumbling_counts": 0.448,
+        "stream_session_windows": 0.489,
+        "mm_decode_features": 0.36,
+        "sim_kmeans": 1.302,
+        "text_decontaminate": 0.722,
+        "docs_pack_sequences": 0.218,
+        "events_weighted_sample": 0.29,
+        "docs_dedup_corpus": 2.131,
+        "docs_dedup_incremental": 1.898,
+        "text_repetition_filter": 0.874,
+        "q8_market_share": 0.985,
+        "q10_returned_items": 0.871,
+        "rel_scd2_history": 0.549,
+        "events_sessionize": 0.527,
+        "events_gap_fill": 0.549,
+        "text_pmi_bigrams": 0.545,
+        "graph_reachability": 2.968,
+        "docs_bm25_topk": 0.753,
+        "docs_source_divergence": 0.579,
+        "events_gap_fill_lerp": 0.655,
+    },
+}
+
+#: SUPERSEDED round-13 anchor (2026-08-16, single-pass protocol): per-query MIN of the three
 #: back-to-back sf0.1 runs recorded in BASELINE.md's r13 canary-band
 #: section (totals 59.99/54.66/50.92 s; CPU canaries 0.397/0.360/0.394;
 #: io canaries 0.720/0.622/0.600). The r13 host generation runs the
@@ -180,8 +256,10 @@ def classify_io_ratio(ratio: float) -> str:
 #: 0.360 reading is the below-band fast-transient class and would bias
 #: the scale); io_canary_sec likewise. The superseded 2026-08-15
 #: anchor is kept below for history / --anchor replay.
-ANCHOR = {
+ANCHOR_R13_SINGLEPASS = {
     "canary_sec": 0.394,
+    # the r12/r13-generation quiet band this record was classified with
+    "cpu_band": [0.39, 0.47],
     "io_canary_sec": 0.600,
     "queries": {
         "q1_pricing_summary": 1.912,
@@ -228,6 +306,8 @@ ANCHOR = {
 #: generation; not the default.
 ANCHOR_2026_08_15 = {
     "canary_sec": 0.409,
+    # the r12-generation quiet band (seven-run span) this host recorded
+    "cpu_band": [0.39, 0.47],
     # quiet-host reference re-recorded in round 11 under the fixed
     # raw-byte-read protocol (bench.py module doc): min of two
     # back-to-back sf0.1 runs, 0.530/0.527 (CPU canaries 0.425/0.408).
@@ -303,7 +383,8 @@ def adjudicate(run: dict, anchor: dict) -> dict:
     rc = run.get("canary_sec")
     ac = anchor.get("canary_sec")  # pre-r9 records carry no canary
     scale = (ac / rc) if (rc and ac) else 1.0
-    cpu_status = classify_cpu_canary(rc)
+    cpu_band = anchor.get("cpu_band", [CPU_BAND_LO, CPU_BAND_HI])
+    cpu_status = classify_cpu_canary(rc, cpu_band[0], cpu_band[1])
     run_passes = run.get("passes") or {}  # r14+ records: raw min-of-2
     rows = {}
     ratios = []
@@ -349,7 +430,7 @@ def adjudicate(run: dict, anchor: dict) -> dict:
         "canary_scale": round(scale, 4),
         "canary_applied": bool(rc and ac),
         "cpu_canary_status": cpu_status,
-        "cpu_canary_band": [CPU_BAND_LO, CPU_BAND_HI],
+        "cpu_canary_band": cpu_band,
         "median_norm_ratio": round(statistics.median(ratios), 3)
         if ratios
         else None,
