@@ -178,9 +178,11 @@ def idle_session_summaries(
         closed_ns: list[int] = []
         ts_us: list[int] = []
         for pdf in pdfs:
-            ts_us.extend(
-                int(v) // 1000 for v in pdf["ts"].astype("int64").tolist()
-            )
+            # pin the unit before the integer view: Arrow can hand the
+            # batch datetime64 in ns today and us under other configs,
+            # and a silent unit change would rescale every gap
+            vals = pdf["ts"].values.astype("datetime64[ns]").astype("int64")
+            ts_us.extend(int(v) // 1000 for v in vals.tolist())
         ts_us.sort()
         for t in ts_us:
             if n > 0 and t - last_us > gap_us:
