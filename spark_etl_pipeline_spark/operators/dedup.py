@@ -479,12 +479,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEV_THRESHOLD = 40  # max edit distance for a fuzzy-dup pair
-#: Documents longer than this are EXEMPT from edit-distance comparison.
-#: Exact Levenshtein is O(len²) per pair — ~10¹² cells for one
-#: megabyte-scale document pair, intractable in ANY engine — so a
-#: length cap is part of the operator's contract (the standard
-#: production-dedup design), mirrored exactly in the oracle. The cap
-#: never binds on the reference corpus (max document 553 chars).
+#: Documents longer than this (in UTF-8 BYTES) are EXEMPT from
+#: edit-distance comparison. Exact Levenshtein is O(len²) per pair —
+#: ~10¹² cells for one megabyte-scale document pair, intractable in
+#: ANY engine — so a length cap is part of the operator's contract
+#: (the standard production-dedup design), mirrored exactly in the
+#: oracle. The cap never binds on the reference corpus (max document
+#: 553 chars).
+#:
+#: The distance itself is BYTE-level over UTF-8 (r14): Spark's
+#: ``levenshtein`` counts CODEPOINTS while DuckDB's counts BYTES
+#: (measured: 'é' vs 'e' is 1 Spark-side, 2 DuckDB-side) — a seed-202
+#: fuzz corpus caught the oracle diverging on a near-dup pair
+#: containing 'été'. Byte-level is the metric most large-scale dedup
+#: implementations use (C/Rust edit distance over raw UTF-8), it is
+#: the only metric BOTH engines can compute natively, and Spark
+#: reaches it exactly by reinterpreting the UTF-8 bytes as latin1
+#: (``decode(encode(text,'utf-8'),'ISO-8859-1')`` — one char per
+#: byte, verified byte-exact against DuckDB on 2-, 3-, and 4-byte
+#: codepoints incl. ZWJ emoji). On pure-ASCII text the two metrics
+#: coincide, so the driver corpus is bitwise unaffected.
 LEV_MAX_LEN = 10_000
 
 
@@ -507,9 +521,12 @@ LEV_MAX_LEN = 10_000
         -- the exact O(len²) hang the Spark side avoids with its
         -- expression-level when() guard. CASE short-circuits
         -- deterministically in both engines.
+        -- strlen/levenshtein are BYTE-level in DuckDB — the r14
+        -- operator contract (LEV_MAX_LEN comment); the Spark side
+        -- reaches the same metric via the latin1 reinterpretation
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CASE WHEN len(a.text) <= {LEV_MAX_LEN}
-                     AND len(b.text) <= {LEV_MAX_LEN}
+               CASE WHEN strlen(a.text) <= {LEV_MAX_LEN}
+                     AND strlen(b.text) <= {LEV_MAX_LEN}
                     THEN levenshtein(a.text, b.text) END AS edit_dist
         FROM keyed a
         JOIN keyed b ON a.block = b.block AND a.doc_id < b.doc_id
@@ -560,10 +577,17 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.when(
-                (F.length("a.text") <= LEV_MAX_LEN)
-                & (F.length("b.text") <= LEV_MAX_LEN),
+                (F.octet_length("a.text") <= LEV_MAX_LEN)
+                & (F.octet_length("b.text") <= LEV_MAX_LEN),
                 F.levenshtein(
-                    F.col("a.text"), F.col("b.text"), LEV_THRESHOLD
+                    # latin1 reinterpretation of the UTF-8 bytes: one
+                    # char per byte, so Spark's codepoint levenshtein
+                    # computes the BYTE-level distance — the operator's
+                    # r14 contract and the only metric DuckDB can
+                    # mirror natively (see LEV_MAX_LEN comment)
+                    F.expr("decode(encode(a.text, 'utf-8'), 'ISO-8859-1')"),
+                    F.expr("decode(encode(b.text, 'utf-8'), 'ISO-8859-1')"),
+                    LEV_THRESHOLD,
                 ),
             )
             .otherwise(F.lit(-1))

@@ -59,7 +59,12 @@ def _doc(doc_id, text):
 
 
 def _lev(a: str, b: str) -> int:
-    """Plain DP edit distance (the reference; no banding, no blocks)."""
+    """Plain DP edit distance over UTF-8 BYTES (the reference; no
+    banding, no blocks). Byte-level is the operator's r14 contract —
+    DuckDB's levenshtein counts bytes where Spark's counts codepoints,
+    and the engine adopts the byte metric via latin1 reinterpretation
+    (operators/dedup.py LEV_MAX_LEN comment)."""
+    a, b = a.encode("utf-8"), b.encode("utf-8")
     if len(a) < len(b):
         a, b = b, a
     prev = list(range(len(b) + 1))
@@ -103,6 +108,13 @@ def fuzzy_docs(spark, tmp_path_factory):
                     text = text[:pos] + rng.choice("qxv") + text[pos + 1 :]
             rows.append(_doc(doc_id, text))
             doc_id += 1
+    # non-ASCII near-dup pair in one block: 'é' is 1 codepoint but
+    # 2 UTF-8 bytes, so the byte-contract distance differs from the
+    # codepoint one — the seed-202 fuzz finding this fixture pins
+    rows.append(_doc(doc_id, "unicode block prefix the caf\u00e9 term"))
+    doc_id += 1
+    rows.append(_doc(doc_id, "unicode block prefix the cafe term"))
+    doc_id += 1
     # over-cap doc sharing block "family 0 prefix": the cap contract
     # says it never enters a comparison, though its block collides
     rows.append(_doc(doc_id, "family 0 prefix " + "x" * (LEV_MAX_LEN + 50)))
@@ -136,8 +148,11 @@ def test_fuzzy_levenshtein_matches_python_blocked_dp(spark, fuzzy_docs):
                 a, b = (ida, ta), (idb, tb)
                 if a[0] > b[0]:
                     a, b = b, a
-                if len(a[1]) > LEV_MAX_LEN or len(b[1]) > LEV_MAX_LEN:
-                    continue  # the cap contract
+                if (
+                    len(a[1].encode("utf-8")) > LEV_MAX_LEN
+                    or len(b[1].encode("utf-8")) > LEV_MAX_LEN
+                ):
+                    continue  # the cap contract (BYTE length, r14)
                 d = _lev(a[1], b[1])
                 if d <= LEV_THRESHOLD:
                     expected[(a[0], b[0])] = d

@@ -55,6 +55,20 @@ leading EMPTY token in BOTH tokenizers, so only the genuinely-empty
 single-empty-token split may be dropped — make_text now pads a few
 docs with leading/trailing non-space whitespace to hold the premise.
 
+r14 widened the VARCHAR arm's pad class to [\x00-\x20\x7f] — the
+EXACT set Spark's cast strips (exhaustive codepoint probe; ADVICE
+r13) — with a regexp-strip before DuckDB's narrower TRY_CAST, and the
+corpus now plants control-char-padded payloads (every hazard class at
+least once per staging).
+
+Seed 202 (r14, full-registry refresh sweep) found the metric-mismatch
+class: DuckDB's levenshtein counts UTF-8 BYTES where Spark's counts
+codepoints, so a near-dup pair containing 'été' scored 7 oracle-side
+vs 6 engine-side. dedup_fuzzy_levenshtein's contract is now BYTE-level
+edit distance (the standard large-scale metric), computed Spark-side
+via latin1 reinterpretation of the UTF-8 bytes — exact in both
+engines on any corpus.
+
 This module pins the staged premises (the edges are actually present)
 and the post-fix agreement on the seed-1, seed-2, seed-7, and
 props-edge corpora.
@@ -396,3 +410,32 @@ def test_empty_document_chunk_semantics(spark, random_dir):
     assert (one.groupby("doc_id").size() == 1).all() and (
         one.n_tokens == 1
     ).all(), "JVM chunker keeps split('')'s one-empty-token chunk"
+
+
+def test_premise_duckdb_levenshtein_counts_bytes_spark_codepoints(spark):
+    """The cross-engine fact behind dedup_fuzzy_levenshtein's BYTE-level
+    contract (seed-202 fuzz finding, r14): DuckDB's levenshtein counts
+    UTF-8 BYTES while Spark's counts codepoints, so there is no exact
+    SQL twin for codepoint distances on non-ASCII text. The operator
+    adopts the byte metric — Spark computes it exactly by
+    reinterpreting the UTF-8 bytes as latin1 (one char per byte). If
+    either engine changes semantics, this pin names the contract to
+    revisit."""
+    con = duckdb.connect()
+    duck = {
+        s: con.execute("SELECT levenshtein(?, ?)", [s, t]).fetchone()[0]
+        for s, t in [("é", "e"), ("漢", ""), ("👩‍💻", "")]
+    }
+    con.close()
+    assert duck == {"é": 2, "漢": 3, "👩‍💻": 11}  # 2/3/(4+3+4)-byte forms
+    rows = spark.sql(
+        "SELECT levenshtein('é','e') AS cp,"
+        " levenshtein(decode(encode('é','utf-8'),'ISO-8859-1'),"
+        "             decode(encode('e','utf-8'),'ISO-8859-1')) AS by_e,"
+        " levenshtein(decode(encode('漢','utf-8'),'ISO-8859-1'), '') AS by_h,"
+        " levenshtein(decode(encode('👩\\u200d💻','utf-8'),'ISO-8859-1'), '')"
+        "   AS by_z"
+    ).collect()[0]
+    assert rows.cp == 1  # Spark native: codepoints
+    # latin1 reinterpretation: byte-exact against the DuckDB readings
+    assert (rows.by_e, rows.by_h, rows.by_z) == (2, 3, 11)

@@ -190,6 +190,14 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=33)
     p.add_argument("--workdir", default="/tmp/spark_graft_kill_resume")
     p.add_argument("--src", default="/root/testdata/sf0.001")
+    p.add_argument(
+        "--provider",
+        choices=["hdfs", "rocksdb"],
+        default="hdfs",
+        help="state store provider for every query in the sweep — "
+        "rocksdb crosses this protocol with the store a production "
+        "deployment runs (tests/test_rocksdb_state.py rationale)",
+    )
     a = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -212,6 +220,12 @@ def main(argv=None) -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
+    if a.provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     staged = stage_batches(spark, corpus, a.workdir)
     # batch twin of the staged stream, INCLUDING the stream's ingest
     # guard (pre-epoch / future timestamps never reach a watermark, so
