@@ -99,7 +99,7 @@ _H_DUCK = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
 #: Shared oracle CTEs: tokenized docs -> distinct shingles -> hashes.
 _DUCK_SHINGLES = f"""
     toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
         FROM documents
     ),
     sh AS (
@@ -388,7 +388,7 @@ _FP_EXPR = " + ".join(
     "dedup_simhash",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS x
+        SELECT doc_id, unnest(string_split_regex(trim(text), '[\\s\\x0b]+')) AS x
         FROM documents
     ),
     hashed AS (SELECT doc_id, {_TH_DUCK} AS h FROM toks),
@@ -506,7 +506,7 @@ LEV_MAX_LEN = 10_000
     "dedup_fuzzy_levenshtein",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, text, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
         FROM documents
     ),
     keyed AS (
@@ -605,7 +605,7 @@ _SIMHASH_BYTES = 4  # band the 32-bit fingerprint into 4 bytes
     "dedup_simhash_pairs",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS x
+        SELECT doc_id, unnest(string_split_regex(trim(text), '[\\s\\x0b]+')) AS x
         FROM documents
     ),
     hashed AS (SELECT doc_id, {_TH_DUCK} AS h FROM toks),
@@ -1424,14 +1424,14 @@ def _planted_corpus(docs: DataFrame) -> DataFrame:
         UNION ALL
         SELECT {PLANTED_DOC_ID} AS doc_id,
                (SELECT text FROM base
-                WHERE len(string_split_regex(trim(text), '\\s+')) >= {SHINGLE_N}
+                WHERE len(string_split_regex(trim(text), '[\\s\\x0b]+')) >= {SHINGLE_N}
                 ORDER BY n_chars, doc_id LIMIT 1)
                || ' ' ||
                (SELECT text FROM base
                 ORDER BY n_chars DESC, doc_id DESC LIMIT 1) AS text
     ),
     toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM docs2
+        SELECT doc_id, string_split_regex(trim(text), '[\\s\\x0b]+') AS t FROM docs2
     ),
     sh AS (SELECT doc_id, unnest({_SH_DUCK}) AS s FROM toks),
     hashed AS (SELECT DISTINCT doc_id, {_H_DUCK} AS h FROM sh),
@@ -1564,7 +1564,7 @@ PASSAGE_TOKENS = 25
 
 _PASSAGE_ORACLE = rf"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        SELECT doc_id, string_split_regex(trim(text), '[\s\x0b]+') AS t
         FROM documents
     ),
     pidx AS (

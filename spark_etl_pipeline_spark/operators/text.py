@@ -26,21 +26,21 @@ from spark_etl_pipeline_spark.plans.registry import register, table
 
 # Tokenization shared by every operator: whitespace split of trimmed text.
 #
-# KNOWN oracle divergence class, VERTICAL TAB (ADVICE r13): the engine
-# side's Java \s ([ \t\n\x0B\f\r]) and the UDTF's Python re.ASCII \s
-# both treat \x0b as whitespace, while the oracle's DuckDB/RE2 \s
-# ([\t\n\f\r ]) does not — 'a\x0bb' is 2 tokens engine-side, 1 token
-# oracle-side. Unreachable today: no driver table, fixture, or fuzz
-# pool (tools/stage_random.py WS_PAD deliberately excludes \x0b)
-# carries a vertical tab. Closing it means widening EVERY oracle split
-# site (this constant plus the raw '\s+' sites in operators/dedup.py
-# and below) to '[\s\x0b]+' IN ONE SWEEP — a partial widening would
-# make the oracle-side tokenizers mutually inconsistent — and ledgering
-# exception-(a) leads for all ~25 consumers; deferred until a rotation
-# window can absorb that debt. A fuzzer hit on \x0b text is THIS
-# documented class, not an engine bug.
+# The oracle's split class is [\s\x0b], not bare \s (ADVICE r13,
+# closed r14 in ONE SWEEP across every oracle split site — this
+# constant plus the raw sites in operators/dedup.py and below): the
+# engine side's Java \s ([ \t\n\x0B\f\r]) and the UDTF's Python
+# re.ASCII \s both treat VERTICAL TAB as whitespace, while DuckDB's
+# RE2 \s ([\t\n\f\r ]) does not — 'a\x0bb' was 2 tokens engine-side,
+# 1 token oracle-side. A partial widening would have made the
+# oracle-side tokenizers mutually inconsistent, which is why the r13
+# round documented instead of patching just this constant. \x0b now
+# sits in the fuzz WS_PAD pool (tools/stage_random.py), so corpus
+# sweeps keep the three tokenizers pinned equal; the r15 rotation
+# ledger carries the exception-(a) leads for the consumers without an
+# r14 driver row.
 TOKENS_SPARK = r"split(trim(text), '\\s+')"
-TOKENS_DUCK = r"string_split_regex(trim(text), '\s+')"
+TOKENS_DUCK = r"string_split_regex(trim(text), '[\s\x0b]+')"
 
 #: Marker-word profiles for the stopword-vote language heuristic.
 #: (Real pipelines use char-n-gram profiles; the voting/argmax plumbing —
@@ -183,7 +183,7 @@ def _vote_expr_spark() -> Column:
     "text_lang_id",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+        SELECT doc_id, lang, string_split_regex(trim(text), '[\\s\\x0b]+') AS t
         FROM documents WHERE text IS NOT NULL
     ), hits AS (
         SELECT doc_id, lang,
@@ -297,7 +297,13 @@ def text_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: GPT-2-style pretokenizer shape, restricted to a dialect-neutral core
 #: (letter runs / digit runs / punctuation runs, each with optional
 #: leading space) so Java regex and RE2 tokenize identically.
-BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+#: DuckDB flavor of the BPE-ish pretokenizer pattern. The negated
+#: class carries an explicit \x0b because RE2's \s omits vertical tab
+#: while Java's \s (the Spark side below) includes it — without it a
+#: \x0b counts as a PUNCTUATION token oracle-side and as whitespace
+#: engine-side (caught by the r14 seed-505 sweep, the first corpus to
+#: carry \x0b after the WS_PAD widening).
+BPE_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s\x0b]+"
 
 #: U+0130 (LATIN CAPITAL LETTER I WITH DOT ABOVE, 'İ') is the one code
 #: point where the two engines' lowercasing disagrees on real corpus
@@ -331,7 +337,7 @@ BPE_EXTRACT_SPARK = (
     oracle=f"""
     SELECT doc_id,
            len(regexp_extract_all({LOWER_DUCK}, '{BPE_PATTERN}')) AS bpe_tokens,
-           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+           len(string_split_regex(trim(text), '[\\s\\x0b]+')) AS ws_tokens
     FROM documents
     """,
 )
@@ -1302,7 +1308,7 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang,
                len(regexp_extract_all({LOWER_DUCK}, '{BPE_PATTERN}'))
                    AS bpe_tokens,
-               len(string_split_regex(trim(text), '\\s+')) AS ws_tokens
+               len(string_split_regex(trim(text), '[\\s\\x0b]+')) AS ws_tokens
         FROM documents
     )
     SELECT lang,

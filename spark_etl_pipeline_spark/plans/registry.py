@@ -469,19 +469,35 @@ def load_all() -> None:
 #:   staleness order: the 40 r9-green rows + the 10 oldest r10-green
 #:   rows (``text_pii_scrub`` … ``stream_dedup_replay``). After this
 #:   window the oldest driver row in the repo becomes r10.
-#: - **r15 ledger (written at r14)**: two oracle-text changes owe
-#:   exception-(a) leads — ``rel_variant_props`` and
-#:   ``etl_events_pipeline`` (r13 rows): the integer-shaped VARCHAR
-#:   arm's pad class widened from ``[\s\x0b]`` to ``[\x00-\x20\x7f]``,
-#:   the EXACT set Spark's cast strips (exhaustive codepoint probe;
-#:   ADVICE r13 item 1), with a regexp-strip before DuckDB's narrower
-#:   TRY_CAST; control-char payloads added to the props-edge fuzz
-#:   corpus and swept green at r14. Both fit the natural r15 window
-#:   (29 r10 rows + leads ≤ 50). NOT ledgered: the ``\x0b`` tokenizer
-#:   divergence stays documentation-only (see the TOKENS_DUCK comment
-#:   in ``operators/text.py`` — closing it needs a one-sweep widening
-#:   of every oracle split site, ~25 leads, deferred until a window
-#:   can absorb that debt).
+#: - **r15/r16 ledger (written at r14)**: THREE oracle-text change
+#:   sets owe exception-(a) leads.
+#:   (1) ``rel_variant_props`` and ``etl_events_pipeline`` (r13 rows):
+#:   the integer-shaped VARCHAR arm's pad class widened from
+#:   ``[\s\x0b]`` to ``[\x00-\x20\x7f]``, the EXACT set Spark's cast
+#:   strips (exhaustive codepoint probe; ADVICE r13 item 1), with a
+#:   regexp-strip before DuckDB's narrower TRY_CAST; control-char
+#:   payloads added to the props-edge fuzz corpus and swept green.
+#:   (2) The ``\x0b`` tokenizer one-sweep widening (ADVICE r13 item
+#:   2): every oracle split site moved from ``'\s+'`` to
+#:   ``'[\s\x0b]+'`` (Java \s and Python re.ASCII \s include
+#:   vertical tab; RE2 \s does not), \x0b joined the fuzz WS_PAD
+#:   pool, and the widened registry swept 222/222 on a \x0b-bearing
+#:   corpus (REHEARSAL_r14_fuzz). 40 oracles changed; 8 sit in the
+#:   r14 window and get their driver row on the new SQL.
+#:   (3) ``dedup_fuzzy_levenshtein`` adopted the BYTE-level distance
+#:   contract (seed-202 fuzz finding) — in the r14 window, row lands
+#:   on the new contract, no debt.
+#:   Scheduling adjudication: 32 out-of-window widening leads + the 2
+#:   JSON-cast leads + the 29 r10-contract rows = 63 > 50, and the
+#:   5-round contract OUTRANKS zero-information jumps (the r13
+#:   drain-timeout precedent; every one of these changes is bitwise
+#:   unobservable on the \x0b-free driver corpus). The r15 window
+#:   therefore takes the 29 r10 rows + the 2 JSON-cast leads + the 19
+#:   STALEST widening leads; the 13 freshest widening leads (r12/r13
+#:   rows — the most recently evidenced) lead r16. Derive both with
+#:   ``python tools/plan_rotation.py --lead ...`` at each round open;
+#:   the split is mechanical: widening leads ordered
+#:   oldest-driver-row-first, first 19 → r15, rest → r16.
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last

@@ -132,15 +132,17 @@ def test_premise_contains_the_fuzzed_edges(random_duck):
     assert n_unobservable_days >= 1, (
         "seed-1 corpus lost its all-special (unobservable-cents) day"
     )
-    # tab/newline-PADDED text with real content: a space-only trim
-    # keeps the pad, so the ASCII \s+ split yields an EMPTY boundary
-    # token — both tokenizers emit it and the UDTF oracle must keep
-    # the row (ADVICE r12: the old t[1] <> '' guard dropped it)
+    # non-space-whitespace-PADDED text with real content: a space-only
+    # trim keeps the pad, so the whitespace split yields an EMPTY
+    # boundary token — both tokenizers emit it and the UDTF oracle must
+    # keep the row (ADVICE r12: the old t[1] <> '' guard dropped it).
+    # \x0b joined the WS_PAD pool in r14 with the [\s\x0b] oracle-split
+    # widening, so the premise class includes it.
     n_ws_padded = random_duck.sql(
         r"""
         SELECT count(*) FROM documents
         WHERE trim(text) <> ''
-          AND regexp_matches(trim(text), '^[\t\n\r\f]|[\t\n\r\f]$')
+          AND regexp_matches(trim(text), '^[\t\n\r\f\x0b]|[\t\n\r\f\x0b]$')
         """
     ).fetchone()[0]
     assert n_ws_padded >= 1, (

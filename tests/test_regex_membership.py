@@ -131,9 +131,18 @@ def test_pii_ip_and_num_patterns_have_no_bracket_classes():
 
 def test_bpe_pattern_class_membership():
     """BPE_PATTERN's three classes: lower, digit, and the negated
-    catch-all (everything printable except lower/digit/whitespace)."""
+    catch-all (everything printable except lower/digit/whitespace).
+
+    The negated class carries an EXPLICIT \\x0b: this is the one spot
+    where the module docstring's "ASCII class semantics are identical
+    across Python/Java/RE2" does not hold — \\s includes vertical tab
+    in Python ``re`` and Java but NOT in RE2, so DuckDB counted a
+    \\x0b as a punctuation token where Spark saw whitespace (r14
+    seed-505 fuzz finding). Python ``re`` models the JAVA side here,
+    so the explicit escape is membership-redundant under this suite's
+    engine but load-bearing for the oracle's RE2."""
     got = classes_of(BPE_PATTERN)
-    assert got == ["[a-z]", "[0-9]", "[^a-z0-9\\s]"]
+    assert got == ["[a-z]", "[0-9]", "[^a-z0-9\\s\\x0b]"]
     assert membership(got[0]) == set(string.ascii_lowercase)
     assert membership(got[1]) == set(string.digits)
     expected = (
@@ -143,6 +152,9 @@ def test_bpe_pattern_class_membership():
         - {" ", "\t", "\n", "\r"}
     )
     assert membership(got[2]) == expected
+    # the class must reject vertical tab under BOTH \s conventions:
+    # via \s in Python/Java, via the explicit \x0b in RE2
+    assert not re.compile(got[2]).fullmatch("\x0b")
 
 
 def test_no_mid_class_dash_range_in_any_pii_class():

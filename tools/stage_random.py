@@ -106,8 +106,11 @@ PROPS_EDGE = [
 #: Leading/trailing whitespace pads for document text (see make_text):
 #: tab/newline survive a space-only trim, so the downstream ASCII \s+
 #: split produces an EMPTY boundary token — a tokenizer edge the
-#: space-joined vocabulary can never reach.
-WS_PAD = ["\t", "\n", "\t\t", "\n ", " \t"]
+#: space-joined vocabulary can never reach. \x0b joined the pool in
+#: r14 when every oracle split site widened to '[\s\x0b]+' (Java \s
+#: and Python re.ASCII \s include vertical tab, RE2 \s does not —
+#: ADVICE r13); the corpus now exercises the widened class.
+WS_PAD = ["\t", "\n", "\t\t", "\n ", " \t", "\x0b", "\x0b "]
 
 
 def _rs(seed: int, salt: int) -> np.random.Generator:
