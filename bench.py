@@ -27,8 +27,10 @@ their session's canary separates host drift from code regressions with
 a measurement instead of an argument.
 
 ``sustained_canary_sec`` (round 14) is the SUSTAINED-THROUGHPUT
-complement: the same xxhash64 fold at 8× the rows (~10–12 s of
-all-core work), min-of-2. The r13 host generation runs the headline
+complement: the same xxhash64 fold at 32× the rows (64B vs the 2B-row
+sprint — ~8–9 s of all-core work on the quiet r13-generation host;
+the sprint's real quiet cost is ~0.4 s, so 8× would read only ~2.3 s),
+min-of-2. The r13 host generation runs the headline
 set ~1.35× the previous generation at EQUAL sprint canary — a
 sustained regime (thermal/steal/turbo-budget) the 1.5 s burst reading
 cannot see. Sprint-flat but sustained-high explains a uniformly slow

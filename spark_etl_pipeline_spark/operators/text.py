@@ -1270,10 +1270,13 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             # spaces...) while the oracle's RE2 \s and the JVM twin's
             # Java \s are ASCII-only — the round-8 unicode sweep caught
             # this Python-side split diverging on NEL/NBSP text. The
-            # residual \x0b asymmetry (in Python/Java \s, not RE2 \s)
-            # is the documented divergence class next to TOKENS_DUCK
-            # (ADVICE r13; unreachable by every corpus). strip matches
-            # the oracle's trim() (spaces only) for the same reason.
+            # \x0b asymmetry (in Python/Java \s, not RE2 \s) WAS the
+            # last residual class here; the r14 one-sweep widening
+            # closed it (TOKENS_DUCK and every oracle split site now
+            # use [\s\x0b]+, and \x0b joined the fuzz WS_PAD pool), so
+            # re.ASCII \s and the widened oracle class now agree
+            # codepoint-for-codepoint. strip matches the oracle's
+            # trim() (spaces only) for the same reason.
             toks = (text or "").strip(" ")
             if not toks:
                 return

@@ -498,6 +498,25 @@ def load_all() -> None:
 #:   ``python tools/plan_rotation.py --lead ...`` at each round open;
 #:   the split is mechanical: widening leads ordered
 #:   oldest-driver-row-first, first 19 → r15, rest → r16.
+#: - **r15 (this window, _EMIT_FIRST)**: driven exactly per the ledger
+#:   above. Leads (21): ``rel_variant_props`` + ``etl_events_pipeline``
+#:   (JSON-cast pad class ``[\x00-\x20\x7f]``) and the 19 stalest
+#:   \x0b-widening leads — mechanically, ALL 5 r10-row and ALL 14
+#:   r11-row widened oracles (the widened set splits 5/14/4/9 by
+#:   driver round, so "first 19 oldest-first" lands on a clean round
+#:   boundary and needs no tiebreak). Staleness fill: the remaining 24
+#:   r10 rows + the 5 oldest r11 rows. Derivation command pinned in
+#:   ``tests/test_registry_contract.py`` (r15 window test). After this
+#:   window the oldest driver row becomes r11.
+#: - **r16 ledger (written at r14, intact)**: the 13 freshest
+#:   \x0b-widening leads — the 4 r12-row oracles
+#:   (``dedup_cluster_sizes``, ``docs_bm25_topk``,
+#:   ``docs_dedup_passages``, ``docs_source_divergence``) and the 9
+#:   r13-row oracles (``dedup_components``, ``dedup_fuzzy_levenshtein``,
+#:   ``dedup_simhash``, ``dedup_simhash_pairs``, ``text_chunking``,
+#:   ``text_chunks_udtf``, ``text_decontaminate``, ``text_lang_id``,
+#:   ``text_quality_score``) — lead the r16 window; no other
+#:   exception-(a) debt is outstanding as of the r15 edit.
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
@@ -506,71 +525,39 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r14 window: the pure ``python tools/plan_rotation.py``
-    # staleness order — the ledger is EMPTY (the r13 window's 28
-    # exception-(a) leads consumed every refactor debt, and the r13
-    # diff touched no builder after its driver row), so no jumps:
-    # the 40 r9-green rows + the 10 oldest r10-green rows. After
-    # this window the oldest driver row in the repo becomes r10. ---
-    "text_repetition_score",  # r9
-    "events_zscore",  # r9
-    "text_stratified_sample",  # r9
-    "docs_mixture_sample",  # r9
-    "docs_pack_sequences_sharded",  # r9
-    "rel_filter_isin",  # r9
-    "rel_filter_nested_struct",  # r9
-    "rel_filter_null",  # r9
-    "rel_project_ops",  # r9
-    "rel_rename_upper",  # r9
-    "rel_join_inner_2key",  # r9
-    "rel_join_left",  # r9
-    "rel_join_semi",  # r9
-    "rel_join_anti",  # r9
-    "rel_join_full",  # r9
-    "rel_join_cross",  # r9
-    "rel_union_dedup",  # r9
-    "rel_dedup_keyed",  # r9
-    "rel_rollup",  # r9
-    "rel_cube",  # r9
-    "rel_pivot",  # r9
-    "rel_sort_limit",  # r9
-    "rel_asof_join",  # r9
-    "dedup_ngram_jaccard",  # r9
-    "docs_dedup_incremental",  # r9
-    "docs_dedup_corpus",  # r9
-    "rel_range_join",  # r9
-    "rel_percentiles",  # r9
-    "q13_customer_distribution",  # r9
-    "rel_window_analytics",  # r9
-    "q19_disjunctive_filter",  # r9
-    "rel_set_ops",  # r9
-    "profile_orders",  # r9
-    "text_rare_bigram_ratio",  # r9
-    "dedup_containment",  # r9
-    "docs_curation_pipeline",  # r9
-    "rel_unpivot",  # r9
-    "rel_higher_order_funcs",  # r9
-    "rel_scd2_history",  # r9
-    "events_funnel",  # r9
-    "text_pii_scrub",  # r10
-    "events_cohort_retention",  # r10
-    "q4_order_priority",  # r10
-    "q7_nation_volume",  # r10
-    "q8_market_share",  # r10
-    "q10_returned_items",  # r10
-    "q15_top_supplier",  # r10
-    "q17_small_quantity",  # r10
-    "q22_dormant_customers",  # r10
-    "stream_dedup_replay",  # r10
-)
-
-_EMIT_LAST = (
-    # --- everything not in the r14 window, strictly
-    # oldest-driver-row-first (registration order as the tiebreak):
-    # the r10 remainder, then the r11/r12/r13 windows; the r13
-    # window (freshest rows in the repo) sits at the very end. ---
-    "text_repetition_filter",  # r10
+    # --- r15 window: ``python tools/plan_rotation.py --lead ...`` with
+    # the 21 exception-(a) leads from the r15/r16 ledger above — the 2
+    # JSON-cast pad-class leads (``rel_variant_props``,
+    # ``etl_events_pipeline``) plus the 19 STALEST \x0b-widening leads
+    # (all 5 r10-row + all 14 r11-row widened oracles; the arithmetic
+    # is exact: the widened set splits 5/14/4/9 across r10/r11/r12/r13
+    # rows, so 'first 19 oldest-first' == the full r10+r11 cohorts and
+    # no within-round tiebreak is needed). The staleness fill then
+    # takes the remaining 24 r10-green rows and the 5 oldest r11-green
+    # rows. After this window the oldest driver row becomes r11 and
+    # the r16 ledger (13 freshest widening leads, r12/r13 rows) is the
+    # only outstanding debt. ---
+    "rel_variant_props",  # r13
+    "etl_events_pipeline",  # r13
     "dedup_components_star",  # r10
+    "docs_split_leakage_safe",  # r10
+    "docs_tfidf_topk",  # r10
+    "text_pmi_bigrams",  # r10
+    "text_repetition_filter",  # r10
+    "dedup_containment_onesided",  # r11
+    "dedup_minhash_calibration",  # r11
+    "dedup_minhash_lsh",  # r11
+    "dedup_threshold_sweep",  # r11
+    "docs_dedup_store",  # r11
+    "docs_length_histogram",  # r11
+    "docs_novelty_curve",  # r11
+    "docs_pack_sequences",  # r11
+    "docs_shingle_profile",  # r11
+    "text_bpe_token_count",  # r11
+    "text_fingerprint",  # r11
+    "text_token_stats",  # r11
+    "text_tokenizer_fertility",  # r11
+    "text_vocab_topk",  # r11
     "events_skew_salted_agg",  # r10
     "events_skew_salted_join",  # r10
     "rel_partition_prune",  # r10
@@ -582,8 +569,6 @@ _EMIT_LAST = (
     "events_gap_fill",  # r10
     "events_sessionize",  # r10
     "events_period_over_period",  # r10
-    "text_pmi_bigrams",  # r10
-    "docs_tfidf_topk",  # r10
     "events_value_deciles",  # r10
     "events_heavy_hitters",  # r10
     "rel_window_range_time",  # r10
@@ -591,7 +576,6 @@ _EMIT_LAST = (
     "events_feature_assembly",  # r10
     "mm_audio_window",  # r10
     "text_normalize",  # r10
-    "docs_split_leakage_safe",  # r10
     "docs_shard_shuffle",  # r10
     "docs_token_budget_select",  # r10
     "q2_min_cost_supplier",  # r10
@@ -600,110 +584,98 @@ _EMIT_LAST = (
     "q16_parts_suppliers",  # r10
     "q20_potential_promotion",  # r11
     "q21_waiting_supplier",  # r11
-    "docs_dedup_store",  # r11
-    "dedup_containment_onesided",  # r11
-    "dedup_minhash_lsh",  # r11
-    "docs_length_histogram",  # r11
-    "docs_pack_sequences",  # r11
     "events_rolling_features",  # r11
     "events_user_sequences",  # r11
     "events_weighted_sample",  # r11
+)
+
+_EMIT_LAST = (
+    # --- everything not in the r15 window, strictly
+    # oldest-driver-row-first (registration order as the tiebreak):
+    # the r11 remainder (26 rows), then the r12/r13/r14 windows; the
+    # r14 window (freshest rows in the repo) sits at the very end. ---
+    "mm_frame_dedup",  # r11
+    "sim_embedding_drift",  # r11
+    "text_lang_stats_pandas",  # r11
+    "text_lang_id_ngram",  # r11
+    "events_interarrival",  # r11
+    "events_burst_users",  # r11
+    "events_lateness_audit",  # r11
+    "events_holt_forecast",  # r11
+    "events_holt_backtest",  # r11
+    "events_markov_stationary",  # r11
+    "events_segment_bitmask",  # r11
+    "events_survival_curve",  # r11
+    "events_activity_streaks",  # r11
+    "events_user_diversity",  # r11
+    "events_new_vs_returning",  # r11
+    "events_conversion_lag",  # r11
+    "text_train_test_split",  # r11
     "q12_priority_lines",  # r11
     "q14_promo_revenue",  # r11
     "q18_large_orders",  # r11
-    "text_bpe_token_count",  # r11
-    "text_fingerprint",  # r11
-    "text_lang_id_ngram",  # r11
-    "text_lang_stats_pandas",  # r11
-    "text_token_stats",  # r11
-    "text_train_test_split",  # r11
-    "text_vocab_topk",  # r11
-    "text_tokenizer_fertility",  # r11
-    "rel_snapshot_reconcile",  # r11
-    "events_conversion_lag",  # r11
-    "events_new_vs_returning",  # r11
-    "dedup_threshold_sweep",  # r11
-    "events_activity_streaks",  # r11
-    "events_user_diversity",  # r11
-    "rel_budget_allocation",  # r11
-    "docs_novelty_curve",  # r11
-    "sim_embedding_drift",  # r11
-    "events_segment_bitmask",  # r11
-    "events_survival_curve",  # r11
-    "events_markov_stationary",  # r11
-    "src_orc_roundtrip",  # r11
-    "events_holt_backtest",  # r11
-    "rel_benford_deviation",  # r11
-    "dedup_minhash_calibration",  # r11
-    "events_holt_forecast",  # r11
-    "events_burst_users",  # r11
-    "events_lateness_audit",  # r11
-    "mm_frame_dedup",  # r11
-    "docs_shingle_profile",  # r11
-    "events_interarrival",  # r11
-    "rel_order_backlog",  # r11
     "rel_ship_lag",  # r11
-    "rel_recursive_month_spine",  # r12
-    "events_gap_fill_lerp",  # r12
-    "rel_supplier_hhi",  # r12
-    "events_cusum_drift",  # r12
-    "events_ewma",  # r12
-    "events_rolling_median",  # r12
-    "mm_payload_impurity",  # r12
-    "events_active_users",  # r12
-    "rel_like_filter",  # r12
-    "rel_lateral_topn",  # r12
-    "stream_pysource_drain",  # r12
-    "src_python_datasource",  # r12
-    "events_mad_outliers",  # r12
-    "docs_source_divergence",  # r12
-    "graph_reachability",  # r12
-    "docs_bm25_topk",  # r12
-    "events_chi2_independence",  # r12
-    "events_delete_propagation",  # r12
-    "graph_triangles",  # r12
+    "rel_order_backlog",  # r11
+    "rel_benford_deviation",  # r11
+    "rel_budget_allocation",  # r11
+    "rel_snapshot_reconcile",  # r11
+    "src_orc_roundtrip",  # r11
+    "dedup_cluster_sizes",  # r12
     "docs_dedup_passages",  # r12
+    "graph_pagerank_suppliers",  # r12
+    "graph_triangles",  # r12
+    "graph_clustering_coeff",  # r12
+    "graph_kcore",  # r12
+    "graph_reachability",  # r12
+    "mm_phash_buckets",  # r12
+    "mm_payload_impurity",  # r12
     "dq_audit",  # r12
-    "stream_join_drain",  # r12
+    "events_chi2_independence",  # r12
+    "sim_ivf_quantized_rerank",  # r12
+    "sim_embedding_clusters",  # r12
+    "docs_bm25_topk",  # r12
+    "docs_source_divergence",  # r12
+    "events_gap_fill_lerp",  # r12
+    "events_incremental_rollup",  # r12
+    "events_autocorr",  # r12
+    "events_anomaly_rolling",  # r12
     "events_attribution",  # r12
     "events_transition_matrix",  # r12
-    "events_value_winsorized",  # r12
-    "stream_enrich_drain",  # r12
-    "sim_ivf_quantized_rerank",  # r12
-    "graph_clustering_coeff",  # r12
-    "rel_basket_rules",  # r12
-    "stream_upsert_drain",  # r12
-    "graph_kcore",  # r12
-    "mm_phash_buckets",  # r12
     "events_top_paths",  # r12
     "events_seasonality",  # r12
-    "rel_pareto_customers",  # r12
-    "docs_cap_per_source",  # r12
     "events_cumulative_reach",  # r12
-    "rel_gini_revenue",  # r12
-    "sim_embedding_clusters",  # r12
     "events_audience_overlap",  # r12
-    "events_incremental_rollup",  # r12
-    "dedup_cluster_sizes",  # r12
-    "events_autocorr",  # r12
-    "stream_dedup_drain",  # r12
-    "graph_pagerank_suppliers",  # r12
-    "events_anomaly_rolling",  # r12
-    "rel_asof_nearest",  # r12
+    "events_mad_outliers",  # r12
+    "events_active_users",  # r12
+    "events_rolling_median",  # r12
+    "events_cusum_drift",  # r12
+    "events_ewma",  # r12
     "events_funnel_windowed",  # r12
-    "rel_sql_exists",  # r13
-    "rel_sql_scalar_subquery",  # r13
-    "rel_sql_not_in",  # r13
-    "rel_grouping_sets",  # r13
-    "stream_tumbling_drain",  # r13
-    "stream_sliding_drain",  # r13
-    "stream_session_drain",  # r13
-    "stream_rollup_drain",  # r13
-    "stream_profiles_drain",  # r13
-    "rel_variant_props",  # r13
-    "text_chunks_udtf",  # r13
+    "events_value_winsorized",  # r12
+    "docs_cap_per_source",  # r12
+    "events_delete_propagation",  # r12
+    "rel_asof_nearest",  # r12
+    "rel_basket_rules",  # r12
+    "rel_pareto_customers",  # r12
+    "rel_gini_revenue",  # r12
+    "rel_recursive_month_spine",  # r12
+    "rel_lateral_topn",  # r12
+    "rel_like_filter",  # r12
+    "rel_supplier_hhi",  # r12
+    "src_python_datasource",  # r12
+    "stream_pysource_drain",  # r12
+    "stream_upsert_drain",  # r12
+    "stream_dedup_drain",  # r12
+    "stream_join_drain",  # r12
+    "stream_enrich_drain",  # r12
+    "dedup_exact",  # r13
+    "dedup_simhash",  # r13
+    "dedup_fuzzy_levenshtein",  # r13
+    "dedup_simhash_pairs",  # r13
+    "dedup_components",  # r13
+    "mm_decode_features",  # r13
+    "mm_frame_sample",  # r13
     "mm_resize",  # r13
-    "events_theilsen_trend",  # r13
     "sim_topk_cosine",  # r13
     "sim_ann_hyperplane",  # r13
     "sim_ivf_search",  # r13
@@ -717,11 +689,13 @@ _EMIT_LAST = (
     "sim_ivf_kmeans",  # r13
     "sim_threshold_profile",  # r13
     "docs_dedup_semantic",  # r13
-    "etl_json_struct",  # r13
-    "etl_events_pipeline",  # r13
-    "rel_rfm_segmentation",  # r13
-    "rel_calendar_spine",  # r13
+    "text_quality_score",  # r13
     "text_lang_id",  # r13
+    "text_chunking",  # r13
+    "text_chunks_udtf",  # r13
+    "events_theilsen_trend",  # r13
+    "text_decontaminate",  # r13
+    "etl_upsert_merge",  # r13
     "q1_pricing_summary",  # r13
     "q6_forecast_revenue",  # r13
     "q3_top_orders",  # r13
@@ -730,17 +704,68 @@ _EMIT_LAST = (
     "rel_window_rank",  # r13
     "rel_window_running",  # r13
     "rel_window_frame",  # r13
-    "dedup_exact",  # r13
-    "dedup_simhash_pairs",  # r13
-    "dedup_simhash",  # r13
-    "dedup_fuzzy_levenshtein",  # r13
-    "dedup_components",  # r13
-    "mm_frame_sample",  # r13
-    "mm_decode_features",  # r13
-    "text_quality_score",  # r13
-    "text_chunking",  # r13
-    "etl_upsert_merge",  # r13
-    "text_decontaminate",  # r13
+    "rel_sql_exists",  # r13
+    "rel_sql_scalar_subquery",  # r13
+    "rel_sql_not_in",  # r13
+    "etl_json_struct",  # r13
+    "rel_grouping_sets",  # r13
+    "rel_rfm_segmentation",  # r13
+    "rel_calendar_spine",  # r13
+    "stream_tumbling_drain",  # r13
+    "stream_profiles_drain",  # r13
+    "stream_rollup_drain",  # r13
+    "stream_sliding_drain",  # r13
+    "stream_session_drain",  # r13
+    "dedup_ngram_jaccard",  # r14
+    "docs_dedup_corpus",  # r14
+    "docs_dedup_incremental",  # r14
+    "dedup_containment",  # r14
+    "profile_orders",  # r14
+    "text_rare_bigram_ratio",  # r14
+    "text_repetition_score",  # r14
+    "text_pii_scrub",  # r14
+    "docs_pack_sequences_sharded",  # r14
+    "text_stratified_sample",  # r14
+    "events_zscore",  # r14
+    "docs_mixture_sample",  # r14
+    "events_funnel",  # r14
+    "events_cohort_retention",  # r14
+    "docs_curation_pipeline",  # r14
+    "rel_filter_isin",  # r14
+    "rel_filter_nested_struct",  # r14
+    "rel_filter_null",  # r14
+    "rel_project_ops",  # r14
+    "rel_rename_upper",  # r14
+    "rel_join_inner_2key",  # r14
+    "rel_join_left",  # r14
+    "rel_join_semi",  # r14
+    "rel_join_anti",  # r14
+    "rel_join_full",  # r14
+    "rel_join_cross",  # r14
+    "rel_union_dedup",  # r14
+    "rel_dedup_keyed",  # r14
+    "rel_rollup",  # r14
+    "rel_cube",  # r14
+    "rel_pivot",  # r14
+    "rel_sort_limit",  # r14
+    "rel_range_join",  # r14
+    "rel_asof_join",  # r14
+    "rel_percentiles",  # r14
+    "q13_customer_distribution",  # r14
+    "rel_window_analytics",  # r14
+    "q19_disjunctive_filter",  # r14
+    "rel_set_ops",  # r14
+    "q4_order_priority",  # r14
+    "q7_nation_volume",  # r14
+    "q8_market_share",  # r14
+    "q10_returned_items",  # r14
+    "q15_top_supplier",  # r14
+    "q17_small_quantity",  # r14
+    "q22_dormant_customers",  # r14
+    "rel_scd2_history",  # r14
+    "rel_unpivot",  # r14
+    "rel_higher_order_funcs",  # r14
+    "stream_dedup_replay",  # r14
 )
 
 

@@ -341,6 +341,23 @@ def test_premise_duckdb_coerces_what_spark_rejects(spark):
     assert got == {"3.5": None, "1e3": None, " 12 ": 12, "12\n": 12}
 
 
+def test_props_edge_every_hazard_payload_lands(props_duck):
+    """Structural (not probabilistic) placement guarantee (ADVICE r14):
+    stage_random force-places any Bernoulli shortfall, so EVERY
+    PROPS_EDGE payload — not just the spot-checked classes above —
+    appears at least once in an edge corpus of any size. A silently
+    dropped tail payload would turn a hazard class the fuzz sweep
+    claims to exercise into dead weight."""
+    from tools.stage_random import PROPS_EDGE
+
+    present = {
+        r[0]
+        for r in props_duck.sql("SELECT DISTINCT props FROM events").fetchall()
+    }
+    missing = [p for p in PROPS_EDGE if p not in present]
+    assert not missing, f"hazard payloads absent from edge corpus: {missing}"
+
+
 def test_premise_spark_cast_strip_class_is_exactly_00_20_7f(spark):
     """The cross-engine fact behind the [\\x00-\\x20\\x7f] pad class in
     the JSON-cast oracles (ADVICE r13, closed r14): Spark's try_cast

@@ -196,3 +196,71 @@ def test_json_string_cast_oracles_carry_integer_shape_guard():
         if s.oracle and "json_extract_string" in s.oracle and "'VARCHAR'" in s.oracle
     ]
     assert {"rel_variant_props", "etl_events_pipeline"} <= set(guarded)
+
+
+def test_r15_window_discharges_the_written_ledger():
+    """The r15 rotation window (VERDICT r14 task 1) is pinned here so a
+    hand-edit can't drift from the mechanical derivation: the 21
+    exception-(a) leads from the r15/r16 ledger lead the window in
+    order, every \\x0b-widened oracle whose latest driver row is r10 or
+    r11 is IN the window (that's the "19 stalest" — the widened set
+    splits 5/14/4/9 across r10/r11/r12/r13 rows), the 13 freshest
+    widening leads are NOT (they lead r16), and the full 5-round
+    staleness contract holds: no query's latest driver row may be
+    older than 5 rounds behind once this window lands (oldest row
+    becomes r11 at r15+1 vs the contract floor of r16-5=r11)."""
+    import glob
+    import json
+    import re
+
+    latest = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for q, res in json.load(open(f)).items():
+            if isinstance(res, dict) and res.get("rows_match"):
+                latest[q] = rnd
+    if max(latest.values(), default=0) != 14:
+        return  # window already consumed by a later driver round
+
+    window = list(registry._EMIT_FIRST)
+    leads = [
+        "rel_variant_props",
+        "etl_events_pipeline",
+        # 19 stalest \x0b-widening leads: all r10-row + all r11-row
+        # widened oracles, oldest-driver-row-first
+        "dedup_components_star",
+        "docs_split_leakage_safe",
+        "docs_tfidf_topk",
+        "text_pmi_bigrams",
+        "text_repetition_filter",
+        "dedup_containment_onesided",
+        "dedup_minhash_calibration",
+        "dedup_minhash_lsh",
+        "dedup_threshold_sweep",
+        "docs_dedup_store",
+        "docs_length_histogram",
+        "docs_novelty_curve",
+        "docs_pack_sequences",
+        "docs_shingle_profile",
+        "text_bpe_token_count",
+        "text_fingerprint",
+        "text_token_stats",
+        "text_tokenizer_fertility",
+        "text_vocab_topk",
+    ]
+    assert window[: len(leads)] == leads
+
+    widened = {
+        n for n, s in registry.REGISTRY.items() if s.oracle and r"\x0b" in s.oracle
+    }
+    assert len(widened) == 40, len(widened)
+    stale = {n for n in widened if latest.get(n, 0) <= 11}
+    fresh = widened - stale
+    assert len(stale) == 19 and stale <= set(window)
+    assert len(fresh) == 21  # 8 r14-row (evidenced) + 13 r16-ledger leads
+    r16_leads = {n for n in fresh if latest[n] <= 13}
+    assert len(r16_leads) == 13 and not (r16_leads & set(window))
+
+    # 5-round contract: everything with an r10-or-older row is in-window
+    overdue = {n for n in latest if latest[n] <= 10}
+    assert overdue <= set(window), overdue - set(window)

@@ -120,12 +120,22 @@ SUSTAINED_BAND_LO = 6.9
 SUSTAINED_BAND_HI = 9.3
 
 
-def classify_sustained_canary(sustained: float | None) -> str:
+def classify_sustained_canary(
+    sustained: float | None,
+    lo: float = SUSTAINED_BAND_LO,
+    hi: float = SUSTAINED_BAND_HI,
+) -> str:
     """Classify the run's sustained-canary reading against the band.
 
     Same taxonomy as :func:`classify_cpu_canary`: ``ok`` inside the
     band, ``fast_transient`` below, ``unreliable_this_run`` above,
     ``absent`` when the run predates the instrument (pre-r14 records).
+    Like the CPU band, the sustained band is a HOST-GENERATION
+    property: each anchor carries its own (``sustained_band``) and
+    adjudicate() classifies against the anchor's band (ADVICE r14) —
+    replaying an r14 record after a future host-generation re-base
+    must use the r14 generation's band, not the then-current module
+    constants (which record only the CURRENT generation).
     Classification-only: the sustained reading CONTEXTUALIZES flags
     (a uniformly-inflated run with sprint-flat/sustained-high canaries
     is the r13 host-generation regime, not a plan regression); it does
@@ -133,13 +143,9 @@ def classify_sustained_canary(sustained: float | None) -> str:
     """
     if not sustained:
         return "absent"
-    if SUSTAINED_BAND_LO <= sustained <= SUSTAINED_BAND_HI:
+    if lo <= sustained <= hi:
         return "ok"
-    return (
-        "fast_transient"
-        if sustained < SUSTAINED_BAND_LO
-        else "unreliable_this_run"
-    )
+    return "fast_transient" if sustained < lo else "unreliable_this_run"
 
 
 def classify_cpu_canary(
@@ -204,6 +210,9 @@ ANCHOR = {
     "canary_sec": 0.371,
     "cpu_band": [CPU_BAND_LO, CPU_BAND_HI],
     "sustained_canary_sec": 7.471,
+    # host-generation property, carried per-anchor like cpu_band so
+    # replays of this record survive a future band re-base (ADVICE r14)
+    "sustained_band": [SUSTAINED_BAND_LO, SUSTAINED_BAND_HI],
     "io_canary_sec": 0.693,
     "queries": {
         "q1_pricing_summary": 0.877,
@@ -470,8 +479,13 @@ def adjudicate(run: dict, anchor: dict) -> dict:
         "queries": rows,
     }
     rs = run.get("sustained_canary_sec")
-    out["sustained_canary_status"] = classify_sustained_canary(rs)
-    out["sustained_canary_band"] = [SUSTAINED_BAND_LO, SUSTAINED_BAND_HI]
+    sus_band = anchor.get(
+        "sustained_band", [SUSTAINED_BAND_LO, SUSTAINED_BAND_HI]
+    )
+    out["sustained_canary_status"] = classify_sustained_canary(
+        rs, sus_band[0], sus_band[1]
+    )
+    out["sustained_canary_band"] = sus_band
     a_sus = anchor.get("sustained_canary_sec")
     if rs and a_sus:
         # run-vs-anchor sustained ratio: the multiplier a sprint-flat/

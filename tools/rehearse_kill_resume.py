@@ -32,10 +32,19 @@ resume exactly where the kill left it — on a distribution the fixed
 fixtures never probed.
 
     python tools/rehearse_kill_resume.py [--seed 33] [--workdir DIR]
+        [--provider hdfs|rocksdb] [--kill-after K] [--surfaces NAME ...]
 
-Prints one JSON object {surface: {match, rows, err}} and exits
-non-zero on any mismatch; the per-round artifact is saved as
-``REHEARSAL_r*_fuzz.json`` by the round script that invokes it.
+``--kill-after`` (r15) sweeps the RESTART BOUNDARY: the killed
+incarnation stops only after at least K data-bearing batches have
+committed, so the kill-point matrix probes first/mid/last boundaries
+instead of the single after-first-batch point the r14 protocol used
+(the r14 session-composition bug was a batch-boundary artifact — one
+kill point is one boundary). ``--surfaces`` narrows a matrix cell to
+the surfaces under test.
+
+Prints one JSON object {surface: {match, rows, killed_batches, err}}
+and exits non-zero on any mismatch; the per-round artifact is saved
+as ``REHEARSAL_r*_fuzz.json`` by the round script that invokes it.
 """
 
 from __future__ import annotations
@@ -146,9 +155,22 @@ def staged_events_stream(max_files: int = 1):
 
 
 def run_stream(builder, sink_dir: str, ckpt: str, kill: bool,
-               foreach=None, output_mode: str = "append") -> None:
+               foreach=None, output_mode: str = "append",
+               kill_after: int = 1) -> int:
     """One query incarnation pair: killed-then-resumed, or straight
-    availableNow drain."""
+    availableNow drain. Returns the number of data-bearing batches the
+    killed incarnation committed before the stop (0 for kill=False).
+
+    ``kill_after`` places the restart boundary: the killed incarnation
+    stops only after AT LEAST that many batches with input rows have
+    committed (VERDICT r14 task 2 — the r14 session-composition bug
+    was precisely a batch-boundary artifact, and a single early kill
+    point probes exactly one boundary; the sweep varies k across
+    first/mid/last so consolidation effects at EVERY position get a
+    reference comparison). The stop is asynchronous, so the actual
+    committed count can exceed ``kill_after`` — the caller records the
+    measured count, and a count >= the request is the premise check.
+    """
     def start(trigger_kwargs):
         df = builder()
         w = df.writeStream
@@ -163,26 +185,36 @@ def run_stream(builder, sink_dir: str, ckpt: str, kill: bool,
             .start()
         )
 
+    committed = 0
     if kill:
         q1 = start({"processingTime": "0 seconds"})
         deadline = time.time() + 240
-        committed = 0
         while time.time() < deadline:
-            committed = sum(
-                int(p["numInputRows"]) for p in q1.recentProgress
+            committed = len(
+                [p for p in q1.recentProgress if int(p["numInputRows"]) > 0]
             )
-            if committed > 0:
+            if committed >= kill_after:
                 break
             time.sleep(0.05)
         q1.stop()
         q1.awaitTermination(120)
-        if committed == 0:
-            raise RuntimeError("kill landed before any committed batch")
+        # recount after the stop settles — batches kept committing
+        # between the poll and the stop call
+        committed = len(
+            [p for p in q1.recentProgress if int(p["numInputRows"]) > 0]
+        )
+        if committed < kill_after:
+            raise RuntimeError(
+                f"kill landed after only {committed} committed batches "
+                f"(requested >= {kill_after}) — the deadline expired "
+                "before the stream reached the requested boundary"
+            )
     q2 = start({"availableNow": True})
     if not q2.awaitTermination(600):
         q2.stop()
         raise RuntimeError("drain did not finish inside 600s")
     q2.stop()
+    return committed
 
 
 def main(argv=None) -> int:
@@ -197,6 +229,22 @@ def main(argv=None) -> int:
         help="state store provider for every query in the sweep — "
         "rocksdb crosses this protocol with the store a production "
         "deployment runs (tests/test_rocksdb_state.py rationale)",
+    )
+    p.add_argument(
+        "--kill-after",
+        type=int,
+        default=1,
+        help="restart boundary: minimum committed data-bearing batches "
+        "before the kill (VERDICT r14 task 2 — sweep across "
+        "first/mid/last; the corpus stages ~13 single-file batches)",
+    )
+    p.add_argument(
+        "--surfaces",
+        nargs="*",
+        default=None,
+        help="run only these surfaces (default: all six) — the "
+        "kill-point matrix targets idle_timer, the surface whose "
+        "boundary bug the r14 cross found",
     )
     a = p.parse_args(argv)
 
@@ -246,8 +294,12 @@ def main(argv=None) -> int:
 
     results: dict[str, dict] = {}
 
+    killed_batches: dict[str, int] = {}
+
     def surface(name):
         def deco(fn):
+            if a.surfaces is not None and name not in a.surfaces:
+                return
             try:
                 match, rows = fn()
                 results[name] = {"match": bool(match), "rows": int(rows),
@@ -255,6 +307,8 @@ def main(argv=None) -> int:
             except Exception as exc:
                 results[name] = {"match": False, "rows": 0,
                                  "err": f"{type(exc).__name__}: {exc}"}
+            if name in killed_batches:
+                results[name]["killed_batches"] = killed_batches[name]
             print(f"[kill-resume] {name}: {results[name]}", file=sys.stderr)
         return deco
 
@@ -266,7 +320,9 @@ def main(argv=None) -> int:
     def append_surface(name, builder):
         """Killed+resumed vs uninterrupted, native parquet sink both."""
         ko, kc, ro, rc = dirs(name)
-        run_stream(builder, ko, kc, kill=True)
+        killed_batches[name] = run_stream(
+            builder, ko, kc, kill=True, kill_after=a.kill_after
+        )
         run_stream(builder, ro, rc, kill=False)
         killed = spark.read.parquet(ko).toPandas()
         ref = spark.read.parquet(ro).toPandas()
@@ -281,9 +337,10 @@ def main(argv=None) -> int:
         def sink(bdf, bid):
             bdf.write.mode("append").parquet(ko)
 
-        run_stream(
+        killed_batches["profiles"] = run_stream(
             lambda: st.running_user_profiles(spark, staged),
             ko, kc, kill=True, foreach=sink, output_mode="update",
+            kill_after=a.kill_after,
         )
         killed = spark.read.parquet(ko).toPandas()
         # last emission per user (highest n_events) == final state
@@ -329,7 +386,9 @@ def main(argv=None) -> int:
         # what exposed the operator's original boundary-dependent
         # composition — see idle_session_summaries' docstring).
         ko, kc, ro, rc = dirs("idle_timer")
-        run_stream(build, ko, kc, kill=True)
+        killed_batches["idle_timer"] = run_stream(
+            build, ko, kc, kill=True, kill_after=a.kill_after
+        )
         run_stream(build, ro, rc, kill=False)
         killed = spark.read.parquet(ko).filter("closed").toPandas()
         ref = spark.read.parquet(ro).filter("closed").toPandas()
@@ -434,10 +493,10 @@ def main(argv=None) -> int:
                 "user_id", "ts", "event_id", "event_type", "value"
             )
 
-        run_stream(
+        killed_batches["upsert"] = run_stream(
             build, ko, kc, kill=True,
             foreach=inc.latest_state_sink("user_id", snap),
-            output_mode="append",
+            output_mode="append", kill_after=a.kill_after,
         )
         got = inc.read_snapshot(spark, snap).toPandas()
         # the sink's own ordering: lexicographic max of the full

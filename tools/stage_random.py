@@ -312,8 +312,22 @@ def stage(src: str, out: str, seed: int, props_edge: bool = False) -> str:
         # every hazard class lands AT LEAST once (the first hits take
         # the payload list in order — r14: a grown pool left seed 21
         # without the quoted-scientific payload when all hits drew at
-        # random); remaining hits draw randomly for volume
+        # random); remaining hits draw randomly for volume. The ~5%
+        # Bernoulli draw alone only guarantees this when it yields
+        # >= len(PROPS_EDGE) hits, so on a small corpus the shortfall
+        # is force-placed at distinct random rows (ADVICE r14) — the
+        # guarantee is structural, not probabilistic.
         hit = np.flatnonzero(rng.random(n_ev) < 0.05)
+        if len(hit) < len(PROPS_EDGE):
+            if n_ev < len(PROPS_EDGE):
+                raise ValueError(
+                    f"props_edge corpus too small: {n_ev} events cannot "
+                    f"carry all {len(PROPS_EDGE)} hazard payloads"
+                )
+            spare = np.setdiff1d(np.arange(n_ev), hit)
+            extra = rng.choice(spare, len(PROPS_EDGE) - len(hit), replace=False)
+            hit = np.concatenate([hit, extra])
+        assert len(hit) >= len(PROPS_EDGE)
         for j, i in enumerate(hit):
             if j < len(PROPS_EDGE):
                 props[i] = PROPS_EDGE[j]
