@@ -69,6 +69,14 @@ edit distance (the standard large-scale metric), computed Spark-side
 via latin1 reinterpretation of the UTF-8 bytes — exact in both
 engines on any corpus.
 
+r15 pinned the byte contract at the UTF-8 boundary (VERDICT r14 task
+5): the token pool grew NFD-decomposed twins, U+FFFD replacement
+residue, astral-plane 4-byte codepoints, and latin1-misdecoded
+double-encoding, with a three-way premise pin (python byte-DP vs
+DuckDB vs the Spark latin1 trick) and a proof that lone surrogates
+cannot reach a parquet string column at all (so "malformed UTF-8" is
+outside the corpus contract by construction, not by hope).
+
 This module pins the staged premises (the edges are actually present)
 and the post-fix agreement on the seed-1, seed-2, seed-7, and
 props-edge corpora.
@@ -458,3 +466,88 @@ def test_premise_duckdb_levenshtein_counts_bytes_spark_codepoints(spark):
     assert rows.cp == 1  # Spark native: codepoints
     # latin1 reinterpretation: byte-exact against the DuckDB readings
     assert (rows.by_e, rows.by_h, rows.by_z) == (2, 3, 11)
+
+
+def test_premise_byte_levenshtein_exact_at_utf8_boundary(spark):
+    """The latin1-reinterpretation byte metric, pinned where encodings
+    get ugly (VERDICT r14 task 5): NFC-vs-NFD twins (same rendered
+    text, different byte sequences), U+FFFD replacement residue,
+    astral-plane 4-byte codepoints, and latin1-misdecoded UTF-8
+    double-encoding. For each pair, Spark's
+    ``levenshtein(decode(encode(x,'utf-8'),'ISO-8859-1'), ...)`` must
+    equal DuckDB's native byte-level ``levenshtein`` must equal a
+    python DP over the raw UTF-8 bytes — three independent
+    computations of the operator contract."""
+    import duckdb
+
+    def dp(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    pairs = [
+        ("été", "été"),  # NFC vs NFD twin
+        ("caf��", "cafes"),          # replacement residue
+        ("\U0001d518\U0001d52b\U0001d526", "Uni"),  # astral vs ASCII
+        ("Ã©tÃ©", "été"),  # double-enc
+        ("é", "é"),                 # single combining pair
+    ]
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = dp(a.encode("utf-8"), b.encode("utf-8"))
+        duck = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        got = spark.sql(
+            "SELECT levenshtein(decode(encode(:a,'utf-8'),'ISO-8859-1'),"
+            "                   decode(encode(:b,'utf-8'),'ISO-8859-1')) AS d",
+            args={"a": a, "b": b},
+        ).collect()[0].d
+        assert duck == want and got == want, (a, b, want, duck, got)
+    con.close()
+
+
+def test_premise_lone_surrogates_cannot_reach_parquet(tmp_path):
+    """Why the fuzz pool carries U+FFFD but no lone surrogates (VERDICT
+    r14 task 5): a parquet string column is well-formed UTF-8 by spec,
+    and the Arrow write path REJECTS a python str containing an
+    unpaired surrogate — so 'malformed UTF-8' is unrepresentable in
+    the corpus contract and the byte-levenshtein operator can assume
+    well-formed input. If Arrow ever started accepting surrogates
+    (surrogatepass semantics), this pin fails and the contract needs a
+    malformed-bytes clause."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["bad \ud800 surrogate"]})
+    with _pytest.raises(Exception):
+        pq.write_table(
+            pa.Table.from_pandas(df), str(tmp_path / "surrogate.parquet")
+        )
+
+
+def test_premise_every_unicode_token_family_lands(random_duck):
+    """Structural placement guarantee, unicode flavor (ADVICE r14 /
+    VERDICT r14 task 5): every UNICODE_TOKENS family — including the
+    r15 mojibake-adjacent additions the byte-levenshtein boundary
+    sweep exists to exercise — appears at least once in EVERY staged
+    corpus, force-spliced when the 6% Bernoulli flavor misses one
+    (seed 404 drew zero mojibake tokens before this)."""
+    from tools.stage_random import UNICODE_TOKENS
+
+    missing = [
+        tok
+        for tok in UNICODE_TOKENS
+        if random_duck.sql(
+            "SELECT count(*) FROM documents WHERE contains(text, ?)",
+            params=[tok],
+        ).fetchone()[0]
+        == 0
+    ]
+    assert not missing, f"unicode families absent from staged corpus: {missing}"

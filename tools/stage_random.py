@@ -49,7 +49,17 @@ import pyarrow.parquet as pq
 
 #: Hostile-but-legal unicode tokens (same families the ``unicode``
 #: sweep plants): ZWJ emoji, spaceless CJK, RTL, combining marks,
-#: fullwidth, case traps.
+#: fullwidth, case traps. The r15 additions pin the byte-levenshtein
+#: contract where encodings get ugly (VERDICT r14 task 5) — the
+#: mojibake-adjacent families a 100-TB web corpus actually carries:
+#: an NFD-decomposed twin of the NFC 'e\u0301te\u0301' (same rendered
+#: text, byte distance 4 per accent vs the precomposed form), U+FFFD
+#: replacement chars (what every decoder emits on malformed input —
+#: actual malformed byte sequences and lone surrogates CANNOT exist in
+#: a parquet string column, which is well-formed UTF-8 by spec;
+#: tests/test_random_corpus.py pins that premise), astral-plane 4-byte
+#: codepoints, and latin1-misdecoded UTF-8 ('\u00c3\u00a9' — the
+#: classic double-encoding artifact).
 UNICODE_TOKENS = [
     "👩‍💻🔥",
     "漢字テキスト処理",
@@ -59,6 +69,10 @@ UNICODE_TOKENS = [
     "ıstanbul",
     "straße",
     "a​b​c",
+    "e\u0301te\u0301",  # NFD decomposed: combining acutes
+    "caf\ufffd\ufffd",  # replacement chars: decoded mojibake residue
+    "\U0001d518\U0001d52b\U0001d526\U0001d11e",  # astral 4-byte codepoints
+    "\u00c3\u00a9t\u00c3\u00a9",  # UTF-8-as-latin1 double-encoded accents
 ]
 
 
@@ -386,6 +400,20 @@ def stage(src: str, out: str, seed: int, props_edge: bool = False) -> str:
         return text
 
     texts = [make_text() for _ in range(n_doc)]
+    # every UNICODE_TOKENS family lands AT LEAST once per staging —
+    # structural, like the PROPS_EDGE placement above (ADVICE r14): the
+    # 6% Bernoulli flavor left seed 404 with zero mojibake tokens, so a
+    # sweep meant to exercise the byte-levenshtein contract at the
+    # UTF-8 boundary would silently not have. Each missing token is
+    # spliced into a random non-empty document as one more word.
+    nonempty = [i for i, t in enumerate(texts) if t.strip()]
+    if nonempty:
+        for tok in UNICODE_TOKENS:
+            if not any(tok in t for t in texts):
+                i = int(nonempty[int(rng.integers(0, len(nonempty)))])
+                w = texts[i].split(" ")
+                w.insert(int(rng.integers(0, len(w) + 1)), tok)
+                texts[i] = " ".join(w)
     # seeded near-duplicates: ~8% of docs are a light edit of another,
     # ~2% exact text copies under a DIFFERENT doc_id (legal — only the
     # keys are contract-unique; finding these is the dedup operators'
