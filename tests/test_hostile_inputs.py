@@ -527,7 +527,10 @@ def test_agrees_with_oracle_on_hot_keys(spark, skew_dir, skew_duck, name):
 #: quadratic, CTE inlining re-rendering megabyte hex per exploded row,
 #: and the repetition filter silently dropping the single-token doc
 #: from its verdict (the total-verdict contract fix). Each pinned row
-#: is one of those fixes.
+#: is one of those fixes. The full 222-query giant sweep is green on
+#: r15 code (``REHEARSAL_r15_hostile.json: giant_sf0_01`` — the first
+#: full-width record for this mode; earlier rounds ran it
+#: subset-pinned only).
 GIANT_QUERIES = (
     # fixed this round: hang class
     "dedup_fuzzy_levenshtein",   # LEV_MAX_LEN cap, expression-gated
@@ -635,7 +638,8 @@ def test_negative_zero_group_key_divergence_pinned(spark, tmp_path):
 #: engine's fix is ``mergeSchema`` on directory reads
 #: (``plans/registry.py: table``), mirrored on the oracle side by
 #: DuckDB ``union_by_name``; the full 222-query drift sweep is green
-#: (``REHEARSAL_r08_hostile.json: drift_sf0_01``). Each pinned query
+#: (``REHEARSAL_r15_hostile.json: drift_sf0_01`` on current code;
+#: first recorded r8). Each pinned query
 #: aggregates or filters directly over a drift-dropped column
 #: (l_tax / o_orderpriority / c_mktsegment / props / lang / label),
 #: so a regression to single-footer inference fails here, not in a
@@ -717,7 +721,8 @@ def test_agrees_with_oracle_on_schema_drift(spark, drift_dir, drift_duck, name):
 #: schema; ``plans/registry.py: _unified_directory_schema``) and the
 #: oracle mirrors it with DuckDB ``union_by_name``'s native
 #: promotion. The full 222-query widen sweep is green
-#: (``REHEARSAL_r08_hostile.json: widen_sf0_01``); each pinned query
+#: (``REHEARSAL_r15_hostile.json: widen_sf0_01`` on current code;
+#: first recorded r8); each pinned query
 #: aggregates over a narrowed column, so a regression to mergeSchema
 #: (or a promotion disagreement between engines) fails here.
 WIDEN_QUERIES = (
