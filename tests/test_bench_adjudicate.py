@@ -189,7 +189,9 @@ def test_cpu_canary_classification_boundaries():
     it, absent when the record carries no canary. The band is a
     HOST-GENERATION property carried on each anchor (r14): the r12 run's
     0.357 canary is below ITS generation's [0.39, 0.47] band but inside
-    the re-recorded r14 band whose quiet floor moved to 0.355."""
+    the current generation's band, whose quiet floor moved to 0.355 at
+    r14 and widened to 0.33 at r15 when sub-floor quiet readings
+    recurred (0.347/0.336; BASELINE.md r15 section)."""
     lo, hi = badj.CPU_BAND_LO, badj.CPU_BAND_HI
     assert badj.classify_cpu_canary(lo) == "ok"
     assert badj.classify_cpu_canary(hi) == "ok"
