@@ -239,6 +239,14 @@ def main(argv=None) -> int:
         "first/mid/last; the corpus stages ~13 single-file batches)",
     )
     p.add_argument(
+        "--corpus-dir",
+        default=None,
+        help="use a pre-staged corpus directory instead of staging one "
+        "from --seed (r15: feed a hostile-damaged random corpus — e.g. "
+        "the times mode's DST instants — through the stateful "
+        "surfaces with a restart boundary)",
+    )
+    p.add_argument(
         "--surfaces",
         nargs="*",
         default=None,
@@ -259,8 +267,19 @@ def main(argv=None) -> int:
 
     shutil.rmtree(a.workdir, ignore_errors=True)
     os.makedirs(a.workdir, exist_ok=True)
-    corpus = os.path.join(a.workdir, f"corpus_seed{a.seed}")
-    stage(a.src, corpus, a.seed)
+    if a.corpus_dir:
+        # pre-staged (possibly hostile-damaged) corpus: the r15
+        # cross-axis runs feed a times-damaged random corpus through
+        # the stateful surfaces — DST-transition and extreme-but-legal
+        # instants meeting watermarks, timers, and a restart boundary
+        # is a joint neither the batch sweeps nor the seeded kill
+        # protocol covers alone. The ingest guard still applies (the
+        # pre-epoch/far-future garbage never reaches a watermark; the
+        # DST instants pass the gate by design).
+        corpus = a.corpus_dir
+    else:
+        corpus = os.path.join(a.workdir, f"corpus_seed{a.seed}")
+        stage(a.src, corpus, a.seed)
 
     spark = (
         SparkSession.builder.master("local[8]")
