@@ -33,6 +33,7 @@ fixtures never probed.
 
     python tools/rehearse_kill_resume.py [--seed 33] [--workdir DIR]
         [--provider hdfs|rocksdb] [--kill-after K] [--surfaces NAME ...]
+        [--corpus-dir PRE_STAGED]
 
 ``--kill-after`` (r15) sweeps the RESTART BOUNDARY: the killed
 incarnation stops only after at least K data-bearing batches have
