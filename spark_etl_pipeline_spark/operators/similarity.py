@@ -1065,12 +1065,24 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
     order, so every engine computes bit-identical centroids.
 
     Returns (assignment, centroids) after the final iteration.
+
+    r15 plan-size optimization: the centroid table is
+    ``localCheckpoint``-ed between rounds (k rows of one array — the
+    materialization job is trivial). Without it every consumer branch
+    that references the final assignment or centroids re-plans the
+    ENTIRE previous round's chain per reference — sim_kmeans's
+    counts+centroids join re-ran both rounds twice (6 corpus scans, 32
+    exchanges in the executed plan); with the k-row checkpoint each
+    branch starts from the materialized centroids and re-runs only the
+    final assignment (2 corpus scans). Centroid VALUES are unchanged —
+    same computation, materialized — so assignments and the oracle
+    rows are bit-identical.
     """
     cents_df = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     assign = None
-    for _ in range(iters):
+    for it in range(iters):
         # Carry v through the assignment: the mean update then needs no
         # join back to emb on vec_id (one N-row shuffle saved per round).
         assign = assign_nearest(emb, cents_df, _sqdist_expr("v", "ct.cv"), carry=("v",))
@@ -1083,7 +1095,8 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
                     F.sum(F.round(F.col("x") * KMEANS_SCALE).cast("long")).cast("double")
                     / F.lit(float(KMEANS_SCALE))
                     / F.count(F.lit(1))
-                ).alias("val")
+                ).alias("val"),
+                F.count(F.lit(1)).alias("n"),
             )
         )
         cents_df = (
@@ -1091,9 +1104,23 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
             .agg(
                 F.expr(
                     "transform(array_sort(collect_list(struct(d0, val))), s -> s.val)"
-                ).alias("cv")
+                ).alias("cv"),
+                # members-per-cell, read off the d0=0 row: load_vectors
+                # only admits non-empty vectors, so every assigned row
+                # contributes dimension 0 and this equals the
+                # assignment count exactly (avoids a second full
+                # assignment chain just to count members).
+                F.max(F.when(F.col("d0") == 0, F.col("n"))).alias("n_members"),
             )
         )
+        if it < iters - 1:
+            # LAZY checkpoint: materializes inside the consumer's first
+            # action (no separate build-time job barrier — an eager
+            # checkpoint here measurably COST bench time by serializing
+            # work that previously overlapped on idle cores), and every
+            # other branch of the same or later action reuses the
+            # persisted k rows instead of re-running the round's chain.
+            cents_df = cents_df.localCheckpoint(eager=False)
     return assign, cents_df
 
 
@@ -1167,17 +1194,17 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines' centroids bit-identical.
     """
     emb = load_vectors(spark, sf_dir)
-    assign, cents_df = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
-    counts = assign.groupBy(F.col("cell").alias("cluster")).agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return counts.join(
-        cents_df.select(
-            F.col("cid").alias("cluster"),
-            F.element_at("cv", 1).alias("c_first"),
-            F.element_at("cv", DIM).alias("c_last"),
-        ),
-        "cluster",
+    _assign, cents_df = kmeans_iterate(emb, KMEANS_K, KMEANS_ITERS)
+    # r15: member counts ride the centroid aggregate (kmeans_iterate
+    # counts the d0=0 rows per cell — exactly one per assigned vector),
+    # so the old counts-join re-ran the whole final-assignment chain a
+    # SECOND time just to count rows. One chain, same rows: plan went
+    # 32 exchanges / 6 corpus scans → half that, output bit-identical.
+    return cents_df.select(
+        F.col("cid").alias("cluster"),
+        "n_members",
+        F.element_at("cv", 1).alias("c_first"),
+        F.element_at("cv", DIM).alias("c_last"),
     )
 
 
