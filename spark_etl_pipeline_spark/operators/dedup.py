@@ -1071,7 +1071,17 @@ def incremental_survivors(docs: DataFrame, in_delta) -> DataFrame:
     broadcast vs shuffle for the pair side at runtime).
     """
     sh = shingle_set(docs)
-    bands = lsh_bands(minhash_signatures(sh))
+    # r15: the band table feeds BOTH sides of the bucket join and the
+    # shingle-set table BOTH sides of pair verification — four
+    # re-shingling passes over the corpus in one plan (Catalyst does
+    # not dedupe common subplans). LAZY localCheckpoints materialize
+    # each ONCE inside the consuming action; every other branch reads
+    # the persisted rows. Measured at sf0.1: 1.35 s → 1.13 s, output
+    # identical. (The plain self-join pipeline ``dedup_minhash_lsh``
+    # measured FASTER recomputing — its branches overlap fully on idle
+    # cores — so it deliberately stays un-checkpointed; this operator
+    # has more branch fan-out plus the survivor anti-join on top.)
+    bands = lsh_bands(minhash_signatures(sh)).localCheckpoint(eager=False)
     cand = (
         bands.filter(in_delta(F.col("doc_id")))
         .alias("d")
@@ -1083,9 +1093,9 @@ def incremental_survivors(docs: DataFrame, in_delta) -> DataFrame:
         )
         .distinct()
     )
-    verified = jaccard_verified(cand, sh).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
+    verified = jaccard_verified_sets(
+        cand, shingle_sets(sh).localCheckpoint(eager=False)
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     dropped = (
         verified.select(F.col("doc_b").alias("doc_id"))
         .union(

@@ -796,14 +796,22 @@ def embedding_setbit_probe_signatures(
     side nothing would reach it — that path keeps full radius-1 (or
     the directed knob).
     """
+    return _setbit_probe_from_sigs(embedding_signatures(emb, bits, tables), bits)
+
+
+def _setbit_probe_from_sigs(sigs: DataFrame, bits: int) -> DataFrame:
+    """Set-bit probe rows derived from an EXISTING (vec_id, t, sig)
+    table — the probe-row expansion of
+    :func:`embedding_setbit_probe_signatures` without re-deriving the
+    signatures, so a caller that already holds (or materialized) the
+    signature table pays only the explode."""
     # Explode the STATIC mask array (a codegen generator over a
     # literal), then drop unset-bit rows with a vectorized filter —
     # building a per-row mask array (filter(transform(sequence(...))))
     # measured ~10% slower end-to-end than this explode-then-filter.
     masks = F.array(*[F.lit(m) for m in _probe_masks(bits, 1)])
     return (
-        embedding_signatures(emb, bits, tables)
-        .select("vec_id", "t", "sig", F.explode(masks).alias("m"))
+        sigs.select("vec_id", "t", "sig", F.explode(masks).alias("m"))
         .filter(F.expr("m = 0 OR (sig & m) != 0"))
         .select(
             "vec_id",
@@ -829,9 +837,18 @@ def embedding_candidate_pairs(
     (:func:`embedding_setbit_probe_signatures` — same candidate set,
     ~4/7 the probe rows); other radii keep the generic mask expansion.
     """
-    base = embedding_signatures(emb, bits, tables).alias("b")
+    # r15: the signature table feeds BOTH join sides (base buckets and
+    # probe rows). A LAZY localCheckpoint materializes the 12-dot-
+    # product-per-row hyperplane projection ONCE inside the consuming
+    # action instead of once per side — measured 2.04 s → 1.52 s on
+    # the cosine-dedup composition at sf0.1, identical pairs. (The
+    # signature table is (vec_id, t, sig) longs — rows = n·tables,
+    # independent of vector dimension, so the persisted footprint is
+    # negligible next to the corpus at any scale.)
+    sigs = embedding_signatures(emb, bits, tables).localCheckpoint(eager=False)
+    base = sigs.alias("b")
     if radius == 1:
-        a = embedding_setbit_probe_signatures(emb, bits, tables).alias("a")
+        a = _setbit_probe_from_sigs(sigs, bits).alias("a")
         cond = (
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.sig") == F.col("b.sig"))
@@ -844,9 +861,9 @@ def embedding_candidate_pairs(
         # A flip row can't match its own base row (sig^bit != sig), so
         # no (x, x) self-pair is ever emitted; least/greatest
         # canonicalizes the flip rows that land with a.vec_id > b.
-        return pairs.distinct()
+        return _spread_pairs(pairs.distinct())
     a = embedding_probe_signatures(emb, bits, tables, radius).alias("a")
-    return (
+    return _spread_pairs(
         a.join(
             base,
             (F.col("a.t") == F.col("b.t"))
@@ -856,6 +873,23 @@ def embedding_candidate_pairs(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+
+
+def _spread_pairs(pairs: DataFrame) -> DataFrame:
+    """Round-robin the candidate-pair table across the session's full
+    parallelism (r15). The pair table is BYTE-tiny (two longs per row)
+    but each row downstream costs a ``DIM``-element exact cosine —
+    AQE's byte-based partition coalescing cannot see that weight, so
+    it merged the post-distinct stage to ~1 partition and the entire
+    verify stage ran effectively single-threaded (measured at sf0.1:
+    the cosine-dedup verify dropped 1.68 s → 1.05 s with this spread,
+    identical output). An explicit keyless ``repartition(n)`` is a
+    user-specified exchange, which AQE never re-coalesces; its cost is
+    one shuffle of bare key pairs — noise next to the per-pair vector
+    math it parallelizes, at any scale. ``n`` tracks
+    ``defaultParallelism`` (cluster-adaptive), never a constant."""
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n)
 
 
 def embedding_directed_probe_signatures(

@@ -536,6 +536,21 @@ _UNBOUNDED_AGG_RE = (
     r"|percentile_disc)\("
 )
 
+#: Queries whose documented per-group build sits BEHIND a
+#: ``localCheckpoint`` boundary (r15 single-materialization of a
+#: branch shared by several plan consumers): the checkpoint truncates
+#: the printed plan to ``Scan ExistingRDD``, so the build is invisible
+#: to the regex above even though the computation (and its memory
+#: horizon) is unchanged. These entries stay in
+#: ``ARRAY_BUILD_HORIZONS`` and the staleness arm accepts them only
+#: while the plan actually shows a checkpoint scan — remove the
+#: checkpoint and the normal both-way gate snaps back.
+CHECKPOINT_HIDDEN_BUILDS = {
+    # shingle_sets' collect_set feeds pair verification via a lazy
+    # localCheckpoint (operators/dedup.py::incremental_survivors)
+    "docs_dedup_incremental",
+}
+
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_array_build_horizon_documented(spark, name):
@@ -556,6 +571,13 @@ def test_array_build_horizon_documented(spark, name):
             "documented per-key horizon — bound it (slice/top-k/"
             "approx_percentile) or add the bound rationale to "
             "ARRAY_BUILD_HORIZONS"
+        )
+    elif name in CHECKPOINT_HIDDEN_BUILDS:
+        assert "Scan ExistingRDD" in plan, (
+            f"{name}: listed in CHECKPOINT_HIDDEN_BUILDS but the plan "
+            "shows no checkpoint scan — the build either reappeared in "
+            "plan text (drop the entry here) or was genuinely removed "
+            "(drop both entries)"
         )
     else:
         assert name not in ARRAY_BUILD_HORIZONS, (
