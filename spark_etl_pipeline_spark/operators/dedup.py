@@ -133,6 +133,31 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
+def minhash_doc_state(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ss, mh0..mh{K-1}): shingle ARRAY and all K minhashes in
+    ONE aggregation over the corpus (r15).
+
+    The classic pipeline derives the signature table and the shingle-set
+    table as SEPARATE aggregations over the same exploded shingles, and
+    Catalyst does not dedupe common subplans — so a self-join dedup plan
+    re-scans and re-shingles the corpus once per consumer branch (4-5x).
+    This helper folds both into a single groupBy (collect_set rides the
+    same map-side partial aggregation as the 16 partial mins), giving
+    one scan + one shuffle whose bytes are the per-doc distinct-shingle
+    text — the same order as the corpus itself, NOT the ~10x exploded
+    shingle stream (persisting that was measured slower; see
+    ``dedup_minhash_lsh``). Callers localCheckpoint the result so every
+    plan branch (bands, both verify sides) reads the materialized rows.
+    """
+    sh = shingle_set(docs, text_col)
+    hashed = sh.select("doc_id", "s", F.expr(_H_SPARK).alias("h"))
+    mins = [
+        F.min((F.lit(A[k]) * F.col("h") + F.lit(B[k])) % F.lit(P)).alias(f"mh{k}")
+        for k in range(NUM_HASHES)
+    ]
+    return hashed.groupBy("doc_id").agg(F.collect_set("s").alias("ss"), *mins)
+
+
 def lsh_bands(sig: DataFrame) -> DataFrame:
     """(doc_id, band, bh): one md5 bucket key per band of the signature."""
     bands = F.array(
@@ -356,10 +381,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle set feeds 4 plan branches (signatures, sizes, both
     # intersection sides) and Catalyst does not dedupe common subplans,
     # so the corpus is scanned and re-shingled per branch. Measured at
-    # bench scale, recomputing beats persisting (the exploded shingle
-    # cache is ~10x the text volume; columnar re-scans + md5 are cheap):
-    # 1.0-1.5s vs 1.4-2.3s at sf0.1. For corpora where scan dominates,
-    # add .persist(StorageLevel.MEMORY_AND_DISK) here.
+    # bench scale — THREE times now (r14 twice, r15 A/B at sf0.1) —
+    # recomputing beats every persisted variant here: the exploded
+    # shingle cache is ~10x the text volume (1.4-2.3s vs 1.0-1.5s), and
+    # the r15 one-pass ``minhash_doc_state`` checkpoint serializes the
+    # heavy collect_set barrier that the recompute plan's independent
+    # branches overlap across idle cores (1.75 vs 1.57 min-of-4).
+    # For scan-dominated corpora (100 TB: 4 scans ≫ one set shuffle)
+    # flip to the ``minhash_doc_state`` form used by
+    # ``incremental_survivors``, where its fan-out DOES pay off.
     shingles = shingle_set(docs)
     pairs = candidate_pairs(lsh_bands(minhash_signatures(shingles)))
     return jaccard_verified(pairs, shingles).filter(
@@ -1070,18 +1100,18 @@ def incremental_survivors(docs: DataFrame, in_delta) -> DataFrame:
     Pair verification reuses :func:`jaccard_verified` (AQE picks
     broadcast vs shuffle for the pair side at runtime).
     """
-    sh = shingle_set(docs)
     # r15: the band table feeds BOTH sides of the bucket join and the
     # shingle-set table BOTH sides of pair verification — four
     # re-shingling passes over the corpus in one plan (Catalyst does
-    # not dedupe common subplans). LAZY localCheckpoints materialize
-    # each ONCE inside the consuming action; every other branch reads
-    # the persisted rows. Measured at sf0.1: 1.35 s → 1.13 s, output
-    # identical. (The plain self-join pipeline ``dedup_minhash_lsh``
-    # measured FASTER recomputing — its branches overlap fully on idle
-    # cores — so it deliberately stays un-checkpointed; this operator
-    # has more branch fan-out plus the survivor anti-join on top.)
-    bands = lsh_bands(minhash_signatures(sh)).localCheckpoint(eager=False)
+    # not dedupe common subplans). One combined aggregation
+    # (minhash_doc_state) behind a LAZY localCheckpoint materializes
+    # the per-doc state ONCE inside the consuming action; bands and
+    # both verify sides are cheap projections over the persisted rows.
+    # (First r15 cut checkpointed bands and shingle-sets separately:
+    # 1.35 s → 1.13 s at sf0.1; the combined state collapses the two
+    # heavy aggregations into one as well.)
+    state = minhash_doc_state(docs).localCheckpoint(eager=False)
+    bands = lsh_bands(state)
     cand = (
         bands.filter(in_delta(F.col("doc_id")))
         .alias("d")
@@ -1094,7 +1124,7 @@ def incremental_survivors(docs: DataFrame, in_delta) -> DataFrame:
         .distinct()
     )
     verified = jaccard_verified_sets(
-        cand, shingle_sets(sh).localCheckpoint(eager=False)
+        cand, state.select("doc_id", "ss")
     ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     dropped = (
         verified.select(F.col("doc_b").alias("doc_id"))
