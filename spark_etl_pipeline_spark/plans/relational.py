@@ -195,8 +195,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        # r15: lineitem is the PROBE side — written fact-first so the
+        # planner builds the hash relation from the filtered
+        # customer⋈orders chain, never from the fact table (the
+        # estimate-driven plan broadcast lineitem itself: collecting
+        # the biggest table to the driver, 1.5 s of the 1.5 s query;
+        # guide-correct shape is stream-the-fact, build-the-dims).
+        li.join(
+            cust.join(orders, cust.c_custkey == orders.o_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
         .join(
             supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
