@@ -97,7 +97,17 @@ def _vec(col: str = "embedding") -> Column:
 
 
 def dot_expr(a: str, b: str) -> str:
-    """Left-fold dot product — deterministic summation order."""
+    """Left-fold dot product — deterministic summation order.
+
+    The ``aggregate(zip_with(...))`` form is the measured-fastest JVM
+    shape for this fold: an r15 A/B rejected a fully unrolled
+    ``v[0]*w[0]+…`` expression (8× slower, codegen bailout on the giant
+    tree) and an r16 A/B rejected an indexed
+    ``aggregate(sequence(1, DIM), …, (s, i) -> s + try_element_at(a, i)
+    * try_element_at(b, i))`` fold (bit-identical, but 15-35% slower
+    warm on a 2M-pair microbench — per-element bounds checks cost more
+    than zip_with's one product-array allocation per pair).
+    """
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "cast(0.0 as double), (s, x) -> s + x)"
@@ -126,8 +136,28 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
+def collect_cents(cents: DataFrame) -> DataFrame:
+    """Fold a (small) centroid table into ONE row holding the full
+    struct array — the broadcast payload of :func:`assign_nearest` /
+    :func:`assign_topn`.
+
+    Exposed so a caller that assigns AGAINST THE SAME centroid set more
+    than once in one plan (e.g. ``_ivf_topk``: query side + corpus side)
+    can fold it once, ``localCheckpoint(eager=False)`` the single row,
+    and pass it to each assignment via ``collected=`` — Catalyst does
+    not CSE across join branches, so without the shared fold every
+    consumer re-scans and re-aggregates the centroid source (r16;
+    same play as the r15 shared LSH-branch materialization).
+    """
+    return cents.agg(F.collect_list(F.struct(*cents.columns)).alias("cents"))
+
+
 def assign_nearest(
-    emb: DataFrame, cents: DataFrame, dist_order: str, carry: tuple[str, ...] = ()
+    emb: DataFrame,
+    cents: DataFrame,
+    dist_order: str,
+    carry: tuple[str, ...] = (),
+    collected: DataFrame | None = None,
 ) -> DataFrame:
     """Zero-shuffle nearest-centroid assignment: (vec_id, cell).
 
@@ -144,9 +174,10 @@ def assign_nearest(
     so a downstream consumer needs no join back on vec_id). EVERY column
     of ``cents`` rides in the broadcast struct, so callers can stash
     precomputed per-centroid values (e.g. norms) and reference them as
-    ``ct.<name>`` in ``dist_order``.
+    ``ct.<name>`` in ``dist_order``. ``collected`` overrides the fold
+    with a caller-shared single-row array (see :func:`collect_cents`).
     """
-    cents_one = cents.agg(F.collect_list(F.struct(*cents.columns)).alias("cents"))
+    cents_one = collect_cents(cents) if collected is None else collected
     return emb.crossJoin(F.broadcast(cents_one)).select(
         "vec_id",
         F.expr(
@@ -163,6 +194,7 @@ def assign_topn(
     dist_order: str,
     n: int,
     carry: tuple[str, ...] = (),
+    collected: DataFrame | None = None,
 ) -> DataFrame:
     """Zero-shuffle top-``n``-nearest-centroid assignment, one row per
     (vec_id, cell) — the multi-probe twin of :func:`assign_nearest`.
@@ -172,7 +204,7 @@ def assign_topn(
     partitioning; output cardinality is n×|emb| with n a small constant
     (nprobe), never |emb|×k.
     """
-    cents_one = cents.agg(F.collect_list(F.struct(*cents.columns)).alias("cents"))
+    cents_one = collect_cents(cents) if collected is None else collected
     return emb.crossJoin(F.broadcast(cents_one)).select(
         "vec_id",
         F.explode(
@@ -434,11 +466,23 @@ def _ivf_topk(
     # arithmetic (same sqrt doubles, same multiply/divide order as the
     # oracle's inline form).
     dist = f"-({dot_expr('v', 'ct.cv')} / (nrm * ct.cn))"
+    # r16: BOTH assignment sides (query and corpus) fold the SAME
+    # centroid table; Catalyst does not CSE across the cell join's
+    # branches, so the un-shared form re-scanned the corpus and re-ran
+    # the collect_list aggregate (+ its Exchange) once per side —
+    # plans/r16/sim_ivf_search_before.txt nodes (5)-(12) vs (20)-(27)
+    # are byte-identical subtrees. One LAZY localCheckpoint of the
+    # single-row fold materializes it inside the consuming action and
+    # both broadcasts read the persisted row (guide §2.4; the r15
+    # shared-LSH-branch play).
+    cents_one = collect_cents(cents).localCheckpoint(eager=False)
     q_src = emb.filter(F.col("vec_id") < N_QUERIES)
     q_assigned = (
-        assign_nearest(q_src, cents, dist, carry=("v", "nrm"))
+        assign_nearest(q_src, cents, dist, carry=("v", "nrm"), collected=cents_one)
         if nprobe == 1
-        else assign_topn(q_src, cents, dist, nprobe, carry=("v", "nrm"))
+        else assign_topn(
+            q_src, cents, dist, nprobe, carry=("v", "nrm"), collected=cents_one
+        )
     )
     q = q_assigned.select(
         F.col("vec_id").alias("query_id"),
@@ -446,7 +490,7 @@ def _ivf_topk(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    n = assign_nearest(emb, cents, dist, carry=("v", "nrm")).select(
+    n = assign_nearest(emb, cents, dist, carry=("v", "nrm"), collected=cents_one).select(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         F.col("v").alias("nv"),

@@ -549,6 +549,13 @@ CHECKPOINT_HIDDEN_BUILDS = {
     # shingle_sets' collect_set feeds pair verification via a lazy
     # localCheckpoint (operators/dedup.py::incremental_survivors)
     "docs_dedup_incremental",
+    # the k-centroid collect_list fold is shared by both assignment
+    # sides via a lazy localCheckpoint (operators/similarity.py::
+    # _ivf_topk, r16) — horizon unchanged (= k, a constant knob)
+    "sim_ann_recall",
+    "sim_ann_recall_nprobe2",
+    "sim_ivf_nprobe2",
+    "sim_ivf_search",
 }
 
 
