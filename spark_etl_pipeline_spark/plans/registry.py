@@ -578,6 +578,20 @@ def load_all() -> None:
 #:   ``text_chunks_udtf``, ``text_decontaminate``, ``text_lang_id``,
 #:   ``text_quality_score``) — lead the r16 window; no other
 #:   exception-(a) debt is outstanding as of the r15 edit.
+#: - **r16 (this window, _EMIT_FIRST)**: driven exactly per the r16
+#:   ledger above — the 13 widening leads in ledger order, then the
+#:   pure staleness fill (26 r11-green rows + the 11 oldest r12-green
+#:   rows). Derivation command pinned in
+#:   ``tests/test_registry_contract.py`` (r16 window test). After this
+#:   window the oldest driver row becomes r12.
+#: - **r17 ledger (written at r16)**: every query whose builder or a
+#:   shared helper under it is refactored by the r16 optimization diff
+#:   owes an exception-(a) lead at the next window open — derive the
+#:   exact set from the r16 commit log (``git log --oneline
+#:   3b11122..``) against each query's newest driver row, e.g. the
+#:   IVF shared-fold family (``sim_ivf_search``, ``sim_ivf_nprobe2``,
+#:   ``sim_ann_recall``, ``sim_ann_recall_nprobe2``) refactored after
+#:   their r15 rows.
 #:
 #: Two standing exceptions to strict age order: (a) a query whose
 #: builder (or a shared helper under it) was refactored since its last
@@ -586,75 +600,25 @@ def load_all() -> None:
 #: plans (graph / recurrence / streaming) so a mid-window driver failure
 #: still lands the hard evidence first.
 _EMIT_FIRST = (
-    # --- r15 window: ``python tools/plan_rotation.py --lead ...`` with
-    # the 21 exception-(a) leads from the r15/r16 ledger above — the 2
-    # JSON-cast pad-class leads (``rel_variant_props``,
-    # ``etl_events_pipeline``) plus the 19 STALEST \x0b-widening leads
-    # (all 5 r10-row + all 14 r11-row widened oracles; the arithmetic
-    # is exact: the widened set splits 5/14/4/9 across r10/r11/r12/r13
-    # rows, so 'first 19 oldest-first' == the full r10+r11 cohorts and
-    # no within-round tiebreak is needed). The staleness fill then
-    # takes the remaining 24 r10-green rows and the 5 oldest r11-green
-    # rows. After this window the oldest driver row becomes r11 and
-    # the r16 ledger (13 freshest widening leads, r12/r13 rows) is the
-    # only outstanding debt. ---
-    "rel_variant_props",  # r13
-    "etl_events_pipeline",  # r13
-    "dedup_components_star",  # r10
-    "docs_split_leakage_safe",  # r10
-    "docs_tfidf_topk",  # r10
-    "text_pmi_bigrams",  # r10
-    "text_repetition_filter",  # r10
-    "dedup_containment_onesided",  # r11
-    "dedup_minhash_calibration",  # r11
-    "dedup_minhash_lsh",  # r11
-    "dedup_threshold_sweep",  # r11
-    "docs_dedup_store",  # r11
-    "docs_length_histogram",  # r11
-    "docs_novelty_curve",  # r11
-    "docs_pack_sequences",  # r11
-    "docs_shingle_profile",  # r11
-    "text_bpe_token_count",  # r11
-    "text_fingerprint",  # r11
-    "text_token_stats",  # r11
-    "text_tokenizer_fertility",  # r11
-    "text_vocab_topk",  # r11
-    "events_skew_salted_agg",  # r10
-    "events_skew_salted_join",  # r10
-    "rel_partition_prune",  # r10
-    "stream_tumbling_counts",  # r10
-    "stream_sliding_counts",  # r10
-    "stream_session_windows",  # r10
-    "stream_time_rollup",  # r10
-    "stream_interval_join",  # r10
-    "events_gap_fill",  # r10
-    "events_sessionize",  # r10
-    "events_period_over_period",  # r10
-    "events_value_deciles",  # r10
-    "events_heavy_hitters",  # r10
-    "rel_window_range_time",  # r10
-    "rel_corr_stats",  # r10
-    "events_feature_assembly",  # r10
-    "mm_audio_window",  # r10
-    "text_normalize",  # r10
-    "docs_shard_shuffle",  # r10
-    "docs_token_budget_select",  # r10
-    "q2_min_cost_supplier",  # r10
-    "q9_product_profit",  # r10
-    "q11_important_stock",  # r10
-    "q16_parts_suppliers",  # r10
-    "q20_potential_promotion",  # r11
-    "q21_waiting_supplier",  # r11
-    "events_rolling_features",  # r11
-    "events_user_sequences",  # r11
-    "events_weighted_sample",  # r11
-)
-
-_EMIT_LAST = (
-    # --- everything not in the r15 window, strictly
-    # oldest-driver-row-first (registration order as the tiebreak):
-    # the r11 remainder (26 rows), then the r12/r13/r14 windows; the
-    # r14 window (freshest rows in the repo) sits at the very end. ---
+    # --- r16 window: ``python tools/plan_rotation.py --lead ...`` with
+    # the 13 exception-(a) leads from the r16 ledger above (the 4
+    # r12-row + 9 r13-row \x0b-widened oracles). The staleness fill
+    # then takes the 26 remaining r11-green rows and the 11 oldest
+    # r12-green rows. After this window the oldest driver row
+    # becomes r12 and no exception-(a) debt is outstanding. ---
+    "dedup_cluster_sizes",  # r12
+    "docs_bm25_topk",  # r12
+    "docs_dedup_passages",  # r12
+    "docs_source_divergence",  # r12
+    "dedup_components",  # r13
+    "dedup_fuzzy_levenshtein",  # r13
+    "dedup_simhash",  # r13
+    "dedup_simhash_pairs",  # r13
+    "text_chunking",  # r13
+    "text_chunks_udtf",  # r13
+    "text_decontaminate",  # r13
+    "text_lang_id",  # r13
+    "text_quality_score",  # r13
     "mm_frame_dedup",  # r11
     "sim_embedding_drift",  # r11
     "text_lang_stats_pandas",  # r11
@@ -681,8 +645,6 @@ _EMIT_LAST = (
     "rel_budget_allocation",  # r11
     "rel_snapshot_reconcile",  # r11
     "src_orc_roundtrip",  # r11
-    "dedup_cluster_sizes",  # r12
-    "docs_dedup_passages",  # r12
     "graph_pagerank_suppliers",  # r12
     "graph_triangles",  # r12
     "graph_clustering_coeff",  # r12
@@ -694,8 +656,13 @@ _EMIT_LAST = (
     "events_chi2_independence",  # r12
     "sim_ivf_quantized_rerank",  # r12
     "sim_embedding_clusters",  # r12
-    "docs_bm25_topk",  # r12
-    "docs_source_divergence",  # r12
+)
+
+_EMIT_LAST = (
+    # --- everything not in the r16 window, strictly
+    # oldest-driver-row-first (registration order as the tiebreak):
+    # the r12 remainder (33 rows), then the r13/r14/r15 windows; the
+    # r15 window (freshest rows in the repo) sits at the very end. ---
     "events_gap_fill_lerp",  # r12
     "events_incremental_rollup",  # r12
     "events_autocorr",  # r12
@@ -730,10 +697,6 @@ _EMIT_LAST = (
     "stream_join_drain",  # r12
     "stream_enrich_drain",  # r12
     "dedup_exact",  # r13
-    "dedup_simhash",  # r13
-    "dedup_fuzzy_levenshtein",  # r13
-    "dedup_simhash_pairs",  # r13
-    "dedup_components",  # r13
     "mm_decode_features",  # r13
     "mm_frame_sample",  # r13
     "mm_resize",  # r13
@@ -750,12 +713,7 @@ _EMIT_LAST = (
     "sim_ivf_kmeans",  # r13
     "sim_threshold_profile",  # r13
     "docs_dedup_semantic",  # r13
-    "text_quality_score",  # r13
-    "text_lang_id",  # r13
-    "text_chunking",  # r13
-    "text_chunks_udtf",  # r13
     "events_theilsen_trend",  # r13
-    "text_decontaminate",  # r13
     "etl_upsert_merge",  # r13
     "q1_pricing_summary",  # r13
     "q6_forecast_revenue",  # r13
@@ -827,6 +785,56 @@ _EMIT_LAST = (
     "rel_unpivot",  # r14
     "rel_higher_order_funcs",  # r14
     "stream_dedup_replay",  # r14
+    "rel_variant_props",  # r15
+    "etl_events_pipeline",  # r15
+    "dedup_components_star",  # r15
+    "docs_split_leakage_safe",  # r15
+    "docs_tfidf_topk",  # r15
+    "text_pmi_bigrams",  # r15
+    "text_repetition_filter",  # r15
+    "dedup_containment_onesided",  # r15
+    "dedup_minhash_calibration",  # r15
+    "dedup_minhash_lsh",  # r15
+    "dedup_threshold_sweep",  # r15
+    "docs_dedup_store",  # r15
+    "docs_length_histogram",  # r15
+    "docs_novelty_curve",  # r15
+    "docs_pack_sequences",  # r15
+    "docs_shingle_profile",  # r15
+    "text_bpe_token_count",  # r15
+    "text_fingerprint",  # r15
+    "text_token_stats",  # r15
+    "text_tokenizer_fertility",  # r15
+    "text_vocab_topk",  # r15
+    "events_skew_salted_agg",  # r15
+    "events_skew_salted_join",  # r15
+    "rel_partition_prune",  # r15
+    "stream_tumbling_counts",  # r15
+    "stream_sliding_counts",  # r15
+    "stream_session_windows",  # r15
+    "stream_time_rollup",  # r15
+    "stream_interval_join",  # r15
+    "events_gap_fill",  # r15
+    "events_sessionize",  # r15
+    "events_period_over_period",  # r15
+    "events_value_deciles",  # r15
+    "events_heavy_hitters",  # r15
+    "rel_window_range_time",  # r15
+    "rel_corr_stats",  # r15
+    "events_feature_assembly",  # r15
+    "mm_audio_window",  # r15
+    "text_normalize",  # r15
+    "docs_shard_shuffle",  # r15
+    "docs_token_budget_select",  # r15
+    "q2_min_cost_supplier",  # r15
+    "q9_product_profit",  # r15
+    "q11_important_stock",  # r15
+    "q16_parts_suppliers",  # r15
+    "q20_potential_promotion",  # r15
+    "q21_waiting_supplier",  # r15
+    "events_rolling_features",  # r15
+    "events_user_sequences",  # r15
+    "events_weighted_sample",  # r15
 )
 
 

@@ -264,3 +264,60 @@ def test_r15_window_discharges_the_written_ledger():
     # 5-round contract: everything with an r10-or-older row is in-window
     overdue = {n for n in latest if latest[n] <= 10}
     assert overdue <= set(window), overdue - set(window)
+
+
+def test_r16_window_discharges_the_written_ledger():
+    """The r16 rotation window is pinned here so a hand-edit can't
+    drift from the mechanical derivation (``python
+    tools/plan_rotation.py --lead <the 13 r16-ledger names>``): the 13
+    exception-(a) widening leads from the r16 ledger (the 4 r12-row +
+    9 r13-row \\x0b-widened oracles) lead the window in ledger order,
+    the staleness fill is exactly every r11-green row plus the oldest
+    r12-green rows, and the 5-round contract holds (oldest row becomes
+    r12 at r16+1 vs the contract floor of r17-5=r12)."""
+    import glob
+    import json
+    import re
+
+    latest = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for q, res in json.load(open(f)).items():
+            if isinstance(res, dict) and res.get("rows_match"):
+                latest[q] = rnd
+    if max(latest.values(), default=0) != 15:
+        return  # window already consumed by a later driver round
+
+    window = list(registry._EMIT_FIRST)
+    leads = [
+        "dedup_cluster_sizes",
+        "docs_bm25_topk",
+        "docs_dedup_passages",
+        "docs_source_divergence",
+        "dedup_components",
+        "dedup_fuzzy_levenshtein",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "text_chunking",
+        "text_chunks_udtf",
+        "text_decontaminate",
+        "text_lang_id",
+        "text_quality_score",
+    ]
+    assert window[: len(leads)] == leads
+    # the leads ARE the r16 ledger: every \x0b-widened oracle whose
+    # newest driver row is r12 or r13
+    widened = {
+        n for n, s in registry.REGISTRY.items() if s.oracle and r"\x0b" in s.oracle
+    }
+    assert {n for n in widened if latest.get(n, 0) in (12, 13)} == set(leads)
+
+    # staleness fill: ALL r11 rows are in-window, and no row newer than
+    # r12 rides along (the window is leads + r11 + oldest-r12 only)
+    r11 = {n for n in latest if latest[n] == 11}
+    assert r11 <= set(window)
+    assert all(latest[n] <= 13 for n in window)
+
+    # 5-round contract: everything with an r11-or-older row is in-window
+    overdue = {n for n in latest if latest[n] <= 11}
+    assert overdue <= set(window), overdue - set(window)
