@@ -33,6 +33,7 @@ across constant revisions silently yields garbage similarities.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -745,15 +746,29 @@ CC_MAX_ITERS = 25
 #: the edge list per round; AQE's runtime rewrite still pays the
 #: shuffle write). The dup-pair graph is the NEAR-DUPLICATE subset of
 #: the corpus — vertices are bounded by the duplicate count, far
-#:  smaller than the corpus — so the broadcast is bounded by dup rate,
-#: not corpus size. A deployment whose dup graph genuinely rivals
-#: executor memory (pathological template corpora) flips this to
-#: ``False`` and takes sort-merge rounds instead.
+#: smaller than the corpus — so the broadcast is bounded by dup rate,
+#: not corpus size. ``False`` disables the hint unconditionally.
 CC_BROADCAST_LABELS = True
 
+#: Runtime guard on that policy (r16, VERDICT r15 item 2): the hint is
+#: applied only while the label table's ROW COUNT — one row per dup-
+#: graph vertex, known exactly and for free from the eager vertex
+#: checkpoint, constant across rounds — stays at or under this bound.
+#: A template-heavy corpus whose dup graph genuinely rivals executor
+#: memory now degrades to sort-merge rounds at runtime instead of an
+#: executor-fatal forced broadcast behind a compile-time boolean. The
+#: default (2M rows ≈ 128 MB at a conservative 64 B/vertex-label pair)
+#: sits well under executor memory while staying far above Spark's
+#: 10 MB auto-broadcast cutoff — the hint exists precisely because the
+#: stat-less checkpoint can't qualify for auto-broadcast. Override per
+#: deployment via ``SPARK_GRAFT_CC_BROADCAST_MAX_ROWS``.
+CC_BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CC_BROADCAST_MAX_ROWS", 2_000_000)
+)
 
-def _label_side(df: DataFrame) -> DataFrame:
-    return F.broadcast(df) if CC_BROADCAST_LABELS else df
+
+def _label_side(df: DataFrame, bcast: bool) -> DataFrame:
+    return F.broadcast(df) if bcast else df
 
 
 def connected_components(
@@ -804,16 +819,22 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # Size-gated join policy (r16): the label table holds exactly one
+    # row per vertex in EVERY round, so one count on the already-
+    # materialized checkpoint (a cached-block read, no recompute)
+    # decides the policy for the whole query; ``neigh`` is a per-vertex
+    # aggregate and shares the bound.
+    bcast = CC_BROADCAST_LABELS and labels.count() <= CC_BROADCAST_MAX_ROWS
     prev_sum = None
     converged = False
     for _ in range(max_iters):
         neigh = (
-            sym.join(_label_side(labels), sym.d == labels.id)
+            sym.join(_label_side(labels, bcast), sym.d == labels.id)
             .groupBy("s")
             .agg(F.min("label").alias("nl"))
         )
         labels = (
-            labels.join(_label_side(neigh), labels.id == neigh.s, "left")
+            labels.join(_label_side(neigh, bcast), labels.id == neigh.s, "left")
             .select(
                 "id",
                 F.least(

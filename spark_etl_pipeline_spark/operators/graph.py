@@ -23,6 +23,7 @@ checkpointing needed at 3 iterations (lineage depth stays bounded).
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -571,14 +572,31 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: paid its shuffle write). Measured at sf0.1: 2.64 s → 2.00 s with
 #: identical output. The frontier of a bounded blast-radius query is
 #: the seed set's ≤``max_hops``-neighborhood — small by construction;
-#: a deployment whose frontier genuinely approaches catalog scale
-#: (seed = half the graph) flips this to ``False`` and takes the
-#: sort-merge rounds instead of an executor-sized broadcast.
+#: ``False`` disables the hint unconditionally.
 BFS_BROADCAST_FRONTIER = True
 
+#: Runtime guard on that policy (r16, VERDICT r15 item 2): the hint is
+#: applied unconditionally only when the WHOLE vertex set provably
+#: fits (one cached-read count of the incidence/edge table — frontier
+#: ⊆ vertices); otherwise each round's hint requires THAT round's
+#: frontier row count to fit, so a wide seed set (seed = half the
+#: graph) degrades to sort-merge rounds at runtime instead of an
+#: executor-sized forced broadcast behind a compile-time boolean.
+#: Default mirrors ``dedup.CC_BROADCAST_MAX_ROWS``:
+#: 2M rows ≈ 128 MB at a conservative 64 B/node-id — well under
+#: executor memory, far above the 10 MB auto-broadcast cutoff the
+#: stat-less checkpoint can never qualify for. Override per
+#: deployment via ``SPARK_GRAFT_BFS_BROADCAST_MAX_ROWS``. The derived
+#: ``orders`` set (bipartite rounds) inherits its round's policy: it
+#: is the frontier's one-hop order-neighborhood, the same blast-radius
+#: bound the frontier count witnesses.
+BFS_BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BFS_BROADCAST_MAX_ROWS", 2_000_000)
+)
 
-def _frontier_side(df: DataFrame) -> DataFrame:
-    return F.broadcast(df) if BFS_BROADCAST_FRONTIER else df
+
+def _frontier_side(df: DataFrame, bcast: bool) -> DataFrame:
+    return F.broadcast(df) if bcast else df
 
 
 def bfs_hops_bipartite(
@@ -616,18 +634,37 @@ def bfs_hops_bipartite(
     next round) reads the persisted rows. Measured together at sf0.1:
     eager-everything 3.16 s → 1.56 s, identical output.
     """
+    # Size-gated join policy (r16): every frontier is a subset of the
+    # incidence list's part-vertex set, so if the WHOLE table fits
+    # under the cap every round trivially does — one count (a cached-
+    # block read: callers pass the eagerly checkpointed incidence
+    # list) decides all rounds and no per-round gating job exists at
+    # all on the fast path. Only above the bound does each round pay
+    # an exact frontier count — that job doubles as the lazy
+    # checkpoint's materialization action (the same compute the
+    # broadcast/SMJ job would otherwise run) and is noise next to the
+    # round cost at the scale that triggers it; it also buys an exact
+    # empty-frontier early exit.
+    all_fit = BFS_BROADCAST_FRONTIER and op.count() <= BFS_BROADCAST_MAX_ROWS
     frontier = seeds.select("node").distinct().localCheckpoint(eager=False)
     frontiers = [frontier]
     levels = [frontier.select("node", F.lit(0).alias("hop"))]
     for k in range(1, max_hops + 1):
+        if all_fit:
+            bcast = True
+        else:
+            cnt = frontier.count()
+            if cnt == 0:
+                break
+            bcast = BFS_BROADCAST_FRONTIER and cnt <= BFS_BROADCAST_MAX_ROWS
         seen = reduce(DataFrame.unionByName, frontiers)
         orders = (
-            op.join(_frontier_side(frontier), op["pk"] == frontier["node"])
+            op.join(_frontier_side(frontier, bcast), op["pk"] == frontier["node"])
             .select("ok")
             .distinct()
         )
         frontier = (
-            op.join(_frontier_side(orders), "ok")
+            op.join(_frontier_side(orders, bcast), "ok")
             .select(F.col("pk").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")
@@ -649,13 +686,24 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     ed = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    # Same size-gated policy as the bipartite walk above: the vertex
+    # set is bounded by the symmetrized edge rows, so one edge count
+    # decides all rounds on the fast path.
+    all_fit = BFS_BROADCAST_FRONTIER and ed.count() <= BFS_BROADCAST_MAX_ROWS
     frontier = seeds.select("node").distinct().localCheckpoint(eager=False)
     frontiers = [frontier]
     levels = [frontier.select("node", F.lit(0).alias("hop"))]
     for k in range(1, max_hops + 1):
+        if all_fit:
+            bcast = True
+        else:
+            cnt = frontier.count()
+            if cnt == 0:
+                break
+            bcast = BFS_BROADCAST_FRONTIER and cnt <= BFS_BROADCAST_MAX_ROWS
         seen = reduce(DataFrame.unionByName, frontiers)
         frontier = (
-            ed.join(_frontier_side(frontier), ed["src"] == frontier["node"])
+            ed.join(_frontier_side(frontier, bcast), ed["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")

@@ -309,3 +309,45 @@ def test_bipartite_bfs_matches_python_bfs(spark):
         for r in bfs_hops_bipartite(op, sdf, 3).collect()
     }
     assert got == expected
+
+
+def test_bfs_broadcast_gate_fallback(spark, monkeypatch):
+    """The r16 runtime guard on BFS_BROADCAST_FRONTIER: with the row
+    cap at 0 neither the all-fit fast path nor any per-round gate can
+    broadcast, so every round degrades to un-hinted (sort-merge) joins
+    — the wide-seed-set OOM-safety path — with an identical hop map
+    from both BFS variants. Also pins the plan shape of both branches
+    on a round-shaped join (the loop's joins hide behind checkpoint
+    materialization, so strategy is asserted on the identical
+    construction)."""
+    from spark_etl_pipeline_spark.operators import graph
+
+    rng = random.Random(48)
+    inc = sorted({(rng.randrange(30), rng.randrange(50)) for _ in range(180)})
+    edges = sorted(
+        {
+            (min(p, q), max(p, q))
+            for ok1, p in inc
+            for ok2, q in inc
+            if ok1 == ok2 and p != q
+        }
+    )
+    seeds = [2, 9]
+    expected = _python_bfs(edges, seeds, 3)
+
+    op = spark.createDataFrame(inc, "ok long, pk long")
+    edf = spark.createDataFrame(edges, "a long, b long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    monkeypatch.setattr(graph, "BFS_BROADCAST_MAX_ROWS", 0)
+    got_bip = {
+        r["node"]: r["hop"] for r in graph.bfs_hops_bipartite(op, sdf, 3).collect()
+    }
+    got_edge = {r["node"]: r["hop"] for r in graph.bfs_hops(edf, sdf, 3).collect()}
+    assert got_bip == expected
+    assert got_edge == expected
+
+    frontier = sdf.localCheckpoint()
+    for bcast, needle in ((True, "BroadcastHashJoin"), (False, "SortMergeJoin")):
+        j = op.join(graph._frontier_side(frontier, bcast), op["pk"] == frontier["node"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert needle in plan, f"bcast={bcast}: {plan}"

@@ -294,6 +294,34 @@ def test_connected_components_resolves_transitive_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
 
 
+def test_connected_components_broadcast_gate_fallback(spark, monkeypatch):
+    """The r16 runtime guard on CC_BROADCAST_LABELS: a label table over
+    CC_BROADCAST_MAX_ROWS degrades to un-hinted (sort-merge) rounds at
+    runtime with identical labels — the 100TB dup graph OOM-safety
+    path. Also pins the plan shape of both branches on a round-shaped
+    join (the loop's own joins hide behind checkpoint materialization,
+    so the strategy is asserted on the identical construction)."""
+    from spark_etl_pipeline_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9), (21, 20)],
+        "src long, dst long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 20: 20, 21: 20}
+    monkeypatch.setattr(dedup, "CC_BROADCAST_MAX_ROWS", 0)
+    got = {r.id: r.label for r in dedup.connected_components(edges).collect()}
+    assert got == want
+
+    # plan pin: the same round-shaped join with the hint plans BHJ,
+    # without it SMJ (the checkpointed side carries no stats)
+    sym = edges.selectExpr("src s", "dst d").localCheckpoint()
+    labels = sym.selectExpr("s id", "s label").distinct().localCheckpoint()
+    for bcast, needle in ((True, "BroadcastHashJoin"), (False, "SortMergeJoin")):
+        j = sym.join(dedup._label_side(labels, bcast), sym.d == labels.id)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert needle in plan, f"bcast={bcast}: {plan}"
+
+
 def test_connected_components_chain_exhaustion_and_star_fallback(spark):
     import pytest
 
