@@ -861,16 +861,29 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
+    # The duplicated-uni shape is DELIBERATE (r16 A/B, twice rejected):
+    # uni feeds both marginal joins and Catalyst does not CSE across
+    # branches, but replacing the re-computation with a shared lazy
+    # localCheckpoint (uni-only: 4 corpus scans → 3; uni+pc with the
+    # total off SUM(pair_n): → 2) LOST both alternated sf0.1 A/Bs
+    # (~0.8s → ~1.1s and ~1.9s worst) — the duplicate subtrees run
+    # fully parallel inside one AQE DAG, while a checkpoint serializes
+    # materialize → broadcast → probe into barriers. The same play won
+    # on docs_bm25_topk (a second AGGREGATION level rode on its
+    # checkpoint) and on the r15 LSH branches (the re-computation
+    # there was a wide shuffle, not a map-side agg). Flip condition:
+    # if the corpus outgrows the schedule-latency regime (re-tokenize
+    # cost ≫ one vocab-sized materialization), share uni again.
     pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
     uni = (
         docs.select(F.explode("tokens").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    # Total bigrams == Σ max(len-1, 0) per doc: one scan-and-fold over the
-    # tokens column, no explode and no re-aggregation of pair counts —
-    # identical value to SUM(pair_n) (the oracle's formulation) at a
-    # fraction of the plan.
+    # Total bigrams == Σ max(len-1, 0) per doc: one scan-and-fold over
+    # the tokens column, no explode and no re-aggregation of pair
+    # counts — identical value to SUM(pair_n) (the oracle's
+    # formulation) at a fraction of the plan.
     tot = docs.agg(
         F.sum(F.greatest(F.size("tokens") - 1, F.lit(0)))
         .cast("bigint")
@@ -1065,33 +1078,45 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tokens are filtered to the query vocabulary INSIDE the
     per-row array (higher-order ``filter``) before the explode, so the
-    exploded relation is |matches|, not |corpus tokens|; df comes off
-    the tf table (term-keyed, vocabulary-sized, broadcast); doc length
-    joins on doc_id (co-partitioned with tf); the corpus-wide (N, Σdl)
-    scalar crosses in as a broadcast single row. Final top-K is
-    orderBy+limit → TakeOrderedAndProject, never a global sort.
+    exploded relation is |matches|, not |corpus tokens|; tf is
+    materialized ONCE (lazy ``localCheckpoint``) and feeds both the
+    score join and the df aggregate (term-keyed, vocabulary-sized,
+    broadcast); doc length rides in the tf grouping key (functionally
+    dependent on doc_id — same groups, no extra scan or join); the
+    corpus-wide (N, Σdl) scalar crosses in as a broadcast single row.
+    Final top-K is orderBy+limit → TakeOrderedAndProject, never a
+    global sort.
     """
     docs = with_tokens(table(spark, sf_dir, "documents"))
     terms_arr = "array(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
-    dl = docs.select("doc_id", F.size("tokens").alias("dl"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("tokens")).alias("sum_dl"),
     )
+    # r16 (guide §2; the r15 shared-branch play): tf fed BOTH the score
+    # join and the df aggregate, and Catalyst does not CSE across
+    # branches — df re-ran the whole scan→tokenize→explode→aggregate
+    # subtree. One lazy localCheckpoint materializes tf once (inside
+    # the consuming action) for both readers. The per-doc length rides
+    # IN the tf grouping key instead of its own corpus scan + join:
+    # dl is functionally dependent on doc_id, so the groups — and
+    # every downstream value — are bit-identical, and the third scan
+    # (plus its join) disappears. 4 corpus scans → 2 (tf, stats).
     tf = (
         docs.select(
             "doc_id",
+            F.size("tokens").alias("dl"),
             F.explode(
                 F.expr(f"filter(tokens, t -> array_contains({terms_arr}, t))")
             ).alias("w"),
         )
-        .groupBy("doc_id", "w")
+        .groupBy("doc_id", "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = (
         tf.join(F.broadcast(df_t), "w")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", F.expr(_BM25_MICRO).alias("micro"))
     )
