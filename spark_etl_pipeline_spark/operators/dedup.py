@@ -813,19 +813,29 @@ def connected_components(
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     rev = edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     sym = fwd.union(rev).distinct().localCheckpoint()
+    # r16: seed labels with the FIRST propagate round's exact state —
+    # label(v) = least(v, min(neighbors)) — straight off the edge
+    # checkpoint. Round 1 of the old loop computed precisely this
+    # through an edge×label join plus a second label-update join (the
+    # initial labels being the identity); the seed is one aggregate,
+    # so every call saves one full join round and diameter-1
+    # components (the common dup-cluster shape: isolated pairs/stars)
+    # converge after a single verify round.
     labels = (
-        sym.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("s")
+        .agg(F.min("d").alias("_md"))
+        .select(F.col("s").alias("id"), F.least("s", "_md").alias("label"))
         .localCheckpoint()
     )
     # Size-gated join policy (r16): the label table holds exactly one
-    # row per vertex in EVERY round, so one count on the already-
-    # materialized checkpoint (a cached-block read, no recompute)
+    # row per vertex in EVERY round, so one pass over the already-
+    # materialized checkpoint (cached-block reads, no recompute)
     # decides the policy for the whole query; ``neigh`` is a per-vertex
-    # aggregate and shares the bound.
-    bcast = CC_BROADCAST_LABELS and labels.count() <= CC_BROADCAST_MAX_ROWS
-    prev_sum = None
+    # aggregate and shares the bound. The same collect seeds the
+    # convergence baseline with the seed state's label sum.
+    first = labels.agg(F.count(F.lit(1)), F.sum("label")).collect()[0]
+    bcast = CC_BROADCAST_LABELS and first[0] <= CC_BROADCAST_MAX_ROWS
+    prev_sum = first[1]
     converged = False
     for _ in range(max_iters):
         neigh = (
@@ -866,7 +876,15 @@ def connected_components(
             f"(large-star/small-star contraction) rather than partial "
             f"(wrong) labels"
         )
-    return labels
+    # r16: the returned labels are dup-graph-vertex sized and every
+    # downstream consumer that joins them against the CORPUS
+    # (docs_dedup_corpus anti-join, the split/source taggers) would
+    # otherwise shuffle the full corpus against the stat-less
+    # checkpoint (planned SMJ — no stats, no auto-broadcast). The hint
+    # rides the SAME runtime size gate as the in-loop joins and
+    # propagates through the consumers' filters/projections to their
+    # join; select-only consumers simply drop it.
+    return F.broadcast(labels) if bcast else labels
 
 
 def connected_components_star(
@@ -977,9 +995,15 @@ def connected_components_star(
             f"{max_iters} rounds — with the O(log² n) bound this means a "
             f"pathological input, not a budget tuning problem"
         )
-    return verts.join(
+    out = verts.join(
         e.select(F.col("u").alias("id"), F.col("v").alias("label")), "id", "left"
     ).select("id", F.coalesce("label", F.col("id")).alias("label"))
+    # Same gated downstream-broadcast contract as connected_components:
+    # the output is vertex-sized; corpus-joining consumers get a BHJ
+    # while the gate holds, SMJ otherwise.
+    if CC_BROADCAST_LABELS and verts.count() <= CC_BROADCAST_MAX_ROWS:
+        out = F.broadcast(out)
+    return out
 
 
 #: Shared by ``dedup_components`` (label propagation) and
