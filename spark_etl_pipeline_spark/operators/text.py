@@ -552,6 +552,27 @@ _TRI_SPARK = (
 )
 
 
+def _run_stats(arr: str) -> str:
+    """(mx, nd) — top duplicate-run length and distinct count — of a
+    string array, via one ``array_sort`` + linear runs fold: the
+    PER-ROW twin of ``groupBy(gram).count()`` + max / countDistinct
+    (equal grams are adjacent after the sort, so the longest run IS the
+    top gram's count and the number of run starts IS the distinct
+    count). O(n log n) per row in the JVM, exact integers, no shuffle.
+    """
+    return (
+        f"aggregate(array_sort({arr}), "
+        "struct(cast(null as string) as prev, cast(0 as bigint) as run, "
+        "cast(0 as bigint) as mx, cast(0 as bigint) as nd), "
+        "(s, x) -> CASE WHEN s.prev <=> x THEN struct("
+        "x as prev, s.run + 1L as run, "
+        "greatest(s.mx, s.run + 1L) as mx, s.nd as nd) "
+        "ELSE struct(x as prev, 1L as run, greatest(s.mx, 1L) as mx, "
+        "s.nd + 1L as nd) END, "
+        "s -> struct(s.mx as mx, s.nd as nd))"
+    )
+
+
 @register(
     "text_repetition_filter",
     oracle=f"""
@@ -616,60 +637,60 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word family, defined for any tokenized doc, is the row spine in
     both engines.
 
-    Scale shape: ONE corpus scan — the three gram families explode from
-    the same row as ('bg'|'tri'|'w')-tagged structs — then two stacked
-    hash aggregates, both map-side combinable: (doc_id, ty, gram) →
-    per-gram counts (shuffle volume = distinct grams per doc, not
-    corpus tokens) and (doc_id, ty) → max/sum/distinct, pivoted to one
-    row per doc by a final doc_id aggregate. No joins, no window, no
-    per-row O(len²) higher-order scan. (The naive form — one
-    explode+agg branch per metric — costs 3 corpus scans and 2 joins;
-    measured at 16 exchanges vs this plan's 3.)
+    Scale shape (r16): ZERO shuffles — every metric is intra-document,
+    so each family's (top count, distinct count) comes from a per-row
+    ``array_sort`` + runs fold (:func:`_run_stats`) instead of the
+    explode → (doc,ty,gram) → (doc,ty) → doc aggregate ladder the r15
+    form used (1 corpus scan but 3 Exchanges; the r16 rewrite keeps
+    the single scan and deletes all three). Embarrassingly parallel at
+    any corpus size; per-row cost is O(len log len) — the rejected
+    shape was the O(len²) nested higher-order scan, not this sort.
+    Identical integer counts feed identical divisions, so values are
+    bit-identical to the aggregate form's.
     """
-    docs = with_tokens(table(spark, sf_dir, "documents")).select(
-        "doc_id", "tokens"
+    docs = (
+        with_tokens(table(spark, sf_dir, "documents"))
+        .select("doc_id", "tokens")
+        # explode-form parity: a doc with no tokens produced no 'w'
+        # spine row, so it is absent from the report there and here
+        .filter(F.size("tokens") >= 1)
     )
-    tagged = (
-        f"concat("
-        f" transform({_BG_SPARK}, g -> named_struct('ty', 'bg', 'g', g)),"
-        f" transform({_TRI_SPARK}, g -> named_struct('ty', 'tri', 'g', g)),"
-        f" transform(tokens, g -> named_struct('ty', 'w', 'g', g)))"
+    stats = docs.select(
+        "doc_id",
+        F.expr(_BG_SPARK).alias("bg"),
+        F.expr(_TRI_SPARK).alias("tri"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.expr(_run_stats("bg")).alias("bgs"),
+        F.size("bg").alias("bgn"),
+        F.expr(_run_stats("tri")).alias("tris"),
+        F.size("tri").alias("trin"),
+        F.expr(_run_stats("tokens")).alias("ws"),
+        F.size("tokens").alias("wn"),
     )
-    per_type = (
-        docs.select("doc_id", F.explode(F.expr(tagged)).alias("x"))
-        .select("doc_id", "x.ty", "x.g")
-        .groupBy("doc_id", "ty", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "ty")
-        .agg(
-            F.max("c").alias("mx"),
-            F.sum("c").alias("sm"),
-            F.count(F.lit(1)).alias("nd"),
+    return stats.select(
+        "doc_id",
+        # absent families (doc too short) are 0.0, not NULL — the
+        # total-verdict contract
+        F.when(
+            F.col("bgn") >= 1,
+            F.col("bgs.mx").cast("double") / F.col("bgn"),
         )
-    )
-    top = F.col("mx").cast("double") / F.col("sm")
-    dup = (F.col("sm") - F.col("nd")).cast("double") / F.col("sm")
-    pick = lambda ty, expr: F.max(F.when(F.col("ty") == ty, expr))  # noqa: E731
-    return (
-        per_type.groupBy("doc_id")
-        .agg(
-            # absent families (doc too short) are 0.0, not NULL — the
-            # total-verdict contract; 'w' stays bare (it defines the
-            # row's existence, so it is never absent here)
-            F.coalesce(pick("bg", top), F.lit(0.0)).alias(
-                "top_bigram_ratio"
-            ),
-            F.coalesce(pick("tri", dup), F.lit(0.0)).alias(
-                "dup_trigram_ratio"
-            ),
-            pick("w", top).alias("max_word_ratio"),
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+        F.when(
+            F.col("trin") >= 1,
+            (F.col("trin") - F.col("tris.nd")).cast("double") / F.col("trin"),
         )
-        .withColumn(
-            "keep",
-            (F.col("top_bigram_ratio") <= REP_TOP_BIGRAM_MAX)
-            & (F.col("dup_trigram_ratio") <= REP_DUP_TRIGRAM_MAX)
-            & (F.col("max_word_ratio") <= REP_MAX_WORD_MAX),
-        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_ratio"),
+        (F.col("ws.mx").cast("double") / F.col("wn")).alias("max_word_ratio"),
+    ).withColumn(
+        "keep",
+        (F.col("top_bigram_ratio") <= REP_TOP_BIGRAM_MAX)
+        & (F.col("dup_trigram_ratio") <= REP_DUP_TRIGRAM_MAX)
+        & (F.col("max_word_ratio") <= REP_MAX_WORD_MAX),
     )
 
 

@@ -304,3 +304,30 @@ def test_repetition_filter_total_verdict_matches_python(spark, rep_docs):
     # the contract under test: EVERY tokenized doc has a verdict row
     assert set(got) == set(expected)
     assert got == expected
+
+
+def test_run_stats_fold_matches_python_counting(spark):
+    """The r16 per-row sort+runs fold behind text_repetition_filter:
+    (mx, nd) must equal Python's (max multiplicity, distinct count) on
+    degenerate shapes — empty, singleton, all-equal, ties, empty-string
+    tokens."""
+    from spark_etl_pipeline_spark.operators.text import _run_stats
+
+    cases = [
+        [],
+        ["a"],
+        ["a", "a", "a"],
+        ["a", "b", "a", "b"],
+        ["", "", "x"],
+        ["z", "y", "x", "y", "z", "z"],
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, arr array<string>"
+    )
+    got = {
+        r["i"]: (r["s"]["mx"], r["s"]["nd"])
+        for r in df.selectExpr("i", f"{_run_stats('arr')} as s").collect()
+    }
+    for i, c in enumerate(cases):
+        mx = max((c.count(x) for x in set(c)), default=0)
+        assert got[i] == (mx, len(set(c))), f"case {i}: {c}"
