@@ -260,23 +260,33 @@ from weakref import WeakKeyDictionary
 _TABLE_PLAN_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
 
 
-def _table_fingerprint(path: str) -> tuple:
-    """(file, size, mtime_ns) triples identifying a table's on-disk state."""
+def _table_fingerprint(path: str) -> tuple | None:
+    """(file, size, mtime_ns) triples identifying a table's on-disk
+    state, or ``None`` when the state cannot be established — callers
+    must then skip the memo entirely (r16, ADVICE r15: the old
+    ``id(object())`` "unique" sentinel could be reused by the
+    allocator, and a nested/partitioned directory with no top-level
+    ``*.parquet`` files fingerprinted as the constant empty tuple —
+    both could serve a stale plan)."""
     import glob
     import os
 
     try:
         if os.path.isdir(path):
             out = []
-            for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-                st = os.stat(f)
-                out.append((f, st.st_size, st.st_mtime_ns))
-            return tuple(out)
+            # top-level part files plus one nesting level (partitioned
+            # layouts); anything deeper is not a layout table() serves
+            for pat in ("*.parquet", os.path.join("*", "*.parquet")):
+                for f in sorted(glob.glob(os.path.join(path, pat))):
+                    st = os.stat(f)
+                    out.append((f, st.st_size, st.st_mtime_ns))
+            # a directory with no recognizable part files is uncacheable
+            return tuple(out) or None
         st = os.stat(path)
         return ((path, st.st_size, st.st_mtime_ns),)
     except OSError:
-        # unreadable/missing: never cache (unique sentinel per call)
-        return (("__unfingerprintable__", id(object()), 0),)
+        # unreadable/missing (or a stat-then-read race): uncacheable
+        return None
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -292,7 +302,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     The returned LAZY plan is memoized per (session, path, on-disk
     fingerprint) — see :data:`_TABLE_PLAN_CACHE`; every action on it
-    still reads the parquet files.
+    still reads the parquet files. Contract note: repeated calls for
+    the same unchanged directory return the IDENTICAL DataFrame object
+    (same expression IDs), so a builder joining two loads of one table
+    directly would trip Spark's ambiguous-self-join detection — route
+    self-joins through ``.alias()`` / renamed selects (as q7/q8 do).
+    An unfingerprintable path (unreadable, or a directory with no
+    recognizable part files) is never memoized.
     """
     import os
 
@@ -308,8 +324,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = f"{sf_dir}/{name}.parquet"
     memo = _TABLE_PLAN_CACHE.setdefault(spark, {})
-    key = (path, _table_fingerprint(path))
-    hit = memo.get(key)
+    fp = _table_fingerprint(path)
+    key = (path, fp)
+    hit = memo.get(key) if fp is not None else None
     if hit is not None:
         df, nanos = hit
         if nanos:
@@ -328,7 +345,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = reader.parquet(path)
     for col in nanos:
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-    memo[key] = (df, nanos)
+    if fp is not None:
+        # one live fingerprint per path: a restaged directory would
+        # otherwise pin its superseded plans (and their JVM objects)
+        # for the whole session (r16, ADVICE r15)
+        for k in [k for k in memo if k[0] == path and k != key]:
+            del memo[k]
+        memo[key] = (df, nanos)
     return df
 
 

@@ -321,3 +321,53 @@ def test_r16_window_discharges_the_written_ledger():
     # 5-round contract: everything with an r11-or-older row is in-window
     overdue = {n for n in latest if latest[n] <= 11}
     assert overdue <= set(window), overdue - set(window)
+
+
+def test_table_plan_memo_eviction_and_unfingerprintable(spark, tmp_path):
+    """The r16 memo hardening (ADVICE r15): one live fingerprint per
+    path (a restage evicts the superseded plan), a directory with no
+    recognizable part files is never cached, and a partitioned layout
+    fingerprints its nested part files."""
+    import os
+    import shutil
+
+    src = f"{SF_CORRECTNESS}/part.parquet"
+    staged = tmp_path / "part.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, staged)
+    else:
+        staged.mkdir()
+        shutil.copy(src, staged / "part-00000.parquet")
+
+    # identical-object return while the directory is unchanged
+    d1 = registry.table(spark, str(tmp_path), "part")
+    d2 = registry.table(spark, str(tmp_path), "part")
+    assert d1 is d2
+    memo = registry._TABLE_PLAN_CACHE[spark]
+    n_before = sum(1 for k in memo if k[0] == str(staged))
+    assert n_before == 1
+
+    # restage: fresh plan, and the superseded entry is evicted
+    f = next(p for p in staged.iterdir() if p.suffix == ".parquet")
+    os.utime(f, ns=(12345, 6789))
+    d3 = registry.table(spark, str(tmp_path), "part")
+    assert d3 is not d1
+    assert sum(1 for k in memo if k[0] == str(staged)) == 1
+
+    # nested (partitioned) layout fingerprints its part files
+    nested = tmp_path / "nested" / "part.parquet"
+    nested.mkdir(parents=True)
+    shutil.copy(f, nested / "lang=en")  # wrong shape on purpose: a file
+    shutil.rmtree(nested)
+    nested.mkdir()
+    sub = nested / "lang=en"
+    sub.mkdir()
+    shutil.copy(f, sub / "part-00000.parquet")
+    fp = registry._table_fingerprint(str(nested))
+    assert fp is not None and len(fp) == 1
+
+    # no part files at all -> uncacheable, and table() must not memoize
+    empty = tmp_path / "empty" / "part.parquet"
+    empty.mkdir(parents=True)
+    assert registry._table_fingerprint(str(empty)) is None
+    assert registry._table_fingerprint(str(tmp_path / "missing")) is None
