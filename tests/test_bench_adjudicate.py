@@ -369,3 +369,34 @@ def test_min_of_2_passes_ride_along_on_rows():
     out = badj.adjudicate(run, anchor)
     assert out["queries"]["qa"]["passes"] == [4.1, 1.0]
     assert "passes" not in out["queries"]["qb"]
+
+
+def test_sustained_normalized_row_fields_are_reporting_only():
+    """r16 (VERDICT r15 item 7): per-query sec/sustained and the
+    sustained-normalized ratio ride on each row when the readings
+    exist, and change NOTHING about statuses or the exit-gating flag
+    list (reporting-only; the CPU normalization stays the only scale).
+    """
+    anchor = dict(ANCHOR, sustained_canary_sec=8.0)
+    run = {
+        "canary_sec": 0.4,
+        "sustained_canary_sec": 16.0,  # host delivering half throughput
+        "queries": {"qa": 2.0, "qb": 2.0, "qc": 0.5},
+    }
+    out = badj.adjudicate(run, anchor)
+    qa = out["queries"]["qa"]
+    assert qa["sec_per_sustained"] == round(2.0 / 16.0, 4)
+    # (r_sec * anchor_sus / run_sus) / a_sec = (2.0 * 8/16) / 1.0
+    assert qa["sustained_norm_ratio"] == 1.0
+    # statuses and gating identical to the sustained-less adjudication
+    base = badj.adjudicate(
+        {"canary_sec": 0.4, "queries": run["queries"]}, ANCHOR
+    )
+    assert out["flagged"] == base["flagged"] == ["qa"]
+    assert all(
+        out["queries"][n]["status"] == base["queries"][n]["status"]
+        for n in run["queries"]
+    )
+    # without a sustained reading the fields are absent entirely
+    assert "sec_per_sustained" not in base["queries"]["qa"]
+    assert "sustained_norm_ratio" not in base["queries"]["qa"]

@@ -404,6 +404,14 @@ def adjudicate(run: dict, anchor: dict) -> dict:
     cpu_band = anchor.get("cpu_band", [CPU_BAND_LO, CPU_BAND_HI])
     cpu_status = classify_cpu_canary(rc, cpu_band[0], cpu_band[1])
     run_passes = run.get("passes") or {}  # r14+ records: raw min-of-2
+    # r16 (VERDICT r15 item 7): per-query sustained-normalized values
+    # ride along so a contended host self-identifies in the row data —
+    # the r15 driver's 46.47 s 32-core run (sustained 9.906, above
+    # band) read as a 27% regression until hand-divided by the canary.
+    # Reporting-only: never gates, never rescales the CPU-normalized
+    # ratio (a second blind scale would compound with the first).
+    run_sus = run.get("sustained_canary_sec")
+    anchor_sus = anchor.get("sustained_canary_sec")
     rows = {}
     ratios = []
     for name, a_sec in anchor["queries"].items():
@@ -438,6 +446,14 @@ def adjudicate(run: dict, anchor: dict) -> dict:
             "norm_ratio": round(norm, 3),
             "status": status,
         }
+        if run_sus:
+            # seconds in units of this run's own sustained throughput:
+            # comparable across hosts/contention levels by construction
+            rows[name]["sec_per_sustained"] = round(r_sec / run_sus, 4)
+            if anchor_sus:
+                rows[name]["sustained_norm_ratio"] = round(
+                    (r_sec * anchor_sus / run_sus) / a_sec, 3
+                )
         # r14+ runs carry both raw passes per query: keep them on the
         # row for shape analysis — a flag whose two passes straddle
         # the line (e.g. 4.1/1.3) is the transient term showing up
