@@ -796,6 +796,17 @@ def connected_components(
     between near-duplicates) and their components have single-digit
     diameters — min-label propagation fixpoints in a handful of rounds.
 
+    Durability (deliberate tradeoff, ARCHITECTURE.md "localCheckpoint
+    durability"): per-round lineage truncation uses EXECUTOR-LOCAL
+    checkpoints — memory-speed rounds, but an executor loss on a real
+    cluster deletes the truncated labels with no recompute path. The
+    recovery unit here is restart-the-query: rounds are seconds and
+    every input re-derives from parquet, so a mid-query loss costs one
+    re-run, not corrupted labels. A deployment whose loop is hours
+    long swaps ``localCheckpoint`` for reliable ``checkpoint()`` (+
+    ``setCheckpointDir``) at this site and pays one store write per
+    round instead.
+
     Convergence is VERIFIED, never assumed: if ``max_iters`` rounds
     (default :data:`CC_MAX_ITERS`, resolved at call time) exhaust before
     the fixpoint — a component whose DIAMETER exceeds the budget;

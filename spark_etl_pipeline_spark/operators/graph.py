@@ -633,6 +633,13 @@ def bfs_hops_bipartite(
     first compute and every later consumer (seen-union, level-union,
     next round) reads the persisted rows. Measured together at sf0.1:
     eager-everything 3.16 s → 1.56 s, identical output.
+
+    Durability (deliberate tradeoff, ARCHITECTURE.md "localCheckpoint
+    durability"): the per-round frontiers are EXECUTOR-LOCAL
+    checkpoints; an executor loss deletes them with no recompute path,
+    and the recovery unit is restart-the-query — cheap for a
+    ``max_hops``-bounded walk whose inputs re-derive from parquet.
+    Hour-scale deployments swap in reliable ``checkpoint()`` here.
     """
     # Size-gated join policy (r16): every frontier is a subset of the
     # incidence list's part-vertex set, so if the WHOLE table fits

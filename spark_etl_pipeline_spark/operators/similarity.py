@@ -1155,6 +1155,13 @@ def kmeans_iterate(emb: DataFrame, k: int, iters: int) -> tuple[DataFrame, DataF
     final assignment (2 corpus scans). Centroid VALUES are unchanged —
     same computation, materialized — so assignments and the oracle
     rows are bit-identical.
+
+    Durability (deliberate tradeoff, ARCHITECTURE.md "localCheckpoint
+    durability"): the k-row inter-round centroid checkpoints are
+    EXECUTOR-LOCAL — an executor loss deletes them with no recompute
+    path, and the recovery unit is restart-the-query (a fixed, small
+    round count whose inputs re-derive from parquet). Hour-scale
+    deployments swap in reliable ``checkpoint()`` here.
     """
     cents_df = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
