@@ -1190,9 +1190,22 @@ def incremental_survivors(docs: DataFrame, in_delta) -> DataFrame:
             )
         )
         .distinct()
+        # r16: the drop list is verified-dup sized; without
+        # materialization the stat-less chain planned the final anti-
+        # join as SMJ, shuffling+sorting the whole delta (text column
+        # included). The count materializes the chain once (the same
+        # work the SMJ job ran) and gates an explicit broadcast — same
+        # runtime-size discipline as connected_components' label
+        # return; an adversarial all-dup corpus degrades to SMJ.
+        .localCheckpoint(eager=False)
+    )
+    drop_side = (
+        F.broadcast(dropped)
+        if dropped.count() <= CC_BROADCAST_MAX_ROWS
+        else dropped
     )
     return docs.filter(in_delta(F.col("doc_id"))).join(
-        dropped, "doc_id", "left_anti"
+        drop_side, "doc_id", "left_anti"
     )
 
 

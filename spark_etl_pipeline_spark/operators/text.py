@@ -1212,17 +1212,27 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source and grand totals are broadcast scalars.
     """
     docs = with_tokens(table(spark, sf_dir, "documents"))
+    # r16 (guide §2; the r15 shared-branch play): cells feeds FOUR plan
+    # branches (ns, ct, nc, terms) and Catalyst does not CSE across
+    # branches — each re-ran the scan→tokenize→explode→aggregate
+    # subtree. One lazy localCheckpoint of the (source×vocab)-bounded
+    # cell table materializes it once inside the consuming action; the
+    # three marginal aggregates become cheap re-reads. ct carries an
+    # explicit broadcast hint: the stat-less checkpoint would
+    # otherwise plan its join SMJ, and ct is vocab-bounded (sublinear
+    # in corpus size) like text_pmi_bigrams' unigram side.
     cells = (
         docs.select("source", F.explode("tokens").alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     ns = cells.groupBy("source").agg(F.sum("tf").alias("n_s"))
     ct = cells.groupBy("w").agg(F.sum("tf").alias("tf_c"))
     nc = cells.agg(F.sum("tf").alias("n_c"))
     terms = (
         cells.join(F.broadcast(ns), "source")
-        .join(ct, "w")
+        .join(F.broadcast(ct), "w")
         .crossJoin(F.broadcast(nc))
         .select(
             "source",
