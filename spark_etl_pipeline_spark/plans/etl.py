@@ -338,27 +338,41 @@ def etl_events_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type").isin("view", "error"), F.round("value").try_cast("long"))
         .alias("code"),
     )
-    joined = (
-        normalized.filter(F.col("code").isNotNull())
-        .join(cust, normalized.user_id == cust.c_custkey)
+    # r16 (guide §2/§6): the two branches are DISJOINT by construction
+    # (the code CASE never fires for 'signup', the signup branch keeps
+    # only 'signup'), yet the union form re-ran the whole normalization
+    # — JSON extraction, the IANA timezone conversion, the date/time
+    # split — over the full events table once per branch (Catalyst
+    # does not CSE across union arms, and neither filter can push past
+    # the computed columns). One pass now: keep a row if it is a
+    # signup OR carries a code, LEFT-join customer only for the
+    # non-signup rows (join condition false for signups → one
+    # null-padded row each, exactly the old padding), and re-require
+    # the match for non-signups (the old INNER join). Same rows, same
+    # types, one events scan instead of two.
+    is_signup = F.col("event_type") == "signup"
+    rows = normalized.filter(is_signup | F.col("code").isNotNull())
+    return (
+        rows.join(
+            cust,
+            (rows.user_id == cust.c_custkey) & ~is_signup,
+            "left",
+        )
+        .filter(is_signup | F.col("c_custkey").isNotNull())
         .select(
             "user_key",
             "transaction_date",
             "transaction_time",
             F.col("event_type").alias("log_type"),
-            "code",
-            F.col("c_mktsegment").alias("segment"),
+            F.when(is_signup, F.lit(None).cast("long"))
+            .otherwise(F.col("code"))
+            .alias("code"),
+            F.when(is_signup, F.lit(None).cast("string"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
         )
+        .dropDuplicates()
     )
-    signup = normalized.filter(F.col("event_type") == "signup").select(
-        "user_key",
-        "transaction_date",
-        "transaction_time",
-        F.col("event_type").alias("log_type"),
-        F.lit(None).cast("long").alias("code"),
-        F.lit(None).cast("string").alias("segment"),
-    )
-    return joined.unionByName(signup).dropDuplicates()
 
 
 # ---------------------------------------------------------------------------
