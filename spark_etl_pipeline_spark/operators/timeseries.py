@@ -151,6 +151,7 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)
     )
     spine = (
         hourly.groupBy("event_type")
@@ -443,6 +444,7 @@ def events_gap_fill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .localCheckpoint(eager=False)
     )
     spine = (
         hourly.groupBy("event_type")
