@@ -609,13 +609,15 @@ def bfs_hops_bipartite(
     the incidence list — pairwise edges are never materialized; see
     :func:`graph_reachability` for the scale argument and A/B.
 
-    Lineage bound (deep-hop safety): every per-round frontier is
-    ``localCheckpoint``-ed BEFORE it joins the distance map, and the
-    map is assembled as ONE flat union over those materialized
-    frontiers at the end — so the returned plan is a union of at most
-    ``max_hops + 1`` checkpointed leaf scans (linear in hops, no
-    nested lineage back into earlier rounds' joins), never rebuilt
-    per round. Pinned at hops=10 by
+    Lineage bound (deep-hop safety): every per-round frontier EXCEPT
+    THE LAST is ``localCheckpoint``-ed BEFORE it joins the distance
+    map, and the map is assembled as ONE flat union over those
+    materialized frontiers at the end — so the returned plan is a
+    union of checkpointed leaf scans plus at most ONE live round (the
+    final frontier has no later consumer, so its checkpoint would be
+    a pure driver stall — r16): linear in hops, no nested lineage
+    back into earlier rounds' joins, never rebuilt per round. Pinned
+    at hops=10 by
     ``tests/test_graph_triangles.py::test_bfs_deep_hops_plan_bounded``.
 
     r15 job-count optimization: the visited set is a FLAT UNION of the
@@ -670,13 +672,22 @@ def bfs_hops_bipartite(
             .select("ok")
             .distinct()
         )
-        frontier = (
+        cand = (
             op.join(_frontier_side(orders, bcast), "ok")
             .select(F.col("pk").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")
-            .localCheckpoint(eager=False)
         )
+        # r16: the LAST round's frontier has exactly one consumer (its
+        # hop-level row in the final union) — nothing later reuses the
+        # persisted rows, so its checkpoint is a pure driver stall:
+        # Dataset.checkpoint calls queryExecution.toRdd, and on an AQE
+        # plan AdaptiveSparkPlanExec.doExecute materializes every
+        # query stage on the spot even with eager=False (measured
+        # 0.7-1.3 s blocking per round at sf0.1). Earlier rounds keep
+        # their checkpoints — each has three consumers (seen-union,
+        # next round's join, level row) plus the lineage bound.
+        frontier = cand if k == max_hops else cand.localCheckpoint(eager=False)
         frontiers.append(frontier)
         levels.append(frontier.select("node", F.lit(k).alias("hop")))
     return reduce(DataFrame.unionByName, levels)
@@ -709,13 +720,17 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
                 break
             bcast = BFS_BROADCAST_FRONTIER and cnt <= BFS_BROADCAST_MAX_ROWS
         seen = reduce(DataFrame.unionByName, frontiers)
-        frontier = (
+        cand = (
             ed.join(_frontier_side(frontier, bcast), ed["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")
-            .localCheckpoint(eager=False)
         )
+        # Same last-round rule as bfs_hops_bipartite: the final
+        # frontier feeds only its own level row, so skipping its
+        # checkpoint removes one eager AQE stage-materialization stall
+        # with zero reuse lost.
+        frontier = cand if k == max_hops else cand.localCheckpoint(eager=False)
         frontiers.append(frontier)
         levels.append(frontier.select("node", F.lit(k).alias("hop")))
     return reduce(DataFrame.unionByName, levels)

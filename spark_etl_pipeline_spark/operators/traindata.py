@@ -196,11 +196,30 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode -> broadcast hash-probe -> per-doc count. This is the
     standard 13-gram-overlap decontamination shape (Brown et al., GPT-3
     appendix C) at n=8 to fit the short synthetic docs.
+
+    r16 (guide §2.3/§2.4): the eval and corpus branches partition ONE
+    derivation — per-doc shingle hashes — by ``doc_id % 97``, but
+    Catalyst cannot CSE across the broadcast barrier, so each branch
+    paid its own full parquet scan of the text column (the eval side's
+    tokenize+md5 is filter-pruned to 1/97 of docs, but its SCAN is
+    not: ``doc_id % 97`` is an expression, never a parquet
+    PushedFilter). One LAZY ``localCheckpoint`` of the pre-explode
+    (doc_id, shingle-array) table feeds both branches: 2 corpus scans
+    -> 1, bit-identical output (the explodes and the join are
+    untouched; docs under 8 tokens still vanish with their empty
+    arrays). Cost at scale: the materialized arrays are ~8 B/token —
+    corpus-sized executor MEMORY_AND_DISK for the duration of the
+    query, traded against a second full read of the (similarly sized)
+    text column from primary storage. Durability: executor-local, the
+    restart-the-query tradeoff documented in ARCHITECTURE.md
+    ("localCheckpoint durability"). Measured sf0.1 alternated A/B:
+    wins 5/6 pairs, mins 1.40 vs 1.53 s.
     """
     docs = with_tokens(table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.explode(F.expr(_shingle_hashes_spark())).alias("sh")
-    )
+    sharr = docs.select(
+        "doc_id", F.expr(_shingle_hashes_spark()).alias("shs")
+    ).localCheckpoint(eager=False)
+    sh = sharr.select("doc_id", F.explode("shs").alias("sh"))
     eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("sh").distinct()
     corpus = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
     hit = F.when(F.col("e_sh").isNotNull(), 1).otherwise(0)

@@ -60,10 +60,11 @@ def test_triangle_count_ignores_edge_input_order(spark):
 def test_bfs_deep_hops_plan_bounded(spark):
     """Deep-hop lineage bound for both BFS variants (hops=10 on a
     12-node path graph): correct min-hop distances AND a returned plan
-    that is a flat union of checkpointed leaf scans — linear in hops,
-    with no lineage back into the per-round joins (no join operator may
-    survive in the final plan; every join ran eagerly inside the
-    per-round ``localCheckpoint``)."""
+    that is linear in hops — every round but the LAST sits behind its
+    ``localCheckpoint`` (leaf scans only), and the last round (whose
+    frontier has no later consumer, so r16 skips its checkpoint) may
+    contribute at most ONE live round's joins: ≤2 expansion joins plus
+    the seen anti-join, never nested lineage into earlier rounds."""
     from spark_etl_pipeline_spark.operators.graph import (
         bfs_hops,
         bfs_hops_bipartite,
@@ -87,10 +88,23 @@ def test_bfs_deep_hops_plan_bounded(spark):
     for dist in (edge_dist, bip_dist):
         assert {(r.node, r.hop) for r in dist.collect()} == expected
         plan = dist._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan and "CartesianProduct" not in plan, (
-            "deep-hop BFS plan carries live join lineage:\n" + plan
+        # An executed AQE plan prints "== Final Plan ==" followed by
+        # "== Initial Plan ==" — the same operators twice; bound the
+        # final section only.
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in plan
+        # One live round max: the bipartite round is 2 expansion joins
+        # + 1 anti-join, the edge round 1 + 1. More joins than that
+        # means earlier rounds' lineage leaked past their checkpoints.
+        n_joins = plan.count("Join")
+        assert n_joins <= 3, (
+            f"{n_joins} join operators — more than the final round's own:\n"
+            + plan
         )
+        # Leaf scans stay linear in hops: ≤ hops checkpointed frontiers
+        # feeding the union and ≤ hops + 2 more references inside the
+        # live last round (its seen-union + expansion inputs).
         n_scans = plan.count("Scan ExistingRDD")
-        assert 0 < n_scans <= hops + 1, (
+        assert 0 < n_scans <= 2 * (hops + 1) + 2, (
             f"{n_scans} leaf scans for {hops} hops — union not flat/bounded"
         )
