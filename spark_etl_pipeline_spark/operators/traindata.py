@@ -210,7 +210,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays). Cost at scale: the materialized arrays are ~8 B/token —
     corpus-sized executor MEMORY_AND_DISK for the duration of the
     query, traded against a second full read of the (similarly sized)
-    text column from primary storage. Durability: executor-local, the
+    text column from primary storage. Flip condition: if that
+    materialization pressures executor storage at extreme scale,
+    checkpoint only the EVAL docs' arrays (1/97 of rows) and let the
+    corpus side recompute from its own scan — the old storage profile
+    at the cost of the second read. Durability: executor-local, the
     restart-the-query tradeoff documented in ARCHITECTURE.md
     ("localCheckpoint durability"). Measured sf0.1 alternated A/B:
     wins 5/6 pairs, mins 1.40 vs 1.53 s.
